@@ -1,0 +1,130 @@
+"""robots.txt parity tests.
+
+The matching table is ported verbatim from the documentation block at
+/root/reference/src/crawler/Robots.hh:70-93; grammar cases exercise
+/root/reference/src/crawler/robots.ll:31-139 (comments, crawl-delay,
+multiple UA groups, HTML-garbage bailout).
+"""
+import pytest
+
+from mycelium_ray.robots import (
+    Robots, RobotsEntry, RobotsState, ALLOW, DISALLOW, CRAWL_DELAY,
+    canon_rule_path,
+)
+
+# (record_path, url_path, matches) — Robots.hh:73-92
+MATCH_TABLE = [
+    ("/tmp", "/tmp", True),
+    ("/tmp", "/tmp.html", True),
+    ("/tmp", "/tmp/a.html", True),
+    ("/tmp/", "/tmp", False),
+    ("/tmp/", "/tmp/", True),
+    ("/tmp/", "/tmp/a.html", True),
+    ("/a%3cd.html", "/a%3cd.html", True),
+    ("/a%3Cd.html", "/a%3cd.html", True),
+    ("/a%3cd.html", "/a%3Cd.html", True),
+    ("/a%3Cd.html", "/a%3Cd.html", True),
+    ("/a%2fb.html", "/a%2fb.html", True),
+    ("/a%2fb.html", "/a/b.html", False),
+    ("/a/b.html", "/a%2fb.html", False),
+    ("/a/b.html", "/a/b.html", True),
+    ("/%7ejoe/index.html", "/~joe/index.html", True),
+    ("/~joe/index.html", "/%7Ejoe/index.html", True),
+]
+
+
+@pytest.mark.parametrize("rule,path,matches", MATCH_TABLE)
+def test_match_table(rule, path, matches):
+    r = Robots(f"User-agent: *\nDisallow: {rule}\n")
+    # Disallow rule matching ⇒ path NOT allowed
+    assert r.path_allowed("mycelium", path) == (not matches)
+
+
+def test_first_match_wins_and_default_allowed():
+    r = Robots("User-agent: *\nAllow: /pub\nDisallow: /\n")
+    assert r.path_allowed("x", "/pub/a.html") is True   # Allow matches first
+    assert r.path_allowed("x", "/private") is False     # Disallow / prefix
+    r2 = Robots("User-agent: *\nDisallow: /private\n")
+    assert r2.path_allowed("x", "/other") is True       # no match ⇒ allowed
+
+
+def test_ua_groups():
+    body = (
+        "User-agent: googlebot\n"
+        "User-agent: mycelium\n"
+        "Disallow: /both\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+    )
+    r = Robots(body)
+    assert len(r.groups) == 2
+    assert r.groups[0].ua == ["googlebot", "mycelium"]
+    # mycelium hits group 1 only: /both disallowed, everything else allowed
+    assert r.path_allowed("mycelium", "/both/x") is False
+    assert r.path_allowed("mycelium", "/elsewhere") is True
+    # unknown UA falls to '*': everything disallowed
+    assert r.path_allowed("otherbot", "/elsewhere") is False
+
+
+def test_comments_and_blank_lines():
+    body = (
+        "# a full-line comment\n"
+        "User-agent: * # trailing comment\n"
+        "   \n"
+        "Disallow: /secret # also trailing\n"
+        "#another\n"
+    )
+    r = Robots(body)
+    assert r.groups[0].ua == ["*"]
+    assert r.groups[0].rules == [(DISALLOW, "/secret")]
+    assert r.path_allowed("any", "/secret/page") is False
+
+
+def test_crawl_delay():
+    r = Robots("User-agent: *\nCrawl-delay: 2.5\nDisallow: /x\n")
+    assert r.crawl_delay("bot") == 2.5
+    assert (CRAWL_DELAY, "2.5") in r.groups[0].rules
+    # crawl-delay rules never affect matching
+    assert r.path_allowed("bot", "/y") is True
+    assert r.path_allowed("bot", "/x1") is False
+
+
+def test_case_insensitive_directives():
+    r = Robots("USER-AGENT: *\nDISALLOW: /a\nallow: /a/b\n")
+    assert r.groups[0].ua == ["*"]
+    # first match wins: Disallow /a precedes Allow /a/b
+    assert r.path_allowed("x", "/a/b") is False
+
+
+def test_html_garbage_eparse():
+    html = "<html><body>not robots</body></html>"
+    assert Robots().parse(html) == -1
+    e = RobotsEntry(text=html)
+    assert e.state == RobotsState.EPARSE
+    assert e.tried_but_failed()
+    assert e.allowed("ua", "/anything") is True  # crawler.cc:1037-1049
+
+
+def test_entry_states():
+    assert RobotsEntry(state=RobotsState.NOT_AVAILABLE).allowed("u", "/p") is True
+    present = RobotsEntry(text="User-agent: *\nDisallow: /\n")
+    assert present.state == RobotsState.PRESENT
+    assert present.allowed("u", "/p") is False
+    # EMPTY (never fetched) behaves as allowed at decision level
+    assert RobotsEntry().allowed("u", "/p") is True
+
+
+def test_canon_rule_path():
+    assert canon_rule_path("/%7ejoe") == "/~joe"
+    assert canon_rule_path("/a%3cd") == "/a%3Cd"
+    assert canon_rule_path("/a%2fb") == "/a%2Fb"
+    assert canon_rule_path("/a b") == "/a%20b"
+
+
+def test_roundtrip_record():
+    e = RobotsEntry(text="User-agent: a\nDisallow: /x\nUser-agent: *\nAllow: /\n")
+    e2 = RobotsEntry.from_record(e.to_record())
+    assert e2.state == e.state
+    assert [(g.ua, g.rules) for g in e2.groups] == [(g.ua, g.rules) for g in e.groups]
+    assert e2.path_allowed("a", "/x/1") == e.path_allowed("a", "/x/1") == False  # noqa: E712
