@@ -1,0 +1,74 @@
+"""Stable hashing for URL-seen membership and partition routing.
+
+The reference keys its disk hash on SHA1 (bighash SHA1 sharding,
+/root/reference/src/common/bighash.cc:118-143; sha1_to_hex at
+utils.cc:287-301). We key on the first 8 bytes of SHA1(canonical_url) as an
+unsigned 64-bit int — deterministic across processes, machines and Python
+versions (unlike ``hash()``), cheap enough (~1 µs/url) that it never
+dominates a fetch pipeline.
+
+Derived hashes (bloom probe positions, cuckoo fingerprints/buckets,
+partition routing) are computed FROM the 64-bit key with splitmix64 so only
+one digest per URL is ever taken, and all derived values are vectorizable
+with numpy over uint64 arrays.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_U64 = np.uint64
+
+
+def sha1_hex(s: str | bytes) -> str:
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return hashlib.sha1(s).hexdigest()
+
+
+def url_hash64(s: str | bytes) -> int:
+    """First 8 bytes of SHA1 as big-endian uint64."""
+    if isinstance(s, str):
+        s = s.encode("utf-8", "surrogatepass")
+    return int.from_bytes(hashlib.sha1(s).digest()[:8], "big")
+
+
+def url_hash64_many(strings) -> np.ndarray:
+    """Vector form: ndarray[uint64] of url_hash64 over an iterable of str."""
+    sha1 = hashlib.sha1
+    out = np.empty(len(strings), dtype=_U64)
+    for i, s in enumerate(strings):
+        out[i] = int.from_bytes(
+            sha1(s.encode("utf-8", "surrogatepass")).digest()[:8], "big")
+    return out
+
+
+def splitmix64(x: np.ndarray | int):
+    """splitmix64 finalizer — public-domain mixing function (Vigna 2015).
+
+    Accepts scalar int or ndarray[uint64]; returns same shape uint64.
+    """
+    scalar = not isinstance(x, np.ndarray)
+    z = np.asarray(x, dtype=_U64)
+    with np.errstate(over="ignore"):
+        z = (z + _U64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> _U64(30))) * _U64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> _U64(27))) * _U64(0x94D049BB133111EB)
+        z = z ^ (z >> _U64(31))
+    return int(z) if scalar else z
+
+
+def shard_of(h: np.ndarray | int, n_shards: int):
+    """Partition routing key: splitmix(h) % n_shards (keeps routing
+    independent from the bloom/cuckoo probe bits)."""
+    m = splitmix64(h)
+    if isinstance(m, np.ndarray):
+        return (m % _U64(n_shards)).astype(np.int64)
+    return int(m % n_shards)
+
+
+def host_shard(host: str, n_shards: int) -> int:
+    """Host-affine routing for frontier/politeness shards."""
+    return url_hash64(host) % n_shards

