@@ -1,0 +1,187 @@
+"""Image codecs, PSNR and perceptual hashing for the image+caption payload.
+
+Graft analog of the reference's decode/transcode surface (charset detection
+utils.cc:360-467 → format sniffing; ICU transcode Unicode_wrap.cc:141-228 →
+pixel decode). The per-row invariant from BASELINE.json: decoded pixels
+allclose (PSNR ≥ 40 dB for lossy formats), exact for lossless, plus caption
+equality.
+
+Container constraint: PIL/opencv are NOT installed here, so
+
+- ``png`` is a REAL, self-contained PNG codec (zlib + numpy): standard
+  signature/IHDR/IDAT/IEND chunks, filter type 0, 8-bit RGB. Output is a
+  valid PNG readable by any external tool; decode handles our encoder's
+  subset and raises clearly otherwise.
+- ``jpeg`` / ``webp`` are DETERMINISTIC STUB codecs standing in for the
+  missing native libraries: magic header + dims + zlib-compressed pixels
+  quantized to step 4 (uniform quantization ⇒ MSE≈16/12 ⇒ PSNR≈47 dB,
+  exercising the real lossy-tolerance path end-to-end). The Ray-side
+  plumbing (schemas, batch sizing, actor signatures) is identical to what a
+  real libjpeg/libwebp stage would use — swap ``encode_fake_lossy`` /
+  ``decode_fake_lossy`` for PIL calls and nothing else changes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+FAKE_JPEG_MAGIC = b"FAKEJPG1"
+FAKE_WEBP_MAGIC = b"FAKEWEBP"
+_LOSSY_QUANT = 4  # quantization step → PSNR ≈ 47 dB
+
+
+class ImageDecodeError(ValueError):
+    pass
+
+
+# --------------------------------------------------------------------------
+# PNG (real codec, filter 0, RGB8)
+# --------------------------------------------------------------------------
+def _chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) uint8 → PNG bytes (filter 0 scanlines)."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w, _ = px.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = np.empty((h, w * 3 + 1), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = px.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    if not data.startswith(PNG_SIG):
+        raise ImageDecodeError("not a PNG")
+    pos = len(PNG_SIG)
+    w = h = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        crc = data[pos + 8 + length:pos + 12 + length]
+        if len(body) != length or len(crc) != 4:
+            raise ImageDecodeError("truncated chunk")
+        if struct.unpack(">I", crc)[0] != (zlib.crc32(ctype + body) & 0xFFFFFFFF):
+            raise ImageDecodeError("chunk CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", body)
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ImageDecodeError("unsupported PNG variant (this codec "
+                                       "handles 8-bit RGB, no interlace)")
+        elif ctype == b"IDAT":
+            idat.extend(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ImageDecodeError("missing IHDR")
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    expect = h * (w * 3 + 1)
+    if len(raw) != expect:
+        raise ImageDecodeError("scanline size mismatch")
+    rows = raw.reshape(h, w * 3 + 1)
+    if (rows[:, 0] != 0).any():
+        raise ImageDecodeError("unsupported scanline filter (only 0)")
+    return rows[:, 1:].reshape(h, w, 3).copy()
+
+
+# --------------------------------------------------------------------------
+# Fake lossy codecs (deterministic stand-ins for libjpeg / libwebp)
+# --------------------------------------------------------------------------
+def encode_fake_lossy(pixels: np.ndarray, magic: bytes) -> bytes:
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    q = _LOSSY_QUANT
+    quant = (np.minimum((px.astype(np.uint16) + q // 2) // q * q, 255)).astype(np.uint8)
+    return magic + struct.pack(">II", w, h) + zlib.compress(quant.tobytes(), 6)
+
+
+def decode_fake_lossy(data: bytes, magic: bytes) -> np.ndarray:
+    if not data.startswith(magic):
+        raise ImageDecodeError(f"bad magic for {magic!r}")
+    w, h = struct.unpack(">II", data[8:16])
+    raw = np.frombuffer(zlib.decompress(data[16:]), dtype=np.uint8)
+    if len(raw) != h * w * 3:
+        raise ImageDecodeError("pixel payload size mismatch")
+    return raw.reshape(h, w, 3).copy()
+
+
+# --------------------------------------------------------------------------
+# format dispatch
+# --------------------------------------------------------------------------
+def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
+    if fmt == "png":
+        return encode_png(pixels)
+    if fmt == "jpeg":
+        return encode_fake_lossy(pixels, FAKE_JPEG_MAGIC)
+    if fmt == "webp":
+        return encode_fake_lossy(pixels, FAKE_WEBP_MAGIC)
+    raise NotImplementedError(
+        f"format {fmt!r}: real jpeg/webp codecs need PIL/libjpeg, absent in "
+        "this container (stub formats: png/jpeg/webp via the fake codec)")
+
+
+def decode_image(data: bytes) -> tuple[np.ndarray, str]:
+    """bytes → (pixels, fmt). Raises ImageDecodeError on garbage."""
+    if data.startswith(PNG_SIG):
+        return decode_png(data), "png"
+    if data.startswith(FAKE_JPEG_MAGIC):
+        return decode_fake_lossy(data, FAKE_JPEG_MAGIC), "jpeg"
+    if data.startswith(FAKE_WEBP_MAGIC):
+        return decode_fake_lossy(data, FAKE_WEBP_MAGIC), "webp"
+    raise ImageDecodeError("unrecognized image format")
+
+
+LOSSLESS_FMTS = {"png"}
+
+
+# --------------------------------------------------------------------------
+# metrics
+# --------------------------------------------------------------------------
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (inf for identical images)."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 ** 2 / mse))
+
+
+def phash64(pixels: np.ndarray) -> int:
+    """64-bit perceptual hash: grayscale → 8×8 block-mean → above-median
+    bits, row-major. Deterministic, translation of the classic average-hash.
+    Returns a SIGNED int64 (two's complement) to match the ``phash:int64``
+    column type of the input schema."""
+    px = pixels.astype(np.float64)
+    gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    h, w = gray.shape
+    # block-mean resize to 8x8 via bucketed indices (works for any h,w >= 8)
+    yi = (np.arange(h) * 8 // h)
+    xi = (np.arange(w) * 8 // w)
+    small = np.zeros((8, 8))
+    cnt = np.zeros((8, 8))
+    np.add.at(small, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), gray)
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    small /= np.maximum(cnt, 1)
+    bits = (small > np.median(small)).ravel()
+    val = 0
+    for bit in bits:
+        val = (val << 1) | int(bit)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
