@@ -1,0 +1,327 @@
+"""Distributed crawl pipeline: deterministic planner + Ray fetch actor pool
++ Ray Data decode/validate/write, with per-wave checkpointing.
+
+Architecture (SURVEY.md §3.1 rebuild DAG, adapted for provable parity):
+
+- **Planner** — the serial reference state machine (simulator.py, itself a
+  port of crawler.cc:798-1064 + Url_classifier). It handles only URL
+  metadata: peek/normalize/robots-decide/assign. Scheduling is therefore
+  *data-deterministic*: the (wave, handle) key of every transfer is a pure
+  function of the seed list + politeness budget + robots/HEAD outcomes —
+  never of wall-clock — which is what makes the distributed run reproduce
+  the serial reference order exactly.
+- **Fetch actor pool** — ``FetcherActor`` (@ray.remote) holds the transport
+  (site graph broadcast once via ``ray.put``, read in ``__init__`` — never
+  re-shipped per batch). Each wave's in-flight set (≤ politeness budget N)
+  is partitioned across the pool and fetched concurrently; completions are
+  applied in handle-id order, exactly like the reference event loop drains
+  curl completions.
+- **Decode/validate/write** — fetched rows flush as Arrow batches into the
+  object store; a ``ray.data`` pipeline (from_arrow_refs → map_batches
+  DecodeValidate → write) streams them through decode without the planner
+  ever touching pixel data.
+- **Checkpoint/resume** — at wave boundaries the planner state (classifier,
+  handle machines, robots cache, seen shards, save counter) is a pickleable
+  snapshot; flushed batches are published as store versions. A killed run
+  restores the snapshot and continues; output is byte-identical (no
+  wall-clock in any row; ``crawled`` stamps are the logical wave counter).
+
+Scale notes (10^10 frontier): the planner holds only queue HEADS; the tail
+lives in the frontier table and is re-fed per round. At cluster scale the
+single planner shards by ``hash(raw_host) % n_planners`` (each planner owns
+disjoint hosts + its slice of handle ids, preserving per-host ordering;
+cross-shard global order is then only per-shard deterministic — exact
+global reference parity requires the single-planner mode, which is the
+parity/test configuration).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from ..corpus import USER_AGENT, SiteGraph
+from ..hashing import url_hash64_many
+from ..simulator import ReferenceSimulator, SavedDoc
+from ..state.store import TableStore
+from ..state.urlseen import UrlSeen
+from ..stages.decode import DecodeValidate
+from ..transport import FetchResult, FixtureTransport
+
+FETCHED_SCHEMA = pa.schema([
+    ("seq", pa.int64()),
+    ("tick", pa.int64()),
+    ("handle", pa.int32()),
+    ("url", pa.string()),
+    ("eff_url", pa.string()),
+    ("http_code", pa.int32()),
+    ("curl_code", pa.int32()),
+    ("curl_error", pa.string()),
+    ("content_type", pa.int32()),
+    ("content", pa.binary()),
+    ("headers", pa.string()),
+    ("charset", pa.string()),
+    ("crawled", pa.int64()),   # logical stamp = wave counter (resumability)
+    ("url_hash", pa.uint64()),
+])
+
+
+def saved_docs_to_table(docs: list[SavedDoc]) -> pa.Table:
+    cols = {
+        "seq": [d.seq for d in docs],
+        "tick": [d.tick for d in docs],
+        "handle": [d.handle for d in docs],
+        "url": [d.url for d in docs],
+        "eff_url": [d.eff_url for d in docs],
+        "http_code": [d.http_code for d in docs],
+        "curl_code": [d.curl_code for d in docs],
+        "curl_error": [d.curl_error for d in docs],
+        "content_type": [d.content_type for d in docs],
+        "content": [d.content for d in docs],
+        "headers": [d.headers for d in docs],
+        "charset": [d.charset for d in docs],
+        "crawled": [d.tick for d in docs],
+    }
+    arrays = [pa.array(cols[f.name], f.type) for f in FETCHED_SCHEMA
+              if f.name != "url_hash"]
+    arrays.append(pa.array(url_hash64_many(cols["url"]), pa.uint64()))
+    return pa.Table.from_arrays(arrays, schema=FETCHED_SCHEMA)
+
+
+@ray.remote
+class FetcherActor:
+    """One connection-pool worker; transport state built once per actor."""
+
+    def __init__(self, site_ref):
+        site = site_ref if isinstance(site_ref, SiteGraph) else ray.get(site_ref)
+        self.transport = FixtureTransport(site)
+
+    def fetch_batch(self, reqs: list[tuple]) -> list[tuple]:
+        """reqs: [(idx, kind, url)] → [(idx, FetchResult-tuple)]"""
+        out = []
+        for idx, kind, url in reqs:
+            if kind == 1:  # ROBOTS
+                host = url.split("/")[2]
+                fr = self.transport.fetch_robots(host)
+            elif kind == 3:  # HEAD
+                fr = self.transport.request(url, method="HEAD")
+            else:  # CONTENT
+                fr = self.transport.request(url, method="GET")
+            out.append((idx, (fr.curl_code, fr.http_code, fr.eff_url,
+                              fr.headers, fr.content, fr.curl_error)))
+        return out
+
+
+class RayCrawler(ReferenceSimulator):
+    """Planner with batched-parallel transfers and checkpointing.
+
+    ``dedup``: 'reference' (parity; duplicate seeds re-fetched, matching the
+    reference's dead load_url path) or 'cuckoo' (bloom/cuckoo URL-seen
+    filter drops already-seen canonical URLs at ingest — the north-star
+    scale behavior).
+    """
+
+    def __init__(self, site: SiteGraph, parallel: int = 20,
+                 n_fetchers: int = 4, user_agent: str = USER_AGENT,
+                 store: TableStore | None = None,
+                 checkpoint_every: int = 0,
+                 flush_rows: int = 2048,
+                 dedup: str = "reference",
+                 seen_shards: int = 4):
+        super().__init__(site, parallel=parallel, user_agent=user_agent)
+        self.site = site
+        self.n_fetchers = n_fetchers
+        self.store = store
+        self.checkpoint_every = checkpoint_every
+        self.flush_rows = flush_rows
+        self.dedup = dedup
+        self.seen = UrlSeen(n_shards=seen_shards) if dedup == "cuckoo" else None
+        self._batch_refs: list = []
+        self._flushed_rows = 0
+        self._flush_version = 0
+        self._fetchers = None
+        self._site_ref = None
+
+    # ---- ingest with optional cuckoo dedup ----
+    def feed(self, seed_lines: list[str]) -> None:
+        if self.dedup != "cuckoo":
+            super().feed(seed_lines)
+            return
+        from ..simulator import ingest_filter
+        accepted, rejected = ingest_filter(seed_lines)
+        self.result.rejected_seeds.extend(rejected)
+        canon = [u.copy().normalize().get() for u in accepted]
+        novel = self.seen.check_and_insert_urls(canon)
+        for u, is_novel in zip(accepted, novel):
+            if is_novel:
+                self.classifier.push(u.host, u.get())
+
+    # ---- wave execution ----
+    def _ensure_fetchers(self):
+        if self._fetchers is None:
+            self._site_ref = ray.put(self.site)
+            self._fetchers = [FetcherActor.remote(self._site_ref)
+                              for _ in range(self.n_fetchers)]
+
+    def _run_wave(self) -> bool:
+        """Complete all in-flight transfers (one logical tick). Returns
+        False when nothing was in flight."""
+        inflight = [(h.hid, *h.inflight) for h in self.handles
+                    if h.inflight is not None]
+        if not inflight:
+            return False
+        self._tick += 1
+        self._ensure_fetchers()
+        chunks = [[] for _ in self._fetchers]
+        for i, (hid, kind, url) in enumerate(inflight):
+            chunks[i % len(chunks)].append((i, kind, url))
+        futures = [f.fetch_batch.remote(c)
+                   for f, c in zip(self._fetchers, chunks) if c]
+        results: dict[int, tuple] = {}
+        for part in ray.get(futures):
+            for idx, tup in part:
+                results[idx] = tup
+        # apply completions in handle-id order — the reference event loop's
+        # deterministic drain order for our parity model
+        for i, (hid, kind, url) in enumerate(inflight):
+            h = self.handles[hid]
+            h.inflight = None
+            cc, http, eff, headers, content, cerr = results[i]
+            fr = FetchResult(cc, http, eff, headers, content, cerr)
+            self._done(h, kind, fr)
+        for h in self.handles:
+            if h.state == 0 and h.inflight is None:  # IDLE
+                self._reschedule(h)
+        return True
+
+    def _maybe_flush(self, force: bool = False) -> None:
+        pending = len(self.result.saved) - self._flushed_rows
+        if pending <= 0 or (pending < self.flush_rows and not force):
+            return
+        docs = self.result.saved[self._flushed_rows:]
+        tbl = saved_docs_to_table(docs)
+        self._flushed_rows = len(self.result.saved)
+        self._flush_version += 1
+        if self.store is not None:
+            self.store.write("fetched_raw", tbl, self._flush_version)
+        self._batch_refs.append(ray.put(tbl))
+
+    # ---- checkpoint ----
+    def _snapshot(self) -> dict:
+        handles = []
+        for h in self.handles:
+            handles.append({
+                "hid": h.hid, "state": h.state,
+                "robots": h.robots.to_record() if h.robots is not None else None,
+                "robots_host": h.robots_host, "cur_url": h.cur_url,
+                "inflight": h.inflight,
+            })
+        return {
+            "tick": self._tick,
+            "classifier": self.classifier.to_records(),
+            "n_queues": self.classifier.n_queues,
+            "handles": handles,
+            "saved_flushed": self._flushed_rows,
+            "flush_version": self._flush_version,
+            "url_seen": sorted(self.result.url_seen),
+            "seen_state": ([s.to_state() for s in self.seen.shards]
+                           if self.seen else None),
+            "dedup": self.dedup,
+            "parallel": len(self.handles),
+        }
+
+    def checkpoint(self, version: int) -> None:
+        if self.store is None:
+            raise RuntimeError("no store configured")
+        self._maybe_flush(force=True)
+        snap = self._snapshot()
+        self.store.write_blob("crawl_ckpt", version, snap)
+
+    @classmethod
+    def restore(cls, site: SiteGraph, store: TableStore,
+                version: int | None = None, **kw) -> "RayCrawler":
+        from ..frontier import UrlClassifier
+        from ..robots import RobotsEntry
+        from ..simulator import _Handle
+        if version is None:
+            version = store.blob_versions("crawl_ckpt")[-1]
+        snap = store.read_blob("crawl_ckpt", version)
+        c = cls(site, parallel=snap["parallel"], store=store,
+                dedup=snap["dedup"], **kw)
+        c._tick = snap["tick"]
+        c.classifier = UrlClassifier.from_records(snap["n_queues"],
+                                                  snap["classifier"])
+        c.handles = []
+        for hrec in snap["handles"]:
+            h = _Handle(hrec["hid"])
+            h.state = hrec["state"]
+            h.robots = (RobotsEntry.from_record(hrec["robots"])
+                        if hrec["robots"] is not None else None)
+            h.robots_host = hrec["robots_host"]
+            h.cur_url = hrec["cur_url"]
+            h.inflight = tuple(hrec["inflight"]) if hrec["inflight"] else None
+            c.handles.append(h)
+        c._flushed_rows = snap["saved_flushed"]
+        c._flush_version = snap["flush_version"]
+        c.result.url_seen = set(snap["url_seen"])
+        # saved rows up to the checkpoint live in the store as versions;
+        # keep the in-memory log aligned by a placeholder offset
+        c.result.saved = [None] * snap["saved_flushed"]  # type: ignore
+        if snap["seen_state"] is not None:
+            from ..state.urlseen import UrlSeenShard
+            c.seen = UrlSeen(n_shards=len(snap["seen_state"]))
+            c.seen.shards = [UrlSeenShard.from_state(s)
+                             for s in snap["seen_state"]]
+        return c
+
+    # ---- run ----
+    def run(self, max_ticks: int = 1_000_000):
+        for h in self.handles:
+            if h.state == 0 and h.inflight is None:
+                self._reschedule(h)
+        waves = 0
+        while self._run_wave():
+            waves += 1
+            if waves > max_ticks:
+                raise RuntimeError("crawler did not converge")
+            self._maybe_flush()
+            if (self.checkpoint_every and self.store is not None
+                    and waves % self.checkpoint_every == 0):
+                self.checkpoint(self._flush_version * 1000 + waves)
+        self._maybe_flush(force=True)
+        return self.result
+
+    # ---- output dataset ----
+    def fetched_dataset(self):
+        """ray.data Dataset over all flushed fetch batches."""
+        import ray.data as rd
+        if not self._batch_refs and self.store is not None:
+            vs = self.store.versions("fetched_raw")
+            tables = [self.store.read("fetched_raw", v) for v in vs]
+            return rd.from_arrow(tables) if tables else rd.from_arrow(
+                FETCHED_SCHEMA.empty_table())
+        if not self._batch_refs:
+            return rd.from_arrow(FETCHED_SCHEMA.empty_table())
+        return rd.from_arrow_refs(list(self._batch_refs))
+
+
+def run_crawl(site: SiteGraph, seeds: list[str], parallel: int = 20,
+              n_fetchers: int = 4, out_dir: str | None = None,
+              store: TableStore | None = None, dedup: str = "reference",
+              decode_concurrency: int = 4, checkpoint_every: int = 0):
+    """End-to-end: plan+fetch, then stream decode/validate (+ optional
+    parquet write). Returns (CrawlResult, decoded ray.data.Dataset)."""
+    crawler = RayCrawler(site, parallel=parallel, n_fetchers=n_fetchers,
+                         store=store, dedup=dedup,
+                         checkpoint_every=checkpoint_every)
+    crawler.feed(seeds)
+    result = crawler.run()
+    ds = crawler.fetched_dataset()
+    ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
+                        batch_size=256)
+    if out_dir is not None:
+        ds.write_parquet(out_dir)
+        import ray.data as rd
+        ds = rd.read_parquet(out_dir)
+    return result, ds
