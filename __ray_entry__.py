@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in mycelium_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` keys map to SURVEY.md §2 operators and the training-data op
+suite; each has a matching ANSI-SQL oracle in ``oracle_sql()`` where the
+semantics are SQL-expressible (stateful/hash/probabilistic ops are
+rows-only by design and say so in their docstrings).
 """
 
 from __future__ import annotations
@@ -18,27 +14,65 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: documents → image+caption rows → decode/validate/clean
+    (the SURVEY.md §7.1 minimum slice over the graft payload)."""
+    from mycelium_ray.pipelines.flagship import flagship
+    return flagship(SF_SMOKE)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- text analysis (documents) ---
+        "token_count": textops.token_count,
+        "quality_score": textops.quality_score,
+        "lang_id": textops.lang_id,
+        "fingerprint": textops.fingerprint,          # rows-only (rolling hash)
+        # --- dedup ---
+        "dedup_exact": dedup.dedup_exact,
+        "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # rows-only (probabilistic)
+        "simhash": dedup.simhash,                      # rows-only (bit tricks)
+        "simhash_neardup": dedup.simhash_neardup,      # rows-only
+        # --- similarity search (embeddings) ---
+        "ann_topk": ann.ann_topk,
+        "ann_topk_lsh": ann.ann_topk_lsh,              # rows-only (approximate)
+        "embedding_neardup": ann.embedding_neardup,
+        # --- aggregations (events / lineitem / documents) ---
+        "events_window_agg": analytics.events_window_agg,
+        "events_user_stats": analytics.events_user_stats,
+        "source_stats": analytics.source_stats,
+        "lineitem_pricing": analytics.lineitem_pricing,
+        "top_users_by_value": analytics.top_users_by_value,
+        # --- crawl operators over derived URLs ---
+        "url_canonicalize": urlops.url_canonicalize,
+        "url_shard": urlops.url_shard,                 # rows-only (sha1)
+        "robots_filter": urlops.robots_filter,
+        "frontier_order": urlops.frontier_order,       # rows-only (stateful)
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
+
+    return {
+        "token_count": textops.TOKEN_COUNT_SQL,
+        "quality_score": textops.QUALITY_SCORE_SQL,
+        "lang_id": textops.LANG_ID_SQL,
+        "dedup_exact": dedup.DEDUP_EXACT_SQL,
+        "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "ann_topk": ann.ANN_TOPK_SQL,
+        "embedding_neardup": ann.EMBEDDING_NEARDUP_SQL,
+        "events_window_agg": analytics.EVENTS_WINDOW_AGG_SQL,
+        "events_user_stats": analytics.EVENTS_USER_STATS_SQL,
+        "source_stats": analytics.SOURCE_STATS_SQL,
+        "lineitem_pricing": analytics.LINEITEM_PRICING_SQL,
+        "top_users_by_value": analytics.TOP_USERS_SQL,
+        "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
+        "robots_filter": urlops.ROBOTS_FILTER_SQL,
+    }

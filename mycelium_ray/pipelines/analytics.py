@@ -1,0 +1,167 @@
+"""Aggregation operators (SURVEY.md §2.5 A1-A5 rebuilt over the testdata
+stream/star tables).
+
+- ``events_window_agg`` — A2's throughput-window aggregate generalized:
+  tumbling 5-minute windows per event_type. Pre-aggregated inside
+  map_batches (partial sums per window per batch) before the global
+  groupby, so the shuffle moves one row per (window, type) per batch.
+- ``events_user_stats`` — per-key counters (A5 analog).
+- ``source_stats`` — A1's queue-length stats analog over document sources.
+- ``lineitem_pricing`` — wide-table grouped aggregate showing the same
+  partial-aggregation pattern at 600k rows.
+
+All sums are integer (value_cents) — float accumulation order would break
+value-hash parity with the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+WINDOW_S = 300
+
+
+def events_window_agg(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        # force µs unit explicitly (pandas 2.x preserves the Arrow unit)
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        win = (us // (WINDOW_S * 10 ** 6)) * WINDOW_S
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"],
+                          "window_start": win, "n": 1, "value_cents": cents})
+        return g.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("value_cents", alias_name="value_cents"))
+    return out
+
+
+EVENTS_WINDOW_AGG_SQL = f"""
+SELECT event_type,
+       (epoch_us(ts) // ({WINDOW_S} * 1000000)) * {WINDOW_S} AS window_start,
+       count(*) AS n,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_user_stats(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "event_id"])
+    out = ds.groupby("user_id").aggregate(
+        Count(alias_name="n_events"),
+        Min("event_id", alias_name="first_event"),
+        Max("event_id", alias_name="last_event"))
+    return out
+
+
+EVENTS_USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM events GROUP BY user_id
+"""
+
+
+def source_stats(sf_dir: str):
+    """A1 analog: per-'host' (source) row counts + total chars."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="total_chars"))
+
+
+SOURCE_STATS_SQL = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+"""
+
+
+def lineitem_pricing(sf_dir: str):
+    """TPC-H-Q1-shaped grouped aggregate with batch-level pre-aggregation."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        qty = np.rint(df["l_quantity"].to_numpy() * 100).astype("int64")
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({
+            "l_returnflag": df["l_returnflag"],
+            "l_linestatus": df["l_linestatus"],
+            "sum_qty_c": qty, "sum_price_c": price,
+            "sum_disc_price_c": price * (100 - disc),  # cents × basis points
+            "n": 1,
+        })
+        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty_c=("sum_qty_c", "sum"), sum_price_c=("sum_price_c", "sum"),
+            sum_disc_price_c=("sum_disc_price_c", "sum"), n=("n", "sum"))
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]) \
+        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"),
+                   Sum("sum_price_c", alias_name="sum_price_c"),
+                   Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
+                   Sum("n", alias_name="n"))
+
+
+LINEITEM_PRICING_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         AS sum_qty_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS sum_price_c,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS sum_disc_price_c,
+       count(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def top_users_by_value(sf_dir: str, k: int = 20):
+    """Top-k pattern: partial per-batch top is wrong for sums — aggregate
+    first (small result), then sort+limit on the aggregate."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"user_id": df["user_id"], "value_cents": cents})
+        return g.groupby("user_id", as_index=False).sum()
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("user_id").aggregate(Sum("value_cents",
+                                          alias_name="value_cents"))
+    pdf = agg.to_pandas().sort_values(
+        ["value_cents", "user_id"], ascending=[False, True]).head(k)
+    pdf["rank"] = range(1, len(pdf) + 1)
+    import pyarrow as pa
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
+TOP_USERS_SQL = """
+SELECT user_id, CAST(value_cents AS BIGINT) AS value_cents, rank FROM (
+  SELECT user_id,
+         sum(CAST(round(value * 100) AS BIGINT)) AS value_cents,
+         row_number() OVER (
+           ORDER BY sum(CAST(round(value * 100) AS BIGINT)) DESC,
+                    user_id ASC) AS rank
+  FROM events GROUP BY user_id
+) WHERE rank <= 20
+"""

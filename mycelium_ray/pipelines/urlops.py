@@ -1,0 +1,164 @@
+"""Crawl-operator queries expressed over the testdata tables.
+
+The driver's correctness gate runs over ``/root/testdata`` parquet, which
+has no URL column — so these operators first DERIVE a deterministic URL per
+document row (mixed case, dot segments, %-escapes — the constructions the
+canonicalizer must fix), then apply the real crawl operators (urlcanon,
+robots, hashing, frontier). The oracle SQL computes the expected output of
+the same construction independently with string ops, making these
+full-value-checked, not rows-only.
+
+URL construction per doc row::
+
+    HTTP://Src{K}.Example.COM/docs/../d/{doc_id}/%61sset.png
+      where K = substr(source, 4)  (source = 'src{K}')
+
+canonical form: http://src{K}.example.com/d/{doc_id}/asset.png
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..frontier import UrlClassifier, FrontierEmpty
+from ..hashing import shard_of, url_hash64_many
+from ..robots import Robots
+from ..stages.canonicalize import canonicalize_batch
+
+N_SHARDS = 8
+
+
+def _derive_urls(df: pd.DataFrame) -> pd.Series:
+    k = df["source"].str.slice(3)
+    return ("HTTP://Src" + k + ".Example.COM/docs/../d/"
+            + df["doc_id"].astype(str) + "/%61sset.png")
+
+
+def url_canonicalize(sf_dir: str):
+    """(doc_id, canon_url, host) — the M1-M5 canonicalizer over derived
+    URLs, full oracle-checked."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def run(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        urls = pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                         "url": pa.array(_derive_urls(df), pa.string())})
+        out = canonicalize_batch(urls)
+        return out.select(["doc_id", "canon_url", "host"])
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+URL_CANONICALIZE_SQL = """
+SELECT doc_id,
+       'http://src' || substr(source, 4) || '.example.com/d/'
+         || CAST(doc_id AS VARCHAR) || '/asset.png' AS canon_url,
+       'src' || substr(source, 4) || '.example.com' AS host
+FROM documents
+"""
+
+
+def url_shard(sf_dir: str):
+    """(doc_id, url_hash64 (int64 2s-complement), shard) — the seen-set /
+    partition routing columns. sha1-based, not SQL-expressible → rows-only
+    oracle; determinism covered by unit tests."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def run(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["source"].str.slice(3)
+        canon = ("http://src" + k + ".example.com/d/"
+                 + df["doc_id"].astype(str) + "/asset.png")
+        h = url_hash64_many(canon.tolist())
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "url_hash": h.astype("int64"),
+            "shard": shard_of(h, N_SHARDS),
+        })
+
+    return ds.map_batches(run, batch_format="pandas")
+
+
+# robots policy per source: k % 3 == 0 → no robots (all allowed)
+#                           k % 3 == 1 → Disallow /d/  (private docs blocked)
+#                           k % 3 == 2 → Allow /d/ even ids … via pattern:
+#                                        Disallow /d/ paths of odd doc_id?
+# Keep it SQL-expressible: kind 2 disallows nothing but has crawl-delay.
+_ROBOTS_BODIES = {
+    1: "User-agent: *\nDisallow: /d/\n",
+    2: "User-agent: *\nCrawl-delay: 2\nDisallow: /private/\n",
+}
+
+
+def robots_filter(sf_dir: str):
+    """(doc_id, allowed) — the M9/M10 robots gate over derived URLs, with a
+    per-source robots policy. Robots parsing/matching runs the REAL parser;
+    the oracle recomputes the expected boolean arithmetically."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    class RobotsGate:
+        def __init__(self):
+            self.cache: dict[int, Robots | None] = {}
+            for kind, body in _ROBOTS_BODIES.items():
+                self.cache[kind] = Robots(body)
+            self.cache[0] = None  # no robots → allowed
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            kind = df["source"].str.slice(3).astype(int) % 3
+            path = "/d/" + df["doc_id"].astype(str) + "/asset.png"
+            allowed = np.ones(len(df), dtype=bool)
+            for i, (kd, p) in enumerate(zip(kind, path)):
+                r = self.cache[int(kd)]
+                if r is not None:
+                    allowed[i] = r.path_allowed("*", p)
+            return pd.DataFrame({"doc_id": df["doc_id"], "allowed": allowed})
+
+    return ds.map_batches(RobotsGate, batch_format="pandas", concurrency=2)
+
+
+ROBOTS_FILTER_SQL = """
+SELECT doc_id,
+       (CAST(substr(source, 4) AS INT) % 3) <> 1 AS allowed
+FROM documents
+"""
+
+
+def frontier_order(sf_dir: str, n_queues: int = 4):
+    """(pos, doc_id) — global drain order of the reference frontier
+    (Url_classifier semantics) over the derived URLs fed in doc_id order,
+    drained round-robin over n_queues. Stateful by nature → rows-only
+    oracle; exact semantics are pinned by tests/test_frontier.py."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "source"]).sort_by("doc_id")
+    df = t.to_pandas()
+    k = df["source"].str.slice(3)
+    hosts = ("src" + k + ".example.com").tolist()
+    ids = df["doc_id"].tolist()
+    c = UrlClassifier(n_queues)
+    for h, d in zip(hosts, ids):
+        c.push(h, d)
+    pos_col, id_col = [], []
+    pos = 0
+    while not c.empty():
+        progressed = False
+        for n in range(n_queues):
+            try:
+                _, payload = c.peek(n)
+                c.pop(n)
+            except FrontierEmpty:
+                continue
+            pos_col.append(pos)
+            id_col.append(payload)
+            pos += 1
+            progressed = True
+        if not progressed:
+            break
+    return pa.table({"pos": pa.array(pos_col, pa.int64()),
+                     "doc_id": pa.array(id_col, pa.int64())})
