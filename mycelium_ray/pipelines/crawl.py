@@ -164,6 +164,22 @@ class RayCrawler(ReferenceSimulator):
             self._fetchers = [FetcherActor.remote(self._site_ref)
                               for _ in range(self.n_fetchers)]
 
+    def _fetch_inline(self, reqs: list[tuple]) -> dict[int, tuple]:
+        """n_fetchers=0 path: fetch on the planner itself (used inside
+        sharded planner actors, where the actor *is* the per-partition
+        crawl executor and nested actor hops would only add RPC)."""
+        results = {}
+        for idx, kind, url in reqs:
+            if kind == 1:
+                fr = self.transport.fetch_robots(url.split("/")[2])
+            elif kind == 3:
+                fr = self.transport.request(url, method="HEAD")
+            else:
+                fr = self.transport.request(url, method="GET")
+            results[idx] = (fr.curl_code, fr.http_code, fr.eff_url,
+                            fr.headers, fr.content, fr.curl_error)
+        return results
+
     def _run_wave(self) -> bool:
         """Complete all in-flight transfers (one logical tick). Returns
         False when nothing was in flight."""
@@ -172,16 +188,20 @@ class RayCrawler(ReferenceSimulator):
         if not inflight:
             return False
         self._tick += 1
-        self._ensure_fetchers()
-        chunks = [[] for _ in self._fetchers]
-        for i, (hid, kind, url) in enumerate(inflight):
-            chunks[i % len(chunks)].append((i, kind, url))
-        futures = [f.fetch_batch.remote(c)
-                   for f, c in zip(self._fetchers, chunks) if c]
-        results: dict[int, tuple] = {}
-        for part in ray.get(futures):
-            for idx, tup in part:
-                results[idx] = tup
+        if self.n_fetchers <= 0:
+            results = self._fetch_inline(
+                [(i, kind, url) for i, (_, kind, url) in enumerate(inflight)])
+        else:
+            self._ensure_fetchers()
+            chunks = [[] for _ in self._fetchers]
+            for i, (hid, kind, url) in enumerate(inflight):
+                chunks[i % len(chunks)].append((i, kind, url))
+            futures = [f.fetch_batch.remote(c)
+                       for f, c in zip(self._fetchers, chunks) if c]
+            results = {}
+            for part in ray.get(futures):
+                for idx, tup in part:
+                    results[idx] = tup
         # apply completions in handle-id order — the reference event loop's
         # deterministic drain order for our parity model
         for i, (hid, kind, url) in enumerate(inflight):

@@ -105,6 +105,17 @@ class ReferenceSimulator:
         self.user_agent = user_agent
         self.result = CrawlResult()
         self._tick = 0
+        # normalize memo: every queued URL is normalized at least twice
+        # (NEXT-loop probe + reschedule peek); cache (canon, host, path)
+        self._norm_cache: dict[str, tuple[str, str, str]] = {}
+
+    def _norm(self, raw: str) -> tuple[str, str, str]:
+        hit = self._norm_cache.get(raw)
+        if hit is None:
+            u = Url(raw).normalize()
+            hit = (u.get(), u.host, u.path.get())
+            self._norm_cache[raw] = hit
+        return hit
 
     # ---- ingest ----
     def feed(self, seed_lines: list[str]) -> None:
@@ -143,15 +154,15 @@ class ReferenceSimulator:
             host, raw = self.classifier.peek(h.hid)
         except FrontierEmpty:
             return
-        url = Url(raw).normalize()
-        h.cur_url = url.get()
+        canon, uhost, _upath = self._norm(raw)
+        h.cur_url = canon
         preexisting = False  # Doc::load_url always returns false (see module doc)
         if preexisting:
             h.state = CONTENT
         if h.state in (IDLE, ROBOTS):
             h.state = ROBOTS
-            h.robots_host = url.host
-            self._start(h, ROBOTS, f"http://{url.host}/robots.txt")
+            h.robots_host = uhost
+            self._start(h, ROBOTS, f"http://{uhost}/robots.txt")
         elif h.state == HEAD:
             self._start(h, HEAD, h.cur_url)
         elif h.state == CONTENT:
@@ -197,21 +208,21 @@ class ReferenceSimulator:
             while not self.classifier.empty(h.hid):
                 h.state = IDLE
                 host, raw = self.classifier.peek(h.hid)
-                url = Url(raw).normalize()
+                _canon, uhost, upath = self._norm(raw)
                 preexisting = False
                 if preexisting:
                     h.state = CONTENT
                     break
-                elif h.robots is None or h.robots_host != url.host:
+                elif h.robots is None or h.robots_host != uhost:
                     h.state = ROBOTS
                     break
                 else:
                     allowed = (h.robots.tried_but_failed()
                                or (h.robots.state == RobotsState.PRESENT
                                    and h.robots.path_allowed(self.user_agent,
-                                                             url.path.get())))
+                                                             upath)))
                     self.result.robots_decisions.append(
-                        (url.host, url.path.get(), allowed))
+                        (uhost, upath, allowed))
                     if allowed:
                         h.state = HEAD
                         break
