@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Benchmark harness (BASELINE.md protocol).
+
+Headline: the sharded crawl pipeline (ingest → canonicalize → plan/fetch →
+decode/validate → parquet write) over the deterministic synthetic crawl
+corpus scaled to $GRAFT_SF_DIR, plus the operator suite over the testdata
+parquet. Prints ONE JSON line:
+
+    {"metric": "e2e_sec", "value": N, "unit": "sec",
+     "queries": {stage/op: sec, ...}, "sf": S, "num_cpus": C, ...}
+
+--scaling: runs the same job in two fresh processes at RAY_GRAFT_CPUS=8 and
+32 (N and 4N), reports both throughputs + scaling efficiency (the sandbox
+stand-in for the two-cluster-size criterion; see BASELINE.md).
+
+Corpus generation is cached under /tmp and excluded from all timings.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pickle
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+CACHE_ROOT = "/tmp/mycelium_bench_cache"
+CORPUS_VERSION = 3
+
+# crawl-corpus scale per sf tier (≈10^3 / 10^4 / 10^5 URLs)
+SCALES = {
+    "sf0.001": dict(n_hosts=48, pages_per_host=18),
+    "sf0.01": dict(n_hosts=160, pages_per_host=55),
+    "sf0.1": dict(n_hosts=512, pages_per_host=170),
+}
+
+
+def sf_name() -> str:
+    return os.path.basename(SF_DIR.rstrip("/"))
+
+
+def corpus_cached():
+    """Generate (once) and load the crawl corpus for this sf tier."""
+    scale = SCALES.get(sf_name(), SCALES["sf0.01"])
+    key = f"{sf_name()}_h{scale['n_hosts']}_p{scale['pages_per_host']}_v{CORPUS_VERSION}"
+    path = os.path.join(CACHE_ROOT, key + ".pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    from mycelium_ray.corpus import generate_corpus
+    images, site, seeds = generate_corpus(seed=42, hot_host_factor=8, **scale)
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    tmp = path + f".tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump((site, seeds), f, protocol=4)
+    os.replace(tmp, path)
+    return site, seeds
+
+
+def run_bench() -> dict:
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+    from mycelium_ray.pipelines import analytics, ann, dedup, textops
+    from mycelium_ray.pipelines.crawl_sharded import run_crawl_sharded
+    from mycelium_ray.stages.canonicalize import canonicalize_dataset
+
+    site, seeds = corpus_cached()
+    timings: dict[str, float] = {}
+    out_dir = f"/tmp/mycelium_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+    # warm page cache / workers with an untimed small read
+    rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
+
+    # --- stage 1: ingest + canonicalize (Ray Data over seed lines) ---
+    import pyarrow as pa
+    t0 = time.perf_counter()
+    seeds_ds = rd.from_arrow(pa.table({"url": seeds}))
+    n_ok = canonicalize_dataset(seeds_ds).count()
+    timings["ingest_canonicalize"] = time.perf_counter() - t0
+
+    # --- stage 2+3: crawl (plan/fetch) + decode/validate + write ---
+    n_shards = max(2, NUM_CPUS // 4)
+    t0 = time.perf_counter()
+    stats, ds = run_crawl_sharded(site, seeds, parallel=16 * n_shards,
+                                  n_shards=n_shards)
+    timings["crawl_plan_fetch"] = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ds.write_parquet(out_dir)
+    timings["decode_write"] = time.perf_counter() - t0
+
+    crawl_sec = timings["crawl_plan_fetch"] + timings["decode_write"]
+    n_urls = stats["n_seen"]
+    n_rows = stats["n_saved"]
+
+    # --- operator suite over testdata ---
+    def timed(name, fn, consume="count"):
+        t = time.perf_counter()
+        res = fn(SF_DIR)
+        if hasattr(res, "count") and consume == "count":
+            res.count()
+        elif hasattr(res, "to_pandas"):
+            res.to_pandas()
+        timings[name] = time.perf_counter() - t
+
+    timed("token_count", textops.token_count)
+    timed("quality_score", textops.quality_score)
+    timed("dedup_exact", dedup.dedup_exact)
+    timed("minhash_lsh_dedup", dedup.minhash_lsh_dedup, consume="pandas")
+    timed("simhash", dedup.simhash)
+    timed("ann_topk", ann.ann_topk, consume="pandas")
+    timed("embedding_neardup", ann.embedding_neardup, consume="pandas")
+    timed("events_window_agg", analytics.events_window_agg)
+    timed("lineitem_pricing", analytics.lineitem_pricing)
+
+    total = sum(timings.values())
+    out = {
+        "metric": "e2e_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf_name(),
+        "num_cpus": NUM_CPUS,
+        "crawl_sec": round(crawl_sec, 3),
+        "n_urls": n_urls,
+        "n_rows": n_rows,
+        "urls_per_sec": round(n_urls / crawl_sec, 1),
+        "rows_per_sec": round(n_rows / crawl_sec, 1),
+        "n_seeds_ok": n_ok,
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Two fresh processes at 8 and 32 CPUs on the same input."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        p = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           env=env, capture_output=True, text=True,
+                           check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(p.stdout.strip().splitlines()[-1])
+
+    corpus_cached()  # pre-generate outside timing
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    tp_lo = r_lo["urls_per_sec"]
+    tp_hi = r_hi["urls_per_sec"]
+    eff = tp_hi / (tp_lo * (hi / lo))
+    out = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "urls_per_sec_lo": tp_lo, "urls_per_sec_hi": tp_hi,
+        "rows_per_sec_lo": r_lo["rows_per_sec"],
+        "rows_per_sec_hi": r_hi["rows_per_sec"],
+        "crawl_sec_lo": r_lo["crawl_sec"], "crawl_sec_hi": r_hi["crawl_sec"],
+        "e2e_lo": r_lo["value"], "e2e_hi": r_hi["value"],
+        "sf": r_lo["sf"],
+    }
+    return out
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -130,10 +130,13 @@ class ReferenceSimulator:
     def _save(self, h: _Handle, fr: FetchResult, content: bytes,
               ctype: int, headers: str, charset: str = "") -> None:
         eff = fr.eff_url
-        try:
-            eff_n = Url(eff).normalize().get()
-        except UrlParseError:
+        if eff == h.cur_url:
             eff_n = eff
+        else:
+            try:
+                eff_n = self._norm(eff)[0]
+            except (UrlParseError, Exception):
+                eff_n = eff
         r = self.result
         r.saved.append(SavedDoc(
             seq=len(r.saved), tick=self._tick, handle=h.hid,

@@ -68,6 +68,19 @@ def char_test(ch: str, mask: int) -> bool:
 # --------------------------------------------------------------------------
 # escape / unescape family (Url.cc:673-813 semantics)
 # --------------------------------------------------------------------------
+# per-mask str.translate tables (C-speed fast path when no '%' is present)
+_ESCAPE_TRANS: dict[int, dict[int, str]] = {}
+
+
+def _trans_for(mask: int) -> dict[int, str]:
+    t = _ESCAPE_TRANS.get(mask)
+    if t is None:
+        t = {b: '%' + _HEX_UPPER[b >> 4] + _HEX_UPPER[b & 0xF]
+             for b in range(256) if URL_CHAR_TABLE[b] & mask}
+        _ESCAPE_TRANS[mask] = t
+    return t
+
+
 def escape(s: str, mask: int) -> str:
     """Percent-escape chars whose class matches ``mask``.
 
@@ -75,16 +88,19 @@ def escape(s: str, mask: int) -> str:
     """
     if not s:
         return s
+    if '%' not in s:
+        # no triplet-preservation concern → single C-level translate
+        return s.translate(_trans_for(mask))
     out = []
     i, n = 0, len(s)
     while i < n:
         c = s[i]
-        if URL_CHAR_TABLE[ord(c) & 0xFF] & mask:
+        b = ord(c)
+        if b < 256 and URL_CHAR_TABLE[b] & mask:
             if c == '%' and i + 2 < n and s[i + 1] in _HEXDIGITS and s[i + 2] in _HEXDIGITS:
                 out.append(s[i:i + 3])
                 i += 3
                 continue
-            b = ord(c) & 0xFF
             out.append('%')
             out.append(_HEX_UPPER[b >> 4])
             out.append(_HEX_UPPER[b & 0xF])
@@ -497,10 +513,16 @@ class Url:
     def normalize(self) -> "Url":
         self.scheme = self.scheme.lower()
         # RFC 4343: only lowercase ASCII A-Z in host
-        self.host = ''.join(
-            chr(ord(c) + 0x20) if 'A' <= c <= 'Z' else c for c in self.host)
-        # normalize_escapes re-parses the full serialized form
-        self.assign(normalize_escapes_str(self.get()))
+        if not self.host.isascii() or not self.host.islower():
+            self.host = ''.join(
+                chr(ord(c) + 0x20) if 'A' <= c <= 'Z' else c
+                for c in self.host)
+        # normalize_escapes re-parses the full serialized form; skip the
+        # re-parse when it is a provable no-op (no escapes anywhere)
+        s = self.get()
+        ns = normalize_escapes_str(s)
+        if ns != s:
+            self.assign(ns)
         self.path.normalize()
         return self
 
