@@ -57,6 +57,8 @@ class Response:
     caption: str = ""
     fmt: str = ""
     curl_fail: int = 0              # nonzero = simulated transport error code
+    outlinks: tuple = ()            # embedded links (M12 analog): relative
+                                    # refs, absolute urls, cross-host, junk
 
 
 @dataclass
@@ -156,10 +158,23 @@ def generate_corpus(n_hosts: int = 12, pages_per_host: int = 10, seed: int = 42,
             img_rows["fmt"].append(fmt)
             img_rows["caption"].append(caption)
             img_rows["phash"].append(phash64(px))
+            # outlinks (M12 semantics exercised at resolve time): relative
+            # sibling, absolute same-host, cross-host, and an occasional
+            # junk ref that must be dropped by the link filter
+            nxt = (k + 1) % npages
+            nxt_fmt = _FMTS[(idx + 1) % 3]
+            links = [f"/img/{nxt}.{nxt_fmt}",
+                     f"../img/{(k + 2) % npages}.{_FMTS[(idx + 2) % 3]}"]
+            other_host = hosts[(hi + 1) % len(hosts)]
+            if k % 3 == 0:
+                links.append(f"http://{other_host}/img/0.{_FMTS[0]}")
+            if k % 7 == 0:
+                links.append("ftp://not-http.test/x")  # filtered out
             site.responses[url] = Response(
                 status=200, content=data, content_type=f"image/{fmt}",
                 image_id=url, caption=caption, fmt=fmt,
-                etag=f'"{idx:08x}"', last_modified="Mon, 01 Jan 2024 00:00:00 GMT")
+                etag=f'"{idx:08x}"', last_modified="Mon, 01 Jan 2024 00:00:00 GMT",
+                outlinks=tuple(links))
             idx += 1
 
         # per-host special pages exercising the state machine

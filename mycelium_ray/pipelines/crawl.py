@@ -98,18 +98,21 @@ class FetcherActor:
         self.transport = FixtureTransport(site)
 
     def fetch_batch(self, reqs: list[tuple]) -> list[tuple]:
-        """reqs: [(idx, kind, url)] → [(idx, FetchResult-tuple)]"""
+        """reqs: [(idx, kind, url, etag, ims)] → [(idx, FetchResult-tuple)]"""
         out = []
-        for idx, kind, url in reqs:
+        for idx, kind, url, etag, ims in reqs:
             if kind == 1:  # ROBOTS
                 host = url.split("/")[2]
                 fr = self.transport.fetch_robots(host)
             elif kind == 3:  # HEAD
                 fr = self.transport.request(url, method="HEAD")
             else:  # CONTENT
-                fr = self.transport.request(url, method="GET")
+                fr = self.transport.request(url, method="GET",
+                                            if_none_match=etag,
+                                            if_modified_since=ims)
             out.append((idx, (fr.curl_code, fr.http_code, fr.eff_url,
-                              fr.headers, fr.content, fr.curl_error)))
+                              fr.headers, fr.content, fr.curl_error,
+                              fr.outlinks)))
         return out
 
 
@@ -128,34 +131,25 @@ class RayCrawler(ReferenceSimulator):
                  checkpoint_every: int = 0,
                  flush_rows: int = 2048,
                  dedup: str = "reference",
-                 seen_shards: int = 4):
-        super().__init__(site, parallel=parallel, user_agent=user_agent)
+                 seen_shards: int = 4,
+                 follow_links: bool = False,
+                 honor_crawl_delay: bool = False,
+                 refresh_from: dict | None = None):
+        super().__init__(site, parallel=parallel, user_agent=user_agent,
+                         dedup=dedup, seen_shards=seen_shards,
+                         follow_links=follow_links,
+                         honor_crawl_delay=honor_crawl_delay,
+                         refresh_from=refresh_from)
         self.site = site
         self.n_fetchers = n_fetchers
         self.store = store
         self.checkpoint_every = checkpoint_every
         self.flush_rows = flush_rows
-        self.dedup = dedup
-        self.seen = UrlSeen(n_shards=seen_shards) if dedup == "cuckoo" else None
         self._batch_refs: list = []
         self._flushed_rows = 0
         self._flush_version = 0
         self._fetchers = None
         self._site_ref = None
-
-    # ---- ingest with optional cuckoo dedup ----
-    def feed(self, seed_lines: list[str]) -> None:
-        if self.dedup != "cuckoo":
-            super().feed(seed_lines)
-            return
-        from ..simulator import ingest_filter
-        accepted, rejected = ingest_filter(seed_lines)
-        self.result.rejected_seeds.extend(rejected)
-        canon = [u.copy().normalize().get() for u in accepted]
-        novel = self.seen.check_and_insert_urls(canon)
-        for u, is_novel in zip(accepted, novel):
-            if is_novel:
-                self.classifier.push(u.host, u.get())
 
     # ---- wave execution ----
     def _ensure_fetchers(self):
@@ -169,15 +163,18 @@ class RayCrawler(ReferenceSimulator):
         sharded planner actors, where the actor *is* the per-partition
         crawl executor and nested actor hops would only add RPC)."""
         results = {}
-        for idx, kind, url in reqs:
+        for idx, kind, url, etag, ims in reqs:
             if kind == 1:
                 fr = self.transport.fetch_robots(url.split("/")[2])
             elif kind == 3:
                 fr = self.transport.request(url, method="HEAD")
             else:
-                fr = self.transport.request(url, method="GET")
+                fr = self.transport.request(url, method="GET",
+                                            if_none_match=etag,
+                                            if_modified_since=ims)
             results[idx] = (fr.curl_code, fr.http_code, fr.eff_url,
-                            fr.headers, fr.content, fr.curl_error)
+                            fr.headers, fr.content, fr.curl_error,
+                            fr.outlinks)
         return results
 
     def _run_wave(self) -> bool:
@@ -188,30 +185,37 @@ class RayCrawler(ReferenceSimulator):
         if not inflight:
             return False
         self._tick += 1
+        reqs = [(i, kind, url, etag, ims)
+                for i, (_, kind, url, etag, ims) in enumerate(inflight)]
         if self.n_fetchers <= 0:
-            results = self._fetch_inline(
-                [(i, kind, url) for i, (_, kind, url) in enumerate(inflight)])
+            results = self._fetch_inline(reqs)
         else:
             self._ensure_fetchers()
             chunks = [[] for _ in self._fetchers]
-            for i, (hid, kind, url) in enumerate(inflight):
-                chunks[i % len(chunks)].append((i, kind, url))
+            for r in reqs:
+                chunks[r[0] % len(chunks)].append(r)
             futures = [f.fetch_batch.remote(c)
                        for f, c in zip(self._fetchers, chunks) if c]
             results = {}
             for part in ray.get(futures):
                 for idx, tup in part:
                     results[idx] = tup
+        # track request-kind metrics (the inline simulator path counts in
+        # _complete; the batched path counts here)
+        for _, kind, *_rest in inflight:
+            key = {1: "n_robots", 3: "n_head"}.get(kind, "n_get")
+            self.metrics[key] += 1
         # apply completions in handle-id order — the reference event loop's
         # deterministic drain order for our parity model
-        for i, (hid, kind, url) in enumerate(inflight):
+        for i, (hid, kind, url, _etag, _ims) in enumerate(inflight):
             h = self.handles[hid]
             h.inflight = None
-            cc, http, eff, headers, content, cerr = results[i]
-            fr = FetchResult(cc, http, eff, headers, content, cerr)
+            cc, http, eff, headers, content, cerr, outlinks = results[i]
+            fr = FetchResult(cc, http, eff, headers, content, cerr,
+                             outlinks=tuple(outlinks))
             self._done(h, kind, fr)
         for h in self.handles:
-            if h.state == 0 and h.inflight is None:  # IDLE
+            if h.inflight is None:
                 self._reschedule(h)
         return True
 
@@ -249,6 +253,10 @@ class RayCrawler(ReferenceSimulator):
                            if self.seen else None),
             "dedup": self.dedup,
             "parallel": len(self.handles),
+            "next_allowed": dict(self._next_allowed),
+            "metrics": dict(self.metrics),
+            "follow_links": self.follow_links,
+            "honor_crawl_delay": self.honor_crawl_delay,
         }
 
     def checkpoint(self, version: int) -> None:
@@ -268,8 +276,13 @@ class RayCrawler(ReferenceSimulator):
             version = store.blob_versions("crawl_ckpt")[-1]
         snap = store.read_blob("crawl_ckpt", version)
         c = cls(site, parallel=snap["parallel"], store=store,
-                dedup=snap["dedup"], **kw)
+                dedup=snap["dedup"],
+                follow_links=snap.get("follow_links", False),
+                honor_crawl_delay=snap.get("honor_crawl_delay", False),
+                **kw)
         c._tick = snap["tick"]
+        c._next_allowed = dict(snap.get("next_allowed", {}))
+        c.metrics.update(snap.get("metrics", {}))
         c.classifier = UrlClassifier.from_records(snap["n_queues"],
                                                   snap["classifier"])
         c.handles = []
@@ -298,10 +311,10 @@ class RayCrawler(ReferenceSimulator):
     # ---- run ----
     def run(self, max_ticks: int = 1_000_000):
         for h in self.handles:
-            if h.state == 0 and h.inflight is None:
+            if h.inflight is None:
                 self._reschedule(h)
         waves = 0
-        while self._run_wave():
+        while self._run_wave() or self._advance_past_delays():
             waves += 1
             if waves > max_ticks:
                 raise RuntimeError("crawler did not converge")

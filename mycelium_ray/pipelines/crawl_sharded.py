@@ -30,30 +30,56 @@ from ..urlcanon import Url, UrlParseError
 @ray.remote
 class PlannerShard:
     def __init__(self, site_ref, shard_id: int, parallel: int,
-                 user_agent: str = USER_AGENT, dedup: str = "reference"):
+                 user_agent: str = USER_AGENT, dedup: str = "reference",
+                 follow_links: bool = False, n_shards: int = 1):
         from .crawl import RayCrawler
         site = site_ref if isinstance(site_ref, SiteGraph) else ray.get(site_ref)
         self.shard_id = shard_id
         self.crawler = RayCrawler(site, parallel=parallel, n_fetchers=0,
                                   user_agent=user_agent, dedup=dedup,
+                                  follow_links=follow_links,
                                   flush_rows=4096)
+        if n_shards > 1:
+            self.crawler.owns_host = (
+                lambda host: url_hash64(host) % n_shards == shard_id)
 
     def feed(self, seed_lines: list[str]) -> int:
         self.crawler.feed(seed_lines)
         return self.crawler.classifier.size()
 
+    def feed_canonical(self, canon_urls: list[str]) -> int:
+        return self.crawler.feed_canonical(canon_urls)
+
     def run(self) -> dict:
         res = self.crawler.run()
         self.crawler._maybe_flush(force=True)
+        foreign = self.crawler.foreign_links
+        self.crawler.foreign_links = []
         # ship tables (not refs): refs created here die with this actor,
         # and the decode Dataset is consumed lazily after we're gone
         tables = ray.get(self.crawler._batch_refs)
+        self.crawler._batch_refs = []  # don't re-ship on a later round
+        # per-partition lineage: rows + seq span + xor-checksum of url
+        # hashes per flushed batch (north-rule resume/audit surface)
+        lineage = []
+        for i, t in enumerate(tables):
+            h = t.column("url_hash").to_numpy()
+            seqs = t.column("seq").to_numpy()
+            lineage.append({
+                "shard": self.shard_id, "flush": i, "rows": len(t),
+                "min_seq": int(seqs.min()) if len(seqs) else -1,
+                "max_seq": int(seqs.max()) if len(seqs) else -1,
+                "checksum": int(np.bitwise_xor.reduce(h)) if len(h) else 0,
+            })
         return {
             "shard": self.shard_id,
             "n_saved": len(res.saved),
             "n_seen": len(res.url_seen),
             "batches": tables,
             "url_seen": res.url_seen,
+            "metrics": dict(self.crawler.metrics),
+            "lineage": lineage,
+            "foreign_links": foreign,
         }
 
 
@@ -76,23 +102,53 @@ def partition_seeds(seed_lines: list[str], n_shards: int) -> list[list[str]]:
 
 def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                       n_shards: int = 4, dedup: str = "reference",
-                      out_dir: str | None = None):
-    """Returns (stats: dict, decoded ray.data.Dataset)."""
+                      out_dir: str | None = None,
+                      store=None, follow_links: bool = False):
+    """Returns (stats: dict, decoded ray.data.Dataset).
+
+    When ``store`` (a TableStore) is given, per-shard metrics and
+    per-partition lineage rows are published as versioned tables."""
     site_ref = ray.put(site)
     per_shard = max(1, parallel // n_shards)
-    shards = [PlannerShard.remote(site_ref, i, per_shard, dedup=dedup)
+    shards = [PlannerShard.remote(site_ref, i, per_shard, dedup=dedup,
+                                  follow_links=follow_links,
+                                  n_shards=n_shards)
               for i in range(n_shards)]
     parts = partition_seeds(seeds, n_shards)
     ray.get([s.feed.remote(p) for s, p in zip(shards, parts)])
-    results = ray.get([s.run.remote() for s in shards])
 
     all_refs = []
     url_seen: set[str] = set()
-    n_saved = 0
-    for r in results:
-        all_refs.extend(ray.put(t) for t in r["batches"])
-        url_seen |= r["url_seen"]
-        n_saved += r["n_saved"]
+    n_rounds = 0
+    lineage_rows = []
+    results = []
+    while True:
+        n_rounds += 1
+        results = ray.get([s.run.remote() for s in shards])
+        foreign_by_shard: list[list[str]] = [[] for _ in range(n_shards)]
+        for r in results:
+            all_refs.extend(ray.put(t) for t in r["batches"])
+            url_seen |= r["url_seen"]
+            for cu in r["foreign_links"]:
+                host = cu.split("/")[2]
+                foreign_by_shard[url_hash64(host) % n_shards].append(cu)
+            for ln in r["lineage"]:
+                lineage_rows.append({**ln, "round": n_rounds})
+        if not any(foreign_by_shard):
+            break
+        fed = ray.get([s.feed_canonical.remote(links)
+                       for s, links in zip(shards, foreign_by_shard)])
+        if sum(fed) == 0:
+            break
+    # shard-level counters are cumulative; take the final round's values
+    n_saved = sum(r["n_saved"] for r in results)
+    metrics_rows = [{"shard": r["shard"], "rounds": n_rounds, **r["metrics"]}
+                    for r in results]
+    if store is not None:
+        v = (store.latest_version("metrics") or 0) + 1
+        store.write("metrics", pa.Table.from_pylist(metrics_rows), v)
+        if lineage_rows:
+            store.write("lineage", pa.Table.from_pylist(lineage_rows), v)
 
     import ray.data as rd
     if all_refs:
@@ -107,5 +163,6 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         ds = rd.read_parquet(out_dir)
     stats = {"n_saved": n_saved, "n_seen": len(url_seen),
              "n_shards": n_shards, "parallel": parallel,
-             "url_seen": url_seen}
+             "url_seen": url_seen, "n_rounds": n_rounds,
+             "metrics": metrics_rows, "lineage": lineage_rows}
     return stats, ds

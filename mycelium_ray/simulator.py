@@ -97,14 +97,53 @@ def ingest_filter(lines: list[str]):
 
 
 class ReferenceSimulator:
+    """Reference-parity crawl engine (serial form).
+
+    Extensions beyond strict reference parity, each off by default:
+
+    - ``dedup='cuckoo'``: bloom/cuckoo URL-seen filter drops already-seen
+      canonical URLs at ingest/discovery (north-rule behavior; the
+      reference's load_url dedup is dead code).
+    - ``follow_links=True``: resolve each fetched page's outlinks (RFC 3986
+      merge, M12 semantics) and enqueue novel ones — the multi-round
+      frontier. Requires ``dedup='cuckoo'`` (the reference has no working
+      dedup, so following links would loop).
+    - ``honor_crawl_delay=True``: per-host token gap from robots
+      Crawl-delay (parsed-but-unused in the reference, Robots.hh:48 todo);
+      one logical tick ≙ one second.
+    - ``refresh_from={canon_url: (etag, last_modified)}``: conditional
+      revalidation (T6, crawler.cc:1138-1155) — preexisting URLs go
+      straight to CONTENT with If-None-Match / If-Modified-Since and a 304
+      is saved without a body.
+    """
+
     def __init__(self, site: SiteGraph, parallel: int = 20,
-                 user_agent: str = USER_AGENT):
+                 user_agent: str = USER_AGENT, dedup: str = "reference",
+                 seen_shards: int = 4, follow_links: bool = False,
+                 honor_crawl_delay: bool = False,
+                 refresh_from: dict | None = None):
         self.transport = FixtureTransport(site)
         self.classifier = UrlClassifier(parallel)
         self.handles = [_Handle(i) for i in range(parallel)]
         self.user_agent = user_agent
         self.result = CrawlResult()
         self._tick = 0
+        self.dedup = dedup
+        self.follow_links = follow_links
+        self.honor_crawl_delay = honor_crawl_delay
+        self.refresh_from = refresh_from or {}
+        if follow_links and dedup != "cuckoo":
+            raise ValueError("follow_links requires dedup='cuckoo' "
+                             "(the reference has no working dedup)")
+        self.seen = None
+        if dedup == "cuckoo":
+            from .state.urlseen import UrlSeen
+            self.seen = UrlSeen(n_shards=seen_shards)
+        self._next_allowed: dict[str, int] = {}  # host → earliest tick
+        self.foreign_links: list[str] = []       # canon urls for other shards
+        self.metrics = {"n_robots": 0, "n_head": 0, "n_get": 0, "n_304": 0,
+                        "n_saved": 0, "bytes_dl": 0, "n_discovered": 0,
+                        "n_dropped_seen": 0}
         # normalize memo: every queued URL is normalized at least twice
         # (NEXT-loop probe + reschedule peek); cache (canon, host, path)
         self._norm_cache: dict[str, tuple[str, str, str]] = {}
@@ -121,10 +160,75 @@ class ReferenceSimulator:
     def feed(self, seed_lines: list[str]) -> None:
         accepted, rejected = ingest_filter(seed_lines)
         self.result.rejected_seeds.extend(rejected)
+        if self.seen is not None:
+            canon = [self._norm(u.get())[0] for u in accepted]
+            novel = self.seen.check_and_insert_urls(canon)
+            self.metrics["n_dropped_seen"] += int((~novel).sum())
+            accepted = [u for u, nv in zip(accepted, novel) if nv]
         for u in accepted:
             # classifier keys on the *raw parsed* host (push happens before
             # normalize, crawler.cc:1311; normalize happens at reschedule)
             self.classifier.push(u.host, u.get())
+
+    # ---- outlink discovery (M12 analog; rebuild extension) ----
+    def _discover(self, base_canon: str, outlinks) -> None:
+        if not outlinks:
+            return
+        candidates = []
+        base = None
+        for ref in outlinks:
+            try:
+                r = Url(ref)
+            except (UrlParseError, Exception):
+                continue
+            if r.absolute:
+                if r.scheme == "http":
+                    candidates.append(r)
+                continue
+            try:
+                if base is None:
+                    base = Url(base_canon)
+                merged = base.copy().merge_ref(r)
+                if merged.scheme == "http":
+                    candidates.append(merged)
+            except (UrlParseError, Exception):
+                continue
+        if not candidates:
+            return
+        canon = [self._norm(c.get())[0] for c in candidates]
+        local = [cu for cu in canon if self.owns_host(cu.split("/")[2])]
+        foreign = [cu for cu in canon if not self.owns_host(cu.split("/")[2])]
+        # foreign hosts belong to another planner shard: hand them to the
+        # driver for re-routing (their seen-check happens at the owner)
+        self.foreign_links.extend(foreign)
+        if local:
+            novel = self.seen.check_and_insert_urls(local)
+            self.metrics["n_dropped_seen"] += int((~novel).sum())
+            for cu, nv in zip(local, novel):
+                if nv:
+                    self.metrics["n_discovered"] += 1
+                    self.classifier.push(cu.split("/")[2], cu)
+
+    def owns_host(self, host: str) -> bool:
+        """Sharding hook: which hosts this planner may crawl. The serial
+        engine owns everything; PlannerShard overrides by host hash."""
+        return True
+
+    def feed_canonical(self, canon_urls: list[str]) -> int:
+        """Enqueue already-canonical urls (cross-shard link routing path);
+        returns number actually enqueued after the seen filter."""
+        if not canon_urls:
+            return 0
+        n = 0
+        if self.seen is not None:
+            novel = self.seen.check_and_insert_urls(canon_urls)
+            self.metrics["n_dropped_seen"] += int((~novel).sum())
+            canon_urls = [u for u, nv in zip(canon_urls, novel) if nv]
+        for cu in canon_urls:
+            self.metrics["n_discovered"] += 1
+            self.classifier.push(cu.split("/")[2], cu)
+            n += 1
+        return n
 
     # ---- machinery ----
     def _save(self, h: _Handle, fr: FetchResult, content: bytes,
@@ -146,8 +250,13 @@ class ReferenceSimulator:
             content=content, headers=headers, charset=charset))
         r.url_seen.add(h.cur_url)
 
-    def _start(self, h: _Handle, kind: int, url: str) -> None:
-        h.inflight = (kind, url)
+    def _start(self, h: _Handle, kind: int, url: str,
+               etag: str = "", ims: str = "") -> None:
+        h.inflight = (kind, url, etag, ims)
+
+    def _delayed(self, host: str) -> bool:
+        return (self.honor_crawl_delay
+                and self._next_allowed.get(host, 0) > self._tick)
 
     def _reschedule(self, h: _Handle) -> None:
         """EasyHandle::reschedule (crawler.cc:798-850)."""
@@ -158,8 +267,12 @@ class ReferenceSimulator:
         except FrontierEmpty:
             return
         canon, uhost, _upath = self._norm(raw)
+        if self._delayed(uhost):
+            return  # politeness token not refilled; retried next tick
         h.cur_url = canon
-        preexisting = False  # Doc::load_url always returns false (see module doc)
+        # preexistence: the reference's Doc::load_url always returns false
+        # (dead path); the rebuild's refresh_from map revives T6
+        preexisting = canon in self.refresh_from
         if preexisting:
             h.state = CONTENT
         if h.state in (IDLE, ROBOTS):
@@ -169,7 +282,8 @@ class ReferenceSimulator:
         elif h.state == HEAD:
             self._start(h, HEAD, h.cur_url)
         elif h.state == CONTENT:
-            self._start(h, CONTENT, h.cur_url)
+            etag, ims = self.refresh_from.get(canon, ("", ""))
+            self._start(h, CONTENT, h.cur_url, etag, ims)
         else:
             raise RuntimeError("unknown state in reschedule")
 
@@ -199,20 +313,34 @@ class ReferenceSimulator:
             if fr.curl_code == CURLE_OK and fr.http_code == 200:
                 ctype, charset, _ = parse_http_headers(fr.headers)
                 self._save(h, fr, fr.content, int(ctype), fr.headers, charset)
+                self.metrics["bytes_dl"] += len(fr.content)
+                if self.follow_links:
+                    self._discover(h.cur_url, fr.outlinks)
             else:
+                if fr.http_code == 304:
+                    self.metrics["n_304"] += 1
                 self._save(h, fr, b"", int(ContentType.EMPTY), fr.headers)
             self.classifier.pop(h.hid)
             h.state = NEXT
         else:
             raise RuntimeError("done called in unsupported state")
 
+        self.metrics["n_saved"] = len(self.result.saved)
+        if self.honor_crawl_delay and h.robots is not None and h.robots_host:
+            delay = h.robots.crawl_delay(self.user_agent) \
+                if h.robots.state == RobotsState.PRESENT else None
+            if delay:
+                import math
+                self._next_allowed[h.robots_host] = (
+                    self._tick + max(1, math.ceil(delay)))
+
         if h.state == NEXT:
             h.state = IDLE
             while not self.classifier.empty(h.hid):
                 h.state = IDLE
                 host, raw = self.classifier.peek(h.hid)
-                _canon, uhost, upath = self._norm(raw)
-                preexisting = False
+                canon_p, uhost, upath = self._norm(raw)
+                preexisting = canon_p in self.refresh_from
                 if preexisting:
                     h.state = CONTENT
                     break
@@ -235,35 +363,54 @@ class ReferenceSimulator:
         self._reschedule(h)
 
     def _complete(self, h: _Handle) -> None:
-        kind, url = h.inflight
+        kind, url, etag, ims = h.inflight
         h.inflight = None
         if kind == ROBOTS:
-            host = url.split("/")[2]
-            fr = self.transport.fetch_robots(host)
+            self.metrics["n_robots"] += 1
+            fr = self.transport.fetch_robots(url.split("/")[2])
         elif kind == HEAD:
+            self.metrics["n_head"] += 1
             fr = self.transport.request(url, method="HEAD")
         else:
-            fr = self.transport.request(url, method="GET")
+            self.metrics["n_get"] += 1
+            fr = self.transport.request(url, method="GET",
+                                        if_none_match=etag,
+                                        if_modified_since=ims)
         self._done(h, kind, fr)
+
+    def _advance_past_delays(self) -> bool:
+        """No transfers in flight but the frontier has work: jump logical
+        time to the earliest politeness refill and retry. Returns True if
+        new transfers started."""
+        if not self.honor_crawl_delay or self.classifier.empty():
+            return False
+        future = [t for t in self._next_allowed.values() if t > self._tick]
+        if not future:
+            return False
+        self._tick = min(future)
+        for h in self.handles:
+            if h.inflight is None:
+                self._reschedule(h)
+        return any(h.inflight for h in self.handles)
 
     # ---- run ----
     def run(self, max_ticks: int = 1_000_000) -> CrawlResult:
         # initial scheduler pass (scheduler_cb → GlobalInfo::reschedule,
         # crawler.cc:1222-1230): handles in id order
         for h in self.handles:
-            if h.state == IDLE and h.inflight is None:
+            if h.inflight is None:
                 self._reschedule(h)
-        while any(h.inflight for h in self.handles):
+        while any(h.inflight for h in self.handles) or self._advance_past_delays():
             self._tick += 1
             if self._tick > max_ticks:
                 raise RuntimeError("simulator did not converge")
             for h in self.handles:
                 if h.inflight is not None:
                     self._complete(h)
-            # periodic rescheduler picks up idle handles when new queues
+            # periodic rescheduler picks up resting handles when queues
             # became non-empty (5 s tick analog)
             for h in self.handles:
-                if h.state == IDLE and h.inflight is None:
+                if h.inflight is None:
                     self._reschedule(h)
         return self.result
 

@@ -38,6 +38,9 @@ class FetchResult:
     headers: str
     content: bytes
     curl_error: str = ""
+    outlinks: tuple = ()  # links embedded in the fetched page (M12 analog —
+                          # a real HTML transport would parse these from the
+                          # body; the fixture page carries them as metadata)
 
 
 class FixtureTransport:
@@ -101,7 +104,8 @@ class FixtureTransport:
                 return FetchResult(CURLE_WRITE_ERROR, resp.status, cur_nofrag,
                                    headers, content[:CONTENT_SIZE_LIMIT],
                                    "Failed writing body (content size cutoff)")
-            return FetchResult(CURLE_OK, resp.status, cur_nofrag, headers, content)
+            return FetchResult(CURLE_OK, resp.status, cur_nofrag, headers,
+                               content, outlinks=resp.outlinks)
 
     def fetch_robots(self, host: str) -> FetchResult:
         body = self.site.robots.get(host)
