@@ -41,7 +41,10 @@ def test_tokenizers():
 
 
 def test_filter_ascii_control():
-    assert filter_ascii_control("a\x00b\tc\x7fd") == "ab\tcd"
+    # reference predicate (dist/local_indexer.py:36-37) keeps 0xA-0xD and
+    # printable >0x1F except DEL; note TAB (0x9) is dropped (strict >)
+    assert filter_ascii_control("a\x00b\tc\x7fd") == "abcd"
+    assert filter_ascii_control("x\ny\rz") == "x\ny\rz"
 
 
 def test_file_url():
