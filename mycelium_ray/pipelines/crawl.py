@@ -91,11 +91,22 @@ def saved_docs_to_table(docs: list[SavedDoc]) -> pa.Table:
 
 @ray.remote
 class FetcherActor:
-    """One connection-pool worker; transport state built once per actor."""
+    """One connection-pool worker; transport state built once per actor.
 
-    def __init__(self, site_ref):
-        site = site_ref if isinstance(site_ref, SiteGraph) else ray.get(site_ref)
+    The site arrives via ``load_site`` (a method call resolves the blob ref
+    through local plasma; a large actor-CONSTRUCTOR arg would crawl through
+    the GCS actor-creation path — see crawl_sharded.PlannerShard)."""
+
+    def __init__(self):
+        self.transport = None
+
+    def load_site(self, site_blob) -> bool:
+        import pickle
+        site = site_blob
+        if isinstance(site, (bytes, memoryview)):
+            site = pickle.loads(site)
         self.transport = FixtureTransport(site)
+        return True
 
     def fetch_batch(self, reqs: list[tuple]) -> list[tuple]:
         """reqs: [(idx, kind, url, etag, ims)] → [(idx, FetchResult-tuple)]"""
@@ -154,9 +165,12 @@ class RayCrawler(ReferenceSimulator):
     # ---- wave execution ----
     def _ensure_fetchers(self):
         if self._fetchers is None:
-            self._site_ref = ray.put(self.site)
-            self._fetchers = [FetcherActor.remote(self._site_ref)
+            import pickle
+            self._site_ref = ray.put(pickle.dumps(self.site, protocol=5))
+            self._fetchers = [FetcherActor.remote()
                               for _ in range(self.n_fetchers)]
+            ray.get([f.load_site.remote(self._site_ref)
+                     for f in self._fetchers])
 
     def _fetch_inline(self, reqs: list[tuple]) -> dict[int, tuple]:
         """n_fetchers=0 path: fetch on the planner itself (used inside

@@ -29,19 +29,41 @@ from ..urlcanon import Url, UrlParseError
 
 @ray.remote
 class PlannerShard:
-    def __init__(self, site_ref, shard_id: int, parallel: int,
+    def __init__(self, shard_id: int, parallel: int,
                  user_agent: str = USER_AGENT, dedup: str = "reference",
                  follow_links: bool = False, n_shards: int = 1):
-        from .crawl import RayCrawler
-        site = site_ref if isinstance(site_ref, SiteGraph) else ray.get(site_ref)
+        # NOTE: the site graph is NOT a constructor arg. Large actor-
+        # constructor args are shipped through the GCS actor-creation path
+        # (content-dependent, serialized per actor — measured ~4 s/actor
+        # for a 150 MiB blob); a plain method call resolves the same ref
+        # from local plasma in ~0.3 s. Hence load_site() below.
         self.shard_id = shard_id
-        self.crawler = RayCrawler(site, parallel=parallel, n_fetchers=0,
-                                  user_agent=user_agent, dedup=dedup,
-                                  follow_links=follow_links,
+        self.parallel = parallel
+        self.user_agent = user_agent
+        self.dedup = dedup
+        self.follow_links = follow_links
+        self.n_shards = n_shards
+        self.crawler = None
+
+    def load_site(self, site_blob) -> bool:
+        """site_blob: pickled SiteGraph bytes (one flat blob — Ray's
+        recursive per-object serialization of a 10^5-entry dataclass graph
+        is an order of magnitude slower than a flat pickle round-trip)."""
+        import pickle
+        from .crawl import RayCrawler
+        site = site_blob
+        if isinstance(site, (bytes, memoryview)):
+            site = pickle.loads(site)
+        self.crawler = RayCrawler(site, parallel=self.parallel, n_fetchers=0,
+                                  user_agent=self.user_agent,
+                                  dedup=self.dedup,
+                                  follow_links=self.follow_links,
                                   flush_rows=4096)
-        if n_shards > 1:
+        if self.n_shards > 1:
+            shard_id, n_shards = self.shard_id, self.n_shards
             self.crawler.owns_host = (
                 lambda host: url_hash64(host) % n_shards == shard_id)
+        return True
 
     def feed(self, seed_lines: list[str]) -> int:
         self.crawler.feed(seed_lines)
@@ -108,12 +130,14 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
 
     When ``store`` (a TableStore) is given, per-shard metrics and
     per-partition lineage rows are published as versioned tables."""
-    site_ref = ray.put(site)
+    import pickle
+    site_ref = ray.put(pickle.dumps(site, protocol=5))
     per_shard = max(1, parallel // n_shards)
-    shards = [PlannerShard.remote(site_ref, i, per_shard, dedup=dedup,
+    shards = [PlannerShard.remote(i, per_shard, dedup=dedup,
                                   follow_links=follow_links,
                                   n_shards=n_shards)
               for i in range(n_shards)]
+    ray.get([s.load_site.remote(site_ref) for s in shards])
     parts = partition_seeds(seeds, n_shards)
     ray.get([s.feed.remote(p) for s, p in zip(shards, parts)])
 
