@@ -73,7 +73,10 @@ class PlannerShard:
         return self.crawler.feed_canonical(canon_urls)
 
     def run(self) -> dict:
+        import time
+        t0 = time.perf_counter()
         res = self.crawler.run()
+        run_sec = time.perf_counter() - t0
         self.crawler._maybe_flush(force=True)
         foreign = self.crawler.foreign_links
         self.crawler.foreign_links = []
@@ -91,7 +94,10 @@ class PlannerShard:
                 "shard": self.shard_id, "flush": i, "rows": len(t),
                 "min_seq": int(seqs.min()) if len(seqs) else -1,
                 "max_seq": int(seqs.max()) if len(seqs) else -1,
-                "checksum": int(np.bitwise_xor.reduce(h)) if len(h) else 0,
+                # two's-complement int64 so the Arrow table infers a
+                # signed type (uint64 xor can exceed int64 max)
+                "checksum": (int(np.bitwise_xor.reduce(h).astype(np.int64))
+                             if len(h) else 0),
             })
         return {
             "shard": self.shard_id,
@@ -102,6 +108,7 @@ class PlannerShard:
             "metrics": dict(self.crawler.metrics),
             "lineage": lineage,
             "foreign_links": foreign,
+            "run_sec": run_sec,
         }
 
 
@@ -168,6 +175,10 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     n_saved = sum(r["n_saved"] for r in results)
     metrics_rows = [{"shard": r["shard"], "rounds": n_rounds, **r["metrics"]}
                     for r in results]
+    # sustained (steady-state) crawl wall: the slowest shard's in-crawl
+    # time, excluding cluster bring-up (actor spawn / site distribution) —
+    # the BASELINE.md "sustained fetch+dedup throughput" surface
+    sustained_sec = max(r["run_sec"] for r in results)
     if store is not None:
         v = (store.latest_version("metrics") or 0) + 1
         store.write("metrics", pa.Table.from_pylist(metrics_rows), v)
@@ -188,5 +199,6 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     stats = {"n_saved": n_saved, "n_seen": len(url_seen),
              "n_shards": n_shards, "parallel": parallel,
              "url_seen": url_seen, "n_rounds": n_rounds,
-             "metrics": metrics_rows, "lineage": lineage_rows}
+             "metrics": metrics_rows, "lineage": lineage_rows,
+             "sustained_sec": sustained_sec}
     return stats, ds
