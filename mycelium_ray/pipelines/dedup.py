@@ -180,15 +180,16 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
     LSH false positives); recall is probabilistic (tested ≥ in pytest).
     """
     seeds = splitmix64(np.arange(1, N_PERM + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
-    docs_df = _read_docs(sf_dir).to_pandas()  # needed again for verification
-    sh_by_doc = dict(zip(docs_df["doc_id"],
-                         _doc_shingle_hashes(docs_df["text"].tolist())))
 
     def sign(df: pd.DataFrame) -> pd.DataFrame:
-        rows = {"doc_id": [], "band_id": [], "band_hash": []}
+        """One distributed pass: band rows AND the doc's shingle hashes
+        (the verify stage needs the latter; recomputing them serially on
+        the driver was the original hot spot)."""
+        rows = {"doc_id": [], "band_id": [], "band_hash": [], "shingles": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             grams = sorted(set(_trigrams((text or "").split())))
-            sig = _minhash_sig(url_hash64_many(grams), seeds)
+            sh = url_hash64_many(grams)
+            sig = _minhash_sig(sh, seeds)
             for b in range(N_BANDS):
                 band = sig[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
                 bh = int(splitmix64(np.bitwise_xor.reduce(
@@ -196,9 +197,17 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
                 rows["doc_id"].append(doc_id)
                 rows["band_id"].append(b)
                 rows["band_hash"].append(bh)
+                # ship shingles once (band 0 rows only) to keep rows narrow
+                rows["shingles"].append(sh.tobytes() if b == 0 else b"")
         return pd.DataFrame(rows)
 
-    bands = rd.from_pandas(docs_df).map_batches(sign, batch_format="pandas")
+    signed = _read_docs(sf_dir).map_batches(
+        sign, batch_format="pandas").to_pandas()
+    sh_by_doc = {
+        int(d): np.frombuffer(s, dtype=_U64)
+        for d, s, b in zip(signed["doc_id"], signed["shingles"],
+                           signed["band_id"]) if b == 0}
+    bands = rd.from_pandas(signed[["doc_id", "band_id", "band_hash"]])
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(np.unique(g["doc_id"].to_numpy()))
