@@ -45,10 +45,12 @@ class PlannerShard:
         self.n_shards = n_shards
         self.crawler = None
 
-    def load_site(self, site_blob) -> bool:
+    def load_site(self, site_blob, host_to_shard: dict | None = None) -> bool:
         """site_blob: pickled SiteGraph bytes (one flat blob — Ray's
         recursive per-object serialization of a 10^5-entry dataclass graph
-        is an order of magnitude slower than a flat pickle round-trip)."""
+        is an order of magnitude slower than a flat pickle round-trip).
+        ``host_to_shard``: load-balanced ownership map (lowercase host →
+        shard); unknown hosts fall back to hash routing."""
         import pickle
         from .crawl import RayCrawler
         site = site_blob
@@ -61,8 +63,16 @@ class PlannerShard:
                                   flush_rows=4096)
         if self.n_shards > 1:
             shard_id, n_shards = self.shard_id, self.n_shards
-            self.crawler.owns_host = (
-                lambda host: url_hash64(host) % n_shards == shard_id)
+            omap = host_to_shard or {}
+
+            def owns(host, _map=omap, _id=shard_id, _n=n_shards):
+                h = host.lower()
+                owner = _map.get(h)
+                if owner is None:
+                    owner = url_hash64(h) % _n
+                return owner == _id
+
+            self.crawler.owns_host = owns
         return True
 
     def feed(self, seed_lines: list[str]) -> int:
@@ -129,6 +139,72 @@ def partition_seeds(seed_lines: list[str], n_shards: int) -> list[list[str]]:
     return parts
 
 
+def partition_seeds_balanced(seed_lines: list[str], n_shards: int):
+    """Load-aware host→shard assignment: greedy bin-packing of hosts by
+    their seed counts (largest first, deterministic ties by host name).
+    This is the explicit hot-domain skew handling of the north rule: the
+    hot host lands alone-ish in the lightest bin instead of whatever hash
+    bucket it fell into. Returns (parts, host_to_shard)."""
+    import heapq
+    by_host: dict[str, list[str]] = {}
+    bad: list[str] = []
+    for line in seed_lines:
+        s = line.strip()
+        if not s:
+            continue
+        try:
+            host = Url(s).host.lower()  # aliases of one host must co-locate
+        except (UrlParseError, Exception):
+            bad.append(line)
+            continue
+        by_host.setdefault(host, []).append(line)
+    heap = [(0, i) for i in range(n_shards)]
+    heapq.heapify(heap)
+    host_to_shard: dict[str, int] = {}
+    for host in sorted(by_host, key=lambda h: (-len(by_host[h]), h)):
+        load, shard = heapq.heappop(heap)
+        host_to_shard[host] = shard
+        heapq.heappush(heap, (load + len(by_host[host]), shard))
+    parts: list[list[str]] = [[] for _ in range(n_shards)]
+    for host, lines in by_host.items():
+        parts[host_to_shard[host]].extend(lines)
+    parts[0].extend(bad)
+    return parts, host_to_shard
+
+
+def host_key(url: str) -> str:
+    """Fast lowercase host extraction (portless, bracketless) — the
+    shard-ownership key. Matches Url(url).host.lower() for the URL shapes
+    the crawl produces."""
+    try:
+        auth = url.split("/", 3)[2]
+    except IndexError:
+        return ""
+    if auth.startswith("["):
+        end = auth.find("]")
+        return auth[1:end].lower() if end > 0 else auth.lower()
+    at = auth.rfind("@")
+    if at != -1:
+        auth = auth[at + 1:]
+    if auth.count(":") == 1:  # host:port (a bare ipv6 would have ≥2 colons)
+        auth = auth[:auth.rfind(":")]
+    return auth.lower()
+
+
+def slice_site(site: SiteGraph, hosts: set[str]) -> SiteGraph:
+    """The per-shard slice of the fixture web: only the given (lowercase)
+    hosts' responses and robots. On a real cluster there is no site object
+    at all — each node talks to the network — so per-shard slices are the
+    honest memory model: a shard holds state only for hosts it owns."""
+    s = SiteGraph()
+    s.hosts = [h for h in site.hosts if h in hosts]
+    s.robots = {h: b for h, b in site.robots.items() if h in hosts}
+    for url, resp in site.responses.items():
+        if host_key(url) in hosts:
+            s.responses[url] = resp
+    return s
+
+
 def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                       n_shards: int = 4, dedup: str = "reference",
                       out_dir: str | None = None,
@@ -138,14 +214,22 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     When ``store`` (a TableStore) is given, per-shard metrics and
     per-partition lineage rows are published as versioned tables."""
     import pickle
-    site_ref = ray.put(pickle.dumps(site, protocol=5))
     per_shard = max(1, parallel // n_shards)
+    parts, host_to_shard = partition_seeds_balanced(seeds, n_shards)
+    # per-shard site slices: each shard holds only its hosts' fixture data
+    # (slicing is O(site); shipping+loading drops from O(site) PER SHARD
+    # to O(site/n_shards), which is what makes bring-up scale)
+    shard_hosts: list[set] = [set() for _ in range(n_shards)]
+    for h, sh in host_to_shard.items():
+        shard_hosts[sh].add(h)
+    slice_refs = [ray.put(pickle.dumps(slice_site(site, hs), protocol=5))
+                  for hs in shard_hosts]
     shards = [PlannerShard.remote(i, per_shard, dedup=dedup,
                                   follow_links=follow_links,
                                   n_shards=n_shards)
               for i in range(n_shards)]
-    ray.get([s.load_site.remote(site_ref) for s in shards])
-    parts = partition_seeds(seeds, n_shards)
+    ray.get([s.load_site.remote(ref, host_to_shard)
+             for s, ref in zip(shards, slice_refs)])
     ray.get([s.feed.remote(p) for s, p in zip(shards, parts)])
 
     all_refs = []
@@ -161,8 +245,9 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
             all_refs.extend(ray.put(t) for t in r["batches"])
             url_seen |= r["url_seen"]
             for cu in r["foreign_links"]:
-                host = cu.split("/")[2]
-                foreign_by_shard[url_hash64(host) % n_shards].append(cu)
+                h = host_key(cu)
+                owner = host_to_shard.get(h, url_hash64(h) % n_shards)
+                foreign_by_shard[owner].append(cu)
             for ln in r["lineage"]:
                 lineage_rows.append({**ln, "round": n_rounds})
         if not any(foreign_by_shard):
