@@ -172,28 +172,26 @@ class RayCrawler(ReferenceSimulator):
             ray.get([f.load_site.remote(self._site_ref)
                      for f in self._fetchers])
 
-    def _fetch_inline(self, reqs: list[tuple]) -> dict[int, tuple]:
-        """n_fetchers=0 path: fetch on the planner itself (used inside
-        sharded planner actors, where the actor *is* the per-partition
-        crawl executor and nested actor hops would only add RPC)."""
-        results = {}
-        for idx, kind, url, etag, ims in reqs:
-            if kind == 1:
-                fr = self.transport.fetch_robots(url.split("/")[2])
-            elif kind == 3:
-                fr = self.transport.request(url, method="HEAD")
-            else:
-                fr = self.transport.request(url, method="GET",
-                                            if_none_match=etag,
-                                            if_modified_since=ims)
-            results[idx] = (fr.curl_code, fr.http_code, fr.eff_url,
-                            fr.headers, fr.content, fr.curl_error,
-                            fr.outlinks)
-        return results
-
     def _run_wave(self) -> bool:
         """Complete all in-flight transfers (one logical tick). Returns
         False when nothing was in flight."""
+        if self.n_fetchers <= 0:
+            # inline mode (sharded planner actors): identical hot path to
+            # the serial engine — no snapshot/dict/tuple bookkeeping
+            # (_complete counts the request metrics itself)
+            progressed = False
+            for h in self.handles:
+                if h.inflight is not None:
+                    if not progressed:
+                        self._tick += 1
+                        progressed = True
+                    self._complete(h)
+            if not progressed:
+                return False
+            for h in self.handles:
+                if h.inflight is None:
+                    self._reschedule(h)
+            return True
         inflight = [(h.hid, *h.inflight) for h in self.handles
                     if h.inflight is not None]
         if not inflight:
@@ -201,21 +199,17 @@ class RayCrawler(ReferenceSimulator):
         self._tick += 1
         reqs = [(i, kind, url, etag, ims)
                 for i, (_, kind, url, etag, ims) in enumerate(inflight)]
-        if self.n_fetchers <= 0:
-            results = self._fetch_inline(reqs)
-        else:
-            self._ensure_fetchers()
-            chunks = [[] for _ in self._fetchers]
-            for r in reqs:
-                chunks[r[0] % len(chunks)].append(r)
-            futures = [f.fetch_batch.remote(c)
-                       for f, c in zip(self._fetchers, chunks) if c]
-            results = {}
-            for part in ray.get(futures):
-                for idx, tup in part:
-                    results[idx] = tup
-        # track request-kind metrics (the inline simulator path counts in
-        # _complete; the batched path counts here)
+        self._ensure_fetchers()
+        chunks = [[] for _ in self._fetchers]
+        for r in reqs:
+            chunks[r[0] % len(chunks)].append(r)
+        futures = [f.fetch_batch.remote(c)
+                   for f, c in zip(self._fetchers, chunks) if c]
+        results = {}
+        for part in ray.get(futures):
+            for idx, tup in part:
+                results[idx] = tup
+        # request-kind metrics (the inline path counts in _complete)
         for _, kind, *_rest in inflight:
             key = {1: "n_robots", 3: "n_head"}.get(kind, "n_get")
             self.metrics[key] += 1
