@@ -97,7 +97,8 @@ def run_bench() -> dict:
     n_shards = NUM_CPUS
     t0 = time.perf_counter()
     stats, ds = run_crawl_sharded(site, seeds, parallel=16 * n_shards,
-                                  n_shards=n_shards)
+                                  n_shards=n_shards,
+                                  raw_dir=out_dir + ".raw")
     timings["crawl_plan_fetch"] = time.perf_counter() - t0
     t0 = time.perf_counter()
     ds.write_parquet(out_dir)

@@ -82,7 +82,14 @@ class PlannerShard:
     def feed_canonical(self, canon_urls: list[str]) -> int:
         return self.crawler.feed_canonical(canon_urls)
 
-    def run(self) -> dict:
+    def run(self, raw_dir: str | None = None, round_no: int = 1) -> dict:
+        """Crawl until this shard's frontier drains.
+
+        With ``raw_dir`` the shard publishes its fetched batches as
+        partitioned parquet (``shard=NNN/round-RR-part-MM.parquet``) — the
+        resumable layout; the driver never touches row data. Without it
+        (small test runs) the Arrow tables are returned by value.
+        """
         import time
         t0 = time.perf_counter()
         res = self.crawler.run()
@@ -90,10 +97,18 @@ class PlannerShard:
         self.crawler._maybe_flush(force=True)
         foreign = self.crawler.foreign_links
         self.crawler.foreign_links = []
-        # ship tables (not refs): refs created here die with this actor,
-        # and the decode Dataset is consumed lazily after we're gone
         tables = ray.get(self.crawler._batch_refs)
         self.crawler._batch_refs = []  # don't re-ship on a later round
+        written = []
+        if raw_dir is not None and tables:
+            import os
+            import pyarrow.parquet as pq
+            d = os.path.join(raw_dir, f"shard={self.shard_id:03d}")
+            os.makedirs(d, exist_ok=True)
+            for i, t in enumerate(tables):
+                path = os.path.join(d, f"round-{round_no:02d}-part-{i:03d}.parquet")
+                pq.write_table(t, path)
+                written.append(path)
         # per-partition lineage: rows + seq span + xor-checksum of url
         # hashes per flushed batch (north-rule resume/audit surface)
         lineage = []
@@ -113,7 +128,8 @@ class PlannerShard:
             "shard": self.shard_id,
             "n_saved": len(res.saved),
             "n_seen": len(res.url_seen),
-            "batches": tables,
+            "batches": [] if raw_dir is not None else tables,
+            "files": written,
             "url_seen": res.url_seen,
             "metrics": dict(self.crawler.metrics),
             "lineage": lineage,
@@ -208,14 +224,27 @@ def slice_site(site: SiteGraph, hosts: set[str]) -> SiteGraph:
 def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                       n_shards: int = 4, dedup: str = "reference",
                       out_dir: str | None = None,
-                      store=None, follow_links: bool = False):
+                      store=None, follow_links: bool = False,
+                      raw_dir: str | None = None):
     """Returns (stats: dict, decoded ray.data.Dataset).
 
     When ``store`` (a TableStore) is given, per-shard metrics and
     per-partition lineage rows are published as versioned tables."""
+    import os
     import pickle
+    import sys
+    import time as _time
+
+    def _t(label, t0):
+        if os.environ.get("MYC_TIMING"):
+            print(f"[crawl_sharded] {label}: {_time.perf_counter() - t0:.2f}s",
+                  file=sys.stderr, flush=True)
+        return _time.perf_counter()
+
+    t0 = _time.perf_counter()
     per_shard = max(1, parallel // n_shards)
     parts, host_to_shard = partition_seeds_balanced(seeds, n_shards)
+    t0 = _t("partition", t0)
     # per-shard site slices: each shard holds only its hosts' fixture data
     # (slicing is O(site); shipping+loading drops from O(site) PER SHARD
     # to O(site/n_shards), which is what makes bring-up scale)
@@ -224,25 +253,35 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         shard_hosts[sh].add(h)
     slice_refs = [ray.put(pickle.dumps(slice_site(site, hs), protocol=5))
                   for hs in shard_hosts]
+    t0 = _t("slice+put", t0)
     shards = [PlannerShard.remote(i, per_shard, dedup=dedup,
                                   follow_links=follow_links,
                                   n_shards=n_shards)
               for i in range(n_shards)]
     ray.get([s.load_site.remote(ref, host_to_shard)
              for s, ref in zip(shards, slice_refs)])
+    t0 = _t("spawn+load", t0)
     ray.get([s.feed.remote(p) for s, p in zip(shards, parts)])
+    t0 = _t("feed", t0)
 
-    all_refs = []
+    if raw_dir is None and out_dir is not None:
+        raw_dir = out_dir + ".raw"
+    if raw_dir is not None:
+        import shutil
+        shutil.rmtree(raw_dir, ignore_errors=True)
+    all_tables = []
+    all_files = []
     url_seen: set[str] = set()
     n_rounds = 0
     lineage_rows = []
     results = []
     while True:
         n_rounds += 1
-        results = ray.get([s.run.remote() for s in shards])
+        results = ray.get([s.run.remote(raw_dir, n_rounds) for s in shards])
         foreign_by_shard: list[list[str]] = [[] for _ in range(n_shards)]
         for r in results:
-            all_refs.extend(ray.put(t) for t in r["batches"])
+            all_tables.extend(r["batches"])
+            all_files.extend(r["files"])
             url_seen |= r["url_seen"]
             for cu in r["foreign_links"]:
                 h = host_key(cu)
@@ -256,6 +295,7 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                        for s, links in zip(shards, foreign_by_shard)])
         if sum(fed) == 0:
             break
+    t0 = _t("run+rounds", t0)
     # shard-level counters are cumulative; take the final round's values
     n_saved = sum(r["n_saved"] for r in results)
     metrics_rows = [{"shard": r["shard"], "rounds": n_rounds, **r["metrics"]}
@@ -271,16 +311,23 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
             store.write("lineage", pa.Table.from_pylist(lineage_rows), v)
 
     import ray.data as rd
-    if all_refs:
-        ds = rd.from_arrow_refs(all_refs)
+    if all_files:
+        # shard-written partitioned parquet: the decode pipeline reads it
+        # in parallel; row data never flows through the driver
+        ds = rd.read_parquet(all_files)
+    elif all_tables:
+        # single concat avoids per-tiny-table dataset overhead
+        ds = rd.from_arrow(pa.concat_tables(all_tables))
     else:
         from .crawl import FETCHED_SCHEMA
         ds = rd.from_arrow(FETCHED_SCHEMA.empty_table())
+    t0 = _t("dataset-build", t0)
     ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
                         batch_size=512)
     if out_dir is not None:
         ds.write_parquet(out_dir)
         ds = rd.read_parquet(out_dir)
+    t0 = _t("decode-write", t0)
     stats = {"n_saved": n_saved, "n_seen": len(url_seen),
              "n_shards": n_shards, "parallel": parallel,
              "url_seen": url_seen, "n_rounds": n_rounds,
