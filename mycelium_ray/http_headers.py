@@ -65,42 +65,42 @@ _CT_CHAIN = [
 ]
 
 
+_SEP_SET = frozenset('()<>@,;\\:"/[]?={}\t')  # utils.cc:613 separator class
+_LINE_SPLIT = re.compile(r"[\n\r]")
+
+
 def parse_http_headers(headers: str):
     """Returns (content_type: ContentType, charset: str, headermap: dict).
 
     Splitting follows the tortoise/hare ``find_first_of("\\n\\r")`` loop of
-    utils.cc:681-729: separator runs are skipped, lines shorter than 2 chars
-    between separators are dropped.
+    utils.cc:681-729: separator runs are skipped, segments shorter than 2
+    chars are dropped, and a trailing segment without a final newline is
+    dropped. The name:value match is the HEADER_RE semantics
+    (utils.cc:612-618) implemented with partition + a separator-set check
+    (this runs twice per fetched URL — it must stay off the regex engine).
     """
     ctype = ContentType.EMPTY
     charset = ""
     headermap: dict[str, str] = {}
-    tortoise = 0
-    n = len(headers)
-    while True:
-        hare = tortoise
-        while hare < n and headers[hare] not in "\n\r":
-            hare += 1
-        if hare >= n:
-            break
-        if hare > tortoise + 1:
-            line = headers[tortoise:hare]
-            m = _HEADER_RE.fullmatch(line)
-            if m:
-                name, value = m.group(1), m.group(2)
-                if _CT_RE.match(name):
-                    ctype = ContentType.UNRECOGNIZED
-                    for needle, ct in _CT_CHAIN:
-                        if needle in value:
-                            ctype = ct
-                            break
-                    cm = _CHARSET_RE.search(value)
-                    if cm:
-                        charset = cm.group(1)
-                headermap[name] = value
-        tortoise = hare + 1
-    # trailing line without newline (matches the while-loop exit: the C++
-    # version drops it; we also drop it for parity)
+    segs = _LINE_SPLIT.split(headers)
+    for line in segs[:-1]:  # last segment has no trailing separator → drop
+        if len(line) < 2:
+            continue
+        name, colon, value = line.partition(":")
+        if not colon or not name or not value:
+            continue
+        if any(c in _SEP_SET for c in name):
+            continue
+        if name.lower() == "content-type":
+            ctype = ContentType.UNRECOGNIZED
+            for needle, ct in _CT_CHAIN:
+                if needle in value:
+                    ctype = ct
+                    break
+            cm = _CHARSET_RE.search(value)
+            if cm:
+                charset = cm.group(1)
+        headermap[name] = value
     return ctype, charset, headermap
 
 

@@ -90,7 +90,8 @@ def escape(s: str, mask: int) -> str:
         return s
     if '%' not in s:
         # no triplet-preservation concern → single C-level translate
-        return s.translate(_trans_for(mask))
+        t = _ESCAPE_TRANS.get(mask)
+        return s.translate(t if t is not None else _trans_for(mask))
     out = []
     i, n = 0, len(s)
     while i < n:

@@ -1,0 +1,74 @@
+"""HTTP header parsing tests (M7).
+
+Golden block ported from
+/root/reference/src/unit_tests/Parse_http_headers_test.cc:14-33.
+"""
+from mycelium_ray.http_headers import (
+    ContentType, acceptable, parse_http_headers, sniff_format)
+
+SLASHDOT = (
+    "HTTP/1.1 200 OK\r\n"
+    "Server: Apache/2.2.3 (CentOS)\r\n"
+    "SLASH_LOG_DATA: shtml\r\n"
+    "Cache-Control: no-cache\r\n"
+    "Pragma: no-cache\r\n"
+    "X-XRDS-Location: http://slashdot.org/slashdot.xrds\r\n"
+    "Content-Type: text/html; charset=utf-8\r\n"
+    "Content-Length: 98342\r\n"
+    "Date: Sat, 07 Apr 2012 21:28:26 GMT\r\n"
+    "X-Varnish: 33994908 33994320\r\n"
+    "Age: 53\r\n"
+    "Connection: keep-alive\r\n"
+)
+
+
+def test_golden_slashdot_block():
+    ctype, charset, hmap = parse_http_headers(SLASHDOT)
+    assert ctype == ContentType.TEXT_HTML
+    assert charset == "utf-8"
+    assert hmap["Server"] == " Apache/2.2.3 (CentOS)"
+    assert hmap["Age"] == " 53"
+    # the status line is not a header (no colon before a separator)
+    assert not any(k.startswith("HTTP") for k in hmap)
+
+
+def test_content_type_chain():
+    for value, want in [
+        ("text/plain", ContentType.TEXT_PLAIN),
+        ("application/xhtml+xml", ContentType.XHTML),
+        ("application/pdf", ContentType.APPLICATION_PDF),
+        ("application/rss+xml", ContentType.RSS_XML),
+        ("application/atom+xml", ContentType.ATOM_XML),
+        ("image/jpeg", ContentType.IMAGE_JPEG),
+        ("image/png", ContentType.IMAGE_PNG),
+        ("image/webp", ContentType.IMAGE_WEBP),
+        ("application/x-weird", ContentType.UNRECOGNIZED),
+    ]:
+        ctype, _, _ = parse_http_headers(f"Content-Type: {value}\r\n")
+        assert ctype == want, value
+
+
+def test_acceptable_gate():
+    # UNRECOGNIZED < ctype < EMPTY (crawler.cc:1206-1209)
+    assert not acceptable(ContentType.UNRECOGNIZED)
+    assert not acceptable(ContentType.EMPTY)
+    assert acceptable(ContentType.TEXT_HTML)
+    assert acceptable(ContentType.IMAGE_PNG)
+
+
+def test_line_splitting_edges():
+    # mixed LF/CRLF, short segments skipped, trailing partial line dropped
+    ctype, charset, hmap = parse_http_headers(
+        "A: 1\nB: 2\r\nX\r\nC: 3")  # 'C: 3' has no trailing newline
+    assert hmap == {"A": " 1", "B": " 2"}
+    assert ctype == ContentType.EMPTY
+    # case-insensitive content-type name
+    ctype, _, _ = parse_http_headers("content-TYPE: text/plain\n")
+    assert ctype == ContentType.TEXT_PLAIN
+
+
+def test_sniff_magic():
+    assert sniff_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert sniff_format(b"%PDF-1.4") == "pdf"
+    assert sniff_format(b"RIFFxxxxWEBPrest") == "webp"
+    assert sniff_format(b"RIFFxxxxAVI rest") == "unknown"
