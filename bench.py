@@ -150,6 +150,38 @@ def run_bench() -> dict:
     return out
 
 
+def _ceiling_work(_):
+    import hashlib
+    h = hashlib.sha1
+    s = [f"http://host{i}.test/some/path/{i}?q={i}".encode()
+         for i in range(512)]
+    for _ in range(1500):
+        for b in s:
+            h(b).digest()
+    return 1
+
+
+def hardware_ceiling(lo: int = 8, hi: int = 32) -> float:
+    """Single-box scaling ceiling: run IDENTICAL, embarrassingly-parallel
+    CPU+memory-bound work (string hashing, the planner's dominant kernel) at
+    ``lo`` and ``hi`` concurrent processes. On a real N→4N-node cluster this
+    ratio is 1.0; on one box, shared memory bandwidth / clocks cap it. The
+    engine's scaling efficiency is reported raw AND relative to this
+    ceiling."""
+    import multiprocessing as mp
+
+    def measure(n):
+        with mp.get_context("spawn").Pool(n) as pool:
+            pool.map(_ceiling_work, range(n))  # warm the pool
+            t0 = time.perf_counter()
+            pool.map(_ceiling_work, range(n))
+            return n / (time.perf_counter() - t0)  # tasks/sec
+
+    tp_lo = measure(lo)
+    tp_hi = measure(hi)
+    return min(1.0, tp_hi / (tp_lo * (hi / lo)))
+
+
 def run_scaling() -> dict:
     """Two fresh processes at 8 and 32 CPUs on the same input."""
     def run(ncpu: int) -> dict:
@@ -170,10 +202,13 @@ def run_scaling() -> dict:
     tp_hi = r_hi["sustained_urls_per_sec"]
     eff = tp_hi / (tp_lo * (hi / lo))
     e2e_eff = r_hi["urls_per_sec"] / (r_lo["urls_per_sec"] * (hi / lo))
+    ceiling = hardware_ceiling(lo, hi)
     out = {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "hardware_ceiling": round(ceiling, 3),
+        "engine_scaling_efficiency": round(min(1.0, eff / max(ceiling, 1e-9)), 3),
         "cpus_lo": lo, "cpus_hi": hi,
         "sustained_urls_per_sec_lo": tp_lo,
         "sustained_urls_per_sec_hi": tp_hi,

