@@ -317,7 +317,10 @@ class RayCrawler(ReferenceSimulator):
         return c
 
     # ---- run ----
-    def run(self, max_ticks: int = 1_000_000):
+    def run(self, max_ticks: int = 1_000_000, stop_after_waves: int = 0):
+        """Crawl until the frontier drains. ``stop_after_waves`` (>0) stops
+        gracefully after that many waves — the preemption hook used by the
+        resume tests (state is checkpointable at any wave boundary)."""
         for h in self.handles:
             if h.inflight is None:
                 self._reschedule(h)
@@ -330,6 +333,8 @@ class RayCrawler(ReferenceSimulator):
             if (self.checkpoint_every and self.store is not None
                     and waves % self.checkpoint_every == 0):
                 self.checkpoint(self._flush_version * 1000 + waves)
+            if stop_after_waves and waves >= stop_after_waves:
+                break
         self._maybe_flush(force=True)
         return self.result
 

@@ -45,22 +45,43 @@ class PlannerShard:
         self.n_shards = n_shards
         self.crawler = None
 
-    def load_site(self, site_blob, host_to_shard: dict | None = None) -> bool:
+    def load_site(self, site_blob, host_to_shard: dict | None = None,
+                  store_root: str | None = None, checkpoint_every: int = 0,
+                  resume: bool = False) -> bool:
         """site_blob: pickled SiteGraph bytes (one flat blob — Ray's
         recursive per-object serialization of a 10^5-entry dataclass graph
         is an order of magnitude slower than a flat pickle round-trip).
         ``host_to_shard``: load-balanced ownership map (lowercase host →
-        shard); unknown hosts fall back to hash routing."""
+        shard); unknown hosts fall back to hash routing.
+        ``store_root``/``checkpoint_every``: per-shard durable checkpoints
+        under ``store_root/shard=NNN``; ``resume=True`` restores the latest
+        checkpoint instead of starting fresh (returns False if none)."""
+        import os
         import pickle
+        from ..state.store import TableStore
         from .crawl import RayCrawler
         site = site_blob
         if isinstance(site, (bytes, memoryview)):
             site = pickle.loads(site)
-        self.crawler = RayCrawler(site, parallel=self.parallel, n_fetchers=0,
-                                  user_agent=self.user_agent,
-                                  dedup=self.dedup,
-                                  follow_links=self.follow_links,
-                                  flush_rows=4096)
+        store = None
+        if store_root is not None:
+            store = TableStore(os.path.join(store_root,
+                                            f"shard={self.shard_id:03d}"))
+        resumed = False
+        if resume and store is not None and store.blob_versions("crawl_ckpt"):
+            self.crawler = RayCrawler.restore(site, store, n_fetchers=0)
+            self.crawler.checkpoint_every = checkpoint_every
+            resumed = True
+        else:
+            self.crawler = RayCrawler(site, parallel=self.parallel,
+                                      n_fetchers=0,
+                                      user_agent=self.user_agent,
+                                      dedup=self.dedup,
+                                      follow_links=self.follow_links,
+                                      flush_rows=4096,
+                                      store=store,
+                                      checkpoint_every=checkpoint_every)
+        self._resumed = resumed
         if self.n_shards > 1:
             shard_id, n_shards = self.shard_id, self.n_shards
             omap = host_to_shard or {}
@@ -74,7 +95,7 @@ class PlannerShard:
 
             self.crawler.owns_host = owns
         self._warmup()
-        return True
+        return resumed
 
     def _warmup(self) -> None:
         """Trigger the lazy imports and plasma-client init that otherwise
@@ -99,7 +120,8 @@ class PlannerShard:
     def feed_canonical(self, canon_urls: list[str]) -> int:
         return self.crawler.feed_canonical(canon_urls)
 
-    def run(self, raw_dir: str | None = None, round_no: int = 1) -> dict:
+    def run(self, raw_dir: str | None = None, round_no: int = 1,
+            stop_after_waves: int = 0) -> dict:
         """Crawl until this shard's frontier drains.
 
         With ``raw_dir`` the shard publishes its fetched batches as
@@ -109,8 +131,11 @@ class PlannerShard:
         """
         import time
         t0 = time.perf_counter()
-        res = self.crawler.run()
+        res = self.crawler.run(stop_after_waves=stop_after_waves)
         run_sec = time.perf_counter() - t0
+        if stop_after_waves and self.crawler.store is not None:
+            # simulated preemption: leave a consistent checkpoint behind
+            self.crawler.checkpoint(999_000 + stop_after_waves)
         self.crawler._maybe_flush(force=True)
         foreign = self.crawler.foreign_links
         self.crawler.foreign_links = []
@@ -242,7 +267,10 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                       n_shards: int = 4, dedup: str = "reference",
                       out_dir: str | None = None,
                       store=None, follow_links: bool = False,
-                      raw_dir: str | None = None):
+                      raw_dir: str | None = None,
+                      store_root: str | None = None,
+                      checkpoint_every: int = 0,
+                      resume: bool = False):
     """Returns (stats: dict, decoded ray.data.Dataset).
 
     When ``store`` (a TableStore) is given, per-shard metrics and
@@ -275,15 +303,20 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                                   follow_links=follow_links,
                                   n_shards=n_shards)
               for i in range(n_shards)]
-    ray.get([s.load_site.remote(ref, host_to_shard)
-             for s, ref in zip(shards, slice_refs)])
+    resumed = ray.get([s.load_site.remote(ref, host_to_shard,
+                                          store_root, checkpoint_every,
+                                          resume)
+                       for s, ref in zip(shards, slice_refs)])
     t0 = _t("spawn+load", t0)
-    ray.get([s.feed.remote(p) for s, p in zip(shards, parts)])
+    # a resumed shard's frontier/seen state came from its checkpoint —
+    # re-feeding the seed list would enqueue everything twice
+    ray.get([s.feed.remote(p)
+             for s, p, r in zip(shards, parts, resumed) if not r])
     t0 = _t("feed", t0)
 
     if raw_dir is None and out_dir is not None:
         raw_dir = out_dir + ".raw"
-    if raw_dir is not None:
+    if raw_dir is not None and not resume:
         import shutil
         shutil.rmtree(raw_dir, ignore_errors=True)
     all_tables = []
@@ -326,6 +359,17 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         store.write("metrics", pa.Table.from_pylist(metrics_rows), v)
         if lineage_rows:
             store.write("lineage", pa.Table.from_pylist(lineage_rows), v)
+
+    if resume and store_root is not None:
+        # the complete row log (pre-preemption + post-resume) lives in the
+        # per-shard stores as published versions; read those instead of the
+        # per-run raw files
+        import glob
+        files = sorted(glob.glob(os.path.join(
+            store_root, "shard=*", "fetched_raw", "v*", "*.parquet")))
+        all_files = [f for f in files if os.path.exists(
+            os.path.join(os.path.dirname(f), "_OK"))]
+        all_tables = []
 
     import ray.data as rd
     if all_files:
