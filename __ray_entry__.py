@@ -46,9 +46,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- aggregations (events / lineitem / documents) ---
         "events_window_agg": analytics.events_window_agg,
         "events_user_stats": analytics.events_user_stats,
+        "events_sessionize": analytics.events_sessionize,
         "source_stats": analytics.source_stats,
         "lineitem_pricing": analytics.lineitem_pricing,
         "top_users_by_value": analytics.top_users_by_value,
+        "orders_by_nation": analytics.orders_by_nation,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -70,9 +72,11 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": ann.EMBEDDING_NEARDUP_SQL,
         "events_window_agg": analytics.EVENTS_WINDOW_AGG_SQL,
         "events_user_stats": analytics.EVENTS_USER_STATS_SQL,
+        "events_sessionize": analytics.EVENTS_SESSIONIZE_SQL,
         "source_stats": analytics.SOURCE_STATS_SQL,
         "lineitem_pricing": analytics.LINEITEM_PRICING_SQL,
         "top_users_by_value": analytics.TOP_USERS_SQL,
+        "orders_by_nation": analytics.ORDERS_BY_NATION_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

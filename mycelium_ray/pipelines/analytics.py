@@ -165,3 +165,94 @@ SELECT user_id, CAST(value_cents AS BIGINT) AS value_cents, rank FROM (
   FROM events GROUP BY user_id
 ) WHERE rank <= 20
 """
+
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def events_sessionize(sf_dir: str):
+    """Session windows per user: a new session starts when the gap since
+    the previous event exceeds SESSION_GAP_S. The streaming-shaped op of
+    SURVEY.md §2.9 done the Ray Data way: partition by key
+    (groupby user_id) → sort within group → cumulative gap logic in pandas.
+    Output: (user_id, session_id, n_events, start_us, end_us).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64")
+        new = (us.diff().fillna(10**18) > SESSION_GAP_S * 10**6)
+        sid = new.cumsum().astype("int64")
+        out = pd.DataFrame({"user_id": g["user_id"], "session_id": sid,
+                            "us": us})
+        return out.groupby(["user_id", "session_id"], as_index=False).agg(
+            n_events=("us", "size"), start_us=("us", "min"),
+            end_us=("us", "max"))
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+EVENTS_SESSIONIZE_SQL = f"""
+WITH t AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                   > {SESSION_GAP_S} * 1000000
+              OR lag(epoch_us(ts)) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, us,
+         CAST(sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY us, event_id) AS BIGINT)
+           AS session_id
+  FROM t
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def orders_by_nation(sf_dir: str):
+    """Broadcast hash join: orders ⋈ customer (small side via ray.put once,
+    dict probe per batch — never a shuffle), grouped by nation.
+    Output: (c_nationkey, n_orders, total_cents)."""
+    import pyarrow.parquet as pq
+    import ray
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    lookup = dict(zip(cust["c_custkey"].to_pylist(),
+                      cust["c_nationkey"].to_pylist()))
+    lookup_ref = ray.put(lookup)
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        lk = _ray.get(lookup_ref)
+        nat = df["o_custkey"].map(lk).astype("int64")
+        cents = np.rint(df["o_totalprice"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"c_nationkey": nat, "n_orders": 1,
+                          "total_cents": cents})
+        return g.groupby("c_nationkey", as_index=False).agg(
+            n_orders=("n_orders", "sum"), total_cents=("total_cents", "sum"))
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+
+
+ORDERS_BY_NATION_SQL = """
+SELECT c.c_nationkey,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
