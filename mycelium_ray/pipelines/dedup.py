@@ -26,9 +26,11 @@ from ..hashing import splitmix64, url_hash64_many
 _U64 = np.uint64
 
 
-def _read_docs(sf_dir: str):
+def _read_docs(sf_dir: str, n_blocks: int = 32):
+    # the table is one parquet file → one block → ONE map task; split
+    # so per-doc CPU work (shingling, hashing) actually parallelizes
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"])
+                           columns=["doc_id", "text"]).repartition(n_blocks)
 
 
 # --------------------------------------------------------------------------
@@ -94,22 +96,50 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 
     ex = docs.map_batches(explode, batch_format="pandas")
     # set sizes per doc
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
     sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
     sizes_df = sizes.to_pandas().set_index("doc_id")["n_sh"]
 
-    # pairwise intersections per shingle bucket
-    def pairs_of_group(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id_a": ids[ia], "doc_id_b": ids[ib]})
+    # pairwise intersections, bucketed: grouping by raw shingle would make
+    # ~n_docs×n_shingles tiny Ray groups (one Python call each); hashing
+    # shingles into 256 buckets keeps the shuffle coarse and does the
+    # per-shingle pairing vectorized in pandas inside each bucket
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df["bucket"] = (df["sh"].to_numpy().astype("uint64") % 256).astype("int64")
+        return df
 
-    cand = ex.groupby("sh").map_groups(pairs_of_group, batch_format="pandas")
-    pcounts = cand.groupby(["doc_id_a", "doc_id_b"]).aggregate(
-        Count(alias_name="n_inter"))
-    pdf = pcounts.to_pandas()
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="sh")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                                 "doc_id_b": pd.Series([], dtype="int64"),
+                                 "n_inter": pd.Series([], dtype="int64")})
+        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
+        return out.rename(columns={"doc_id_x": "doc_id_a",
+                                   "doc_id_y": "doc_id_b",
+                                   "size": "n_inter"})
+
+    cand = ex.map_batches(add_bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    # final reduce over the candidate-pair partials: pack the pair key into
+    # one int64 and sum with a single vectorized pandas groupby — the pair
+    # key space is dense enough that a full sort-shuffle is wasted work
+    parts = []
+    for batch in cand.iter_batches(batch_size=1 << 20, batch_format="pandas"):
+        key = (batch["doc_id_a"].to_numpy().astype("int64") << 32) \
+            | batch["doc_id_b"].to_numpy().astype("int64")
+        p = pd.DataFrame({"key": key, "n_inter": batch["n_inter"]})
+        parts.append(p.groupby("key", as_index=False)["n_inter"].sum())
+    if not parts:
+        pdf = pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "n_inter": []})
+    else:
+        agg = pd.concat(parts).groupby("key", as_index=False)["n_inter"].sum()
+        pdf = pd.DataFrame({
+            "doc_id_a": (agg["key"].to_numpy() >> 32).astype("int64"),
+            "doc_id_b": (agg["key"].to_numpy() & 0xFFFFFFFF).astype("int64"),
+            "n_inter": agg["n_inter"].to_numpy(),
+        })
     if len(pdf) == 0:
         return pa.table({"doc_id_a": pa.array([], pa.int64()),
                          "doc_id_b": pa.array([], pa.int64()),
@@ -207,16 +237,22 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
         int(d): np.frombuffer(s, dtype=_U64)
         for d, s, b in zip(signed["doc_id"], signed["shingles"],
                            signed["band_id"]) if b == 0}
-    bands = rd.from_pandas(signed[["doc_id", "band_id", "band_hash"]])
+    bands_df = signed[["doc_id", "band_id", "band_hash"]].copy()
+    # coarse bucketing: grouping by raw (band_id, band_hash) makes ~one Ray
+    # group (and one Python call) per DOC; 256 hash buckets keep the
+    # shuffle coarse and pair discovery vectorized per bucket
+    bands_df["bucket"] = (bands_df["band_hash"] % 256).astype("int64")
+    bands = rd.from_pandas(bands_df)
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.unique(g["doc_id"].to_numpy()))
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_id_a": [], "doc_id_b": []})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_id_a": ids[ia], "doc_id_b": ids[ib]})
+        m = g.merge(g, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return pd.DataFrame({
+            "doc_id_a": m["doc_id_x"].astype("int64"),
+            "doc_id_b": m["doc_id_y"].astype("int64"),
+        })
 
-    cand = bands.groupby(["band_id", "band_hash"]) \
+    cand = bands.groupby("bucket") \
         .map_groups(pairs_of_bucket, batch_format="pandas").to_pandas()
     if len(cand) == 0:
         return pa.table({"doc_id_a": pa.array([], pa.int64()),
