@@ -39,11 +39,17 @@ def events_window_agg(sf_dir: str):
         return g.groupby(["event_type", "window_start"], as_index=False).agg(
             n=("n", "sum"), value_cents=("value_cents", "sum"))
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["event_type", "window_start"]) \
-        .aggregate(Sum("n", alias_name="n"),
-                   Sum("value_cents", alias_name="value_cents"))
-    return out
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"), value_cents=("value_cents", "sum"))
+
+    # partials per batch → ONE combine task: with ~40k groups the partials
+    # are tiny, and a repartition(1) combine beats the groupby all-to-all's
+    # fixed cost ~8×. (groupby().aggregate() is the general form for group
+    # cardinalities that don't fit one task — see events_user_stats.)
+    return ds.repartition(16) \
+        .map_batches(partial, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
 
 
 EVENTS_WINDOW_AGG_SQL = f"""
@@ -111,12 +117,15 @@ def lineitem_pricing(sf_dir: str):
             sum_qty_c=("sum_qty_c", "sum"), sum_price_c=("sum_price_c", "sum"),
             sum_disc_price_c=("sum_disc_price_c", "sum"), n=("n", "sum"))
 
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["l_returnflag", "l_linestatus"],
+                          as_index=False).agg(
+            sum_qty_c=("sum_qty_c", "sum"), sum_price_c=("sum_price_c", "sum"),
+            sum_disc_price_c=("sum_disc_price_c", "sum"), n=("n", "sum"))
+
+    # ~6 groups: one combine task, not an all-to-all
     return ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["l_returnflag", "l_linestatus"]) \
-        .aggregate(Sum("sum_qty_c", alias_name="sum_qty_c"),
-                   Sum("sum_price_c", alias_name="sum_price_c"),
-                   Sum("sum_disc_price_c", alias_name="sum_disc_price_c"),
-                   Sum("n", alias_name="n"))
+        .repartition(1).map_batches(combine, batch_format="pandas")
 
 
 LINEITEM_PRICING_SQL = """
