@@ -1,0 +1,41 @@
+"""phash-band near-dup over the image corpus: the corpus reuses pixel
+buffers for some rows (dup_pairs), so known near-dups must be found."""
+import numpy as np
+import pyarrow as pa
+
+from mycelium_ray.corpus import generate_corpus
+from mycelium_ray.imaging import decode_image, phash64, hamming64
+from mycelium_ray.pipelines.imagedup import phash_neardup
+
+
+def test_phash_neardup_finds_reused_pixels(ray_session):
+    images, site, seeds = generate_corpus(n_hosts=8, pages_per_host=6, seed=42)
+    # ground truth: decode every image, group by decoded-phash hamming
+    rows = images.select(["image_id", "phash"])
+    out = phash_neardup(rows, max_hamming=6)
+    found = set(zip(out.column("id_a").to_pylist(),
+                    out.column("id_b").to_pylist()))
+
+    # brute-force ground truth from the table itself
+    ids = images.column("image_id").to_pylist()
+    ph = images.column("phash").to_pylist()
+    want = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if hamming64(ph[i], ph[j]) <= 6:
+                a, b = sorted((ids[i], ids[j]))
+                want.add((a, b))
+    # banding guarantees recall for hamming ≤ 3 (pigeonhole over 4 bands);
+    # wider pairs may be missed, so found ⊆ want and the tight pairs are in
+    assert found <= want
+    tight = {(a, b) for (a, b) in want
+             if hamming64(ph[ids.index(a)], ph[ids.index(b)]) <= 3}
+    assert tight <= found
+    # the corpus's deliberate pixel-reuse rows produce at least one pair
+    assert len(tight) > 0
+
+
+def test_phash_neardup_empty(ray_session):
+    t = pa.table({"image_id": ["a", "b"], "phash": [0, -1]})  # hamming 64
+    out = phash_neardup(t, max_hamming=4)
+    assert out.num_rows == 0
