@@ -29,7 +29,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = "/tmp/mycelium_bench_cache"
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4  # v4: expander cross-host links for discovery mode
 
 # crawl-corpus scale per sf tier (≈10^3 / 10^4 / 10^5 URLs)
 SCALES = {
@@ -108,6 +108,20 @@ def run_bench() -> dict:
     n_urls = stats["n_seen"]
     n_rows = stats["n_saved"]
 
+    # --- discovery mode: sparse seeds (one page per 16 hosts), the
+    # frontier grows through outlinks with cuckoo dedup; multi-round
+    # cross-shard link routing does the rest ---
+    sparse = [u for u in sorted(site.responses)
+              if u.endswith("/img/0.png")][::16]
+    t0 = time.perf_counter()
+    dstats, _ = run_crawl_sharded(site, sparse, parallel=16 * n_shards,
+                                  n_shards=n_shards, dedup="cuckoo",
+                                  follow_links=True,
+                                  raw_dir=out_dir + ".disc_raw")
+    timings["crawl_discovery"] = time.perf_counter() - t0
+    n_discovered = dstats["n_seen"]
+    n_rounds = dstats["n_rounds"]
+
     # --- operator suite over testdata ---
     def timed(name, fn, consume="count"):
         t = time.perf_counter()
@@ -145,6 +159,9 @@ def run_bench() -> dict:
         "rows_per_sec": round(n_rows / crawl_sec, 1),
         "sustained_urls_per_sec": round(n_urls / sustained, 1),
         "n_seeds_ok": n_ok,
+        "discovery": {"n_seeds": len(sparse), "n_crawled": n_discovered,
+                      "n_rounds": n_rounds,
+                      "sec": round(timings["crawl_discovery"], 3)},
     }
     ray.shutdown()
     return out

@@ -165,7 +165,10 @@ def generate_corpus(n_hosts: int = 12, pages_per_host: int = 10, seed: int = 42,
             nxt_fmt = _FMTS[(idx + 1) % 3]
             links = [f"/img/{nxt}.{nxt_fmt}",
                      f"../img/{(k + 2) % npages}.{_FMTS[(idx + 2) % 3]}"]
-            other_host = hosts[(hi + 1) % len(hosts)]
+            # cross-host links form an expander (multiplicative stride), so
+            # sparse-seed discovery reaches every host in O(log n) rounds
+            # rather than O(n) around a ring
+            other_host = hosts[(hi * 7 + k + 1) % len(hosts)]
             if k % 3 == 0:
                 links.append(f"http://{other_host}/img/0.{_FMTS[0]}")
             if k % 7 == 0:

@@ -289,6 +289,19 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     t0 = _time.perf_counter()
     per_shard = max(1, parallel // n_shards)
     parts, host_to_shard = partition_seeds_balanced(seeds, n_shards)
+    # hosts that have no seeds yet (reachable only via discovery) still
+    # need an owner AND their fixture data in that owner's slice —
+    # otherwise link-following dies at the first unseeded host
+    known_hosts = set(host_to_shard)
+    for h in site.robots:
+        if h not in known_hosts:
+            host_to_shard[h] = url_hash64(h) % n_shards
+            known_hosts.add(h)
+    for url in site.responses:
+        h = host_key(url)
+        if h and h not in known_hosts:
+            host_to_shard[h] = url_hash64(h) % n_shards
+            known_hosts.add(h)
     t0 = _t("partition", t0)
     # per-shard site slices: each shard holds only its hosts' fixture data
     # (slicing is O(site); shipping+loading drops from O(site) PER SHARD
