@@ -56,6 +56,26 @@ class UrlSeenShard:
         n = len(keys)
         if n == 0:
             return np.zeros(0, dtype=bool)
+        if self.exact_verify and n <= 8:
+            # tiny-batch fast path (outlink discovery probes 2-3 keys per
+            # page): with the exact layer on, the DECISION is exactly
+            # exact-set membership; skip the vectorized bloom/cuckoo probe
+            # machinery but keep the filters updated for checkpoint parity
+            novel = np.zeros(n, dtype=bool)
+            exact = self.exact
+            fresh = []
+            for i, k in enumerate(keys):
+                ki = int(k)
+                if ki not in exact:
+                    novel[i] = True
+                    exact.add(ki)
+                    fresh.append(ki)
+            if fresh:
+                arr = np.array(fresh, dtype=_U64)
+                self.bloom.add_many(arr)
+                self.cuckoo.add_many(arr)
+                self.n_seen += len(fresh)
+            return novel
         # first-occurrence mask within the batch
         _, first_idx = np.unique(keys, return_index=True)
         first = np.zeros(n, dtype=bool)
