@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": analytics.lineitem_pricing,
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_nation": analytics.orders_by_nation,
+        "revenue_by_priority": analytics.revenue_by_priority,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -77,6 +78,7 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_pricing": analytics.LINEITEM_PRICING_SQL,
         "top_users_by_value": analytics.TOP_USERS_SQL,
         "orders_by_nation": analytics.ORDERS_BY_NATION_SQL,
+        "revenue_by_priority": analytics.REVENUE_BY_PRIORITY_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

@@ -265,3 +265,74 @@ SELECT c.c_nationkey,
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_nationkey
 """
+
+
+N_JOIN_BUCKETS = 16
+
+
+def revenue_by_priority(sf_dir: str):
+    """Both-sides-large partitioned hash join: lineitem ⋈ orders on
+    orderkey, revenue per order priority.
+
+    The portable Ray Data join pattern (no broadcast possible): add
+    ``bucket = key % B`` to both sides, union, groupby(bucket), and join
+    the two sides pairwise inside each bucket group with a pandas merge —
+    an explicit partitioned hash join with B=16 buckets. Skewed keys would
+    be salted into sub-buckets; orderkeys here are uniform.
+    Output: (o_orderpriority, n_items, revenue_cents).
+    """
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "key": df["l_orderkey"].astype("int64"),
+            "bucket": (df["l_orderkey"] % N_JOIN_BUCKETS).astype("int64"),
+            "side": 0, "rev_c": price * (100 - disc), "prio": "",
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "bucket": (df["o_orderkey"] % N_JOIN_BUCKETS).astype("int64"),
+            "side": 1, "rev_c": 0, "prio": df["o_orderpriority"],
+        })
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "rev_c"]]
+        o = g[g["side"] == 1][["key", "prio"]]
+        m = l.merge(o, on="key")
+        if len(m) == 0:
+            return pd.DataFrame({"o_orderpriority": pd.Series([], dtype="object"),
+                                 "n_items": pd.Series([], dtype="int64"),
+                                 "revenue_cents": pd.Series([], dtype="int64")})
+        out = m.groupby("prio", as_index=False).agg(
+            n_items=("key", "size"), revenue_cents=("rev_c", "sum"))
+        return out.rename(columns={"prio": "o_orderpriority"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("o_orderpriority", as_index=False).agg(
+            n_items=("n_items", "sum"), revenue_cents=("revenue_cents", "sum"))
+
+    return both.groupby("bucket").map_groups(join_bucket,
+                                             batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+REVENUE_BY_PRIORITY_SQL = """
+SELECT o.o_orderpriority,
+       count(*) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""

@@ -146,3 +146,15 @@ def test_cuckoo_dedup_mode(ray_session, corpus):
     ref = simulate(site, seeds, parallel=PARALLEL)
     assert set(urls) <= ref.url_seen
     assert len(set(urls)) >= len(ref.url_seen) * 0.95
+
+
+def test_parity_at_reference_default_parallel(ray_session, corpus):
+    """Same check at the reference's default politeness budget
+    (PARALLEL_DEFAULT = 20, crawler.cc:66)."""
+    _, site, seeds = corpus
+    oracle20 = simulate(site, seeds, parallel=20)
+    result, _ = run_crawl(site, seeds, parallel=20, n_fetchers=3)
+    got = [(d.seq, d.tick, d.handle, d.url) for d in result.saved]
+    want = [(d.seq, d.tick, d.handle, d.url) for d in oracle20.saved]
+    assert got == want
+    assert result.url_seen == oracle20.url_seen
