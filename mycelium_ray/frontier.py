@@ -63,8 +63,15 @@ class UrlClassifier:
     # ---- helpers ----
     @staticmethod
     def _negkey(host: str) -> tuple:
-        # max-host-first under heapq's min-heap: invert byte order
-        return tuple(255 - b for b in host.encode("utf-8", "surrogatepass"))
+        # max-host-first under heapq's min-heap: invert byte order. The
+        # trailing 256 sentinel (greater than any inverted byte) makes a
+        # prefix host compare GREATER than a host that extends it, matching
+        # C++ std::string operator< under std::priority_queue: 'a.com.mx'
+        # > 'a.com' lexicographically, so 'a.com.mx' is served first
+        # (Compare_hostname, Url_classifier.cc:112-115). Without the
+        # sentinel the inverted-prefix tuple is a min-heap prefix and the
+        # SHORTER host would pop first — the wrong order.
+        return tuple(255 - b for b in host.encode("utf-8", "surrogatepass")) + (256,)
 
     def _claim(self, q: _Queue, host: str) -> None:
         if q.host in self._by_host and self._by_host.get(q.host) is q:

@@ -167,8 +167,17 @@ class ReferenceSimulator:
             accepted = [u for u, nv in zip(accepted, novel) if nv]
         for u in accepted:
             # classifier keys on the *raw parsed* host (push happens before
-            # normalize, crawler.cc:1311; normalize happens at reschedule)
-            self.classifier.push(u.host, u.get())
+            # normalize, crawler.cc:1311; normalize happens at reschedule).
+            # In discovery mode (follow_links) — where reference-order
+            # parity is out of scope — key on the canonical authority
+            # instead, so case-variant spellings of one host share a single
+            # queue and per-host FIFO/politeness holds (outlink pushes in
+            # _discover/feed_canonical already use the canonical key).
+            if self.follow_links:
+                self.classifier.push(self._norm(u.get())[0].split("/")[2],
+                                     u.get())
+            else:
+                self.classifier.push(u.host, u.get())
 
     # ---- outlink discovery (M12 analog; rebuild extension) ----
     def _discover(self, base_canon: str, outlinks) -> None:

@@ -108,3 +108,39 @@ def test_checkpoint_roundtrip():
                     pass
     assert order1 == order2
     assert len(order1) == 6
+
+
+def test_prefix_host_max_first():
+    """C++ std::string order: 'a.com.mx' > 'a.com' (prefix extension is
+    GREATER), so the backlog serves 'a.com.mx' before 'a.com'. Golden
+    against the reference semantics (Compare_hostname under
+    std::priority_queue, Url_classifier.cc:112-115), not the shared class.
+    """
+    c = UrlClassifier(1)
+    c.push("q.test", "seed")     # claims queue 0
+    c.push("a.com", "short")     # parked
+    c.push("a.com.mx", "long")   # parked
+    c.pop(0)
+    assert c.peek(0) == ("a.com.mx", "long")
+    c.pop(0)
+    assert c.peek(0) == ("a.com", "short")
+
+
+def test_prefix_host_checkpoint_roundtrip_order():
+    from mycelium_ray.frontier import UrlClassifier as UC
+    c = UC(1)
+    c.push("q.test", "seed")
+    for h, p in [("b.x", "1"), ("b.x.y", "2"), ("b", "3")]:
+        c.push(h, p)
+    c2 = UC.from_records(1, c.to_records())
+    for cl in (c, c2):
+        cl.pop(0)
+        order = []
+        while True:
+            try:
+                host, _ = cl.peek(0)
+            except FrontierEmpty:
+                break
+            order.append(host)
+            cl.pop(0)
+        assert order == ["b.x.y", "b.x", "b"]

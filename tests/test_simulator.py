@@ -3,7 +3,7 @@ import numpy as np
 
 from mycelium_ray.corpus import generate_corpus, CONTENT_SIZE_LIMIT
 from mycelium_ray.http_headers import ContentType
-from mycelium_ray.simulator import ingest_filter, simulate
+from mycelium_ray.simulator import ReferenceSimulator, ingest_filter, simulate
 from mycelium_ray.transport import (
     CURLE_TOO_MANY_REDIRECTS, CURLE_WRITE_ERROR, FixtureTransport)
 
@@ -133,3 +133,23 @@ def test_simulator_parallel_levels_same_seen_set():
     for host, order in o1.items():
         if host.lower() not in aliased:
             assert o20.get(host) == order, f"order diverged for {host}"
+
+
+def test_discovery_mode_case_variant_host_single_queue():
+    """follow_links mode: 'HTTP://A.COM/x' and 'http://a.com/y' seeds must
+    land in ONE per-host queue (canonical-authority keying), so one host is
+    never fetched by two handles concurrently (ADVICE r01)."""
+    from mycelium_ray.corpus import Response, SiteGraph
+    site = SiteGraph()
+    site.hosts = ["a.com"]
+    site.robots["a.com"] = None
+    for p in ("x", "y"):
+        site.responses[f"http://a.com/{p}"] = Response(
+            status=200, content=b"\x89PNG", content_type="image/png")
+    sim = ReferenceSimulator(site, parallel=4, dedup="cuckoo",
+                             follow_links=True)
+    sim.feed(["http://A.COM/x", "http://a.com/y"])
+    bound = [q for q in sim.classifier._queues if q.q]
+    assert len(bound) == 1 and len(bound[0].q) == 2
+    res = sim.run()
+    assert len(res.saved) == 2
