@@ -125,35 +125,59 @@ def _signatures(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return bits @ (1 << np.arange(N_BITS))
 
 
-def ann_topk_lsh(sf_dir: str, k: int = TOPK):
+def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
     """Approximate top-k: multi-table random-hyperplane LSH; candidates
-    (any-table collision with the query) are exact-ranked. Probes ~L·n/2^b
-    of the corpus instead of all of it; recall vs brute force is asserted
-    in tests (testdata embeddings are unclustered — LSH's worst case — so
-    the floor there is modest)."""
+    (any-table collision with the query) are exact-ranked. Signatures are
+    computed FIRST and similarities only for the candidate subset — the
+    pruning is real: exact dot products run on ~L·n/2^b of the corpus, not
+    all of it (the amortized-at-scale cost is the signature pass, which a
+    persisted IVF/LSH index would precompute once). Per-batch partial
+    top-k caps the shuffle at k rows per query per batch. Recall vs brute
+    force and candidate-fraction ≪ 1 are asserted in tests (testdata
+    embeddings are unclustered — LSH's worst case — so the recall floor
+    there is modest). ``with_stats`` returns (table, {n_candidates,
+    n_scored_rows, n_rows_x_queries})."""
     qids, q = _query_matrix(sf_dir)
     planes = _hyperplanes(q.shape[1])
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     qsig = _signatures(qn, planes)  # (n_queries, N_TABLES)
     planes_ref = ray.put(planes)
-    q_ref = ray.put(q)
+    qn_ref = ray.put(qn)
     qsig_ref = ray.put(qsig)
 
     def bucket_and_score(df: pd.DataFrame) -> pd.DataFrame:
         pl = ray.get(planes_ref)
-        qm = ray.get(q_ref)
+        qnm = ray.get(qn_ref)
         qs = ray.get(qsig_ref)
-        vids, sims = _batch_sims(df, qm)
         m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
         sigs = _signatures(mn, pl)  # (rows, N_TABLES)
         rows = {"query_id": [], "vec_id": [], "sim": []}
-        for qi in range(sims.shape[1]):
+        n_rows = len(vids)
+        for qi in range(qs.shape[0]):
             cand = (sigs == qs[qi][None, :]).any(axis=1)
-            rows["query_id"].extend([int(qids[qi])] * int(cand.sum()))
-            rows["vec_id"].extend(vids[cand].tolist())
-            rows["sim"].extend(sims[cand, qi].tolist())
-        return pd.DataFrame(rows)
+            n_cand = int(cand.sum())
+            if n_cand == 0:
+                continue
+            # exact sims for the CANDIDATES only — the pruned matmul
+            sims_c = mn[cand] @ qnm[qi]
+            take = min(k, n_cand)
+            idx = np.argpartition(-sims_c, take - 1)[:take]
+            rows["query_id"].extend([int(qids[qi])] * take)
+            rows["vec_id"].extend(vids[cand][idx].tolist())
+            rows["sim"].extend(sims_c[idx].tolist())
+        out = pd.DataFrame(rows)
+        out["n_cand"] = 0
+        out["n_total"] = 0
+        if with_stats:
+            # one stats row per batch (query_id=-1 marks it)
+            nc = int((sigs[:, None, :] == qs[None, :, :]).any(axis=2).sum())
+            out = pd.concat([out, pd.DataFrame(
+                {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
+                 "n_cand": [nc], "n_total": [n_rows * qs.shape[0]]})],
+                ignore_index=True)
+        return out
 
     parts = _read_emb(sf_dir).map_batches(bucket_and_score,
                                           batch_format="pandas").to_pandas()
@@ -164,11 +188,17 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK):
         out["query_id"].extend([int(qid)] * len(g))
         out["rank"].extend(range(1, len(g) + 1))
         out["vec_id"].extend(g["vec_id"].astype(int).tolist())
-    return pa.table({
+    table = pa.table({
         "query_id": pa.array(out["query_id"], pa.int64()),
         "rank": pa.array(out["rank"], pa.int64()),
         "vec_id": pa.array(out["vec_id"], pa.int64()),
     })
+    if with_stats:
+        srows = parts[parts["query_id"] == -1]
+        stats = {"n_candidates": int(srows["n_cand"].sum()),
+                 "n_rows_x_queries": int(srows["n_total"].sum())}
+        return table, stats
+    return table
 
 
 # --------------------------------------------------------------------------
@@ -178,26 +208,45 @@ NEARDUP_THRESHOLD = 0.25  # testdata embeddings are unclustered; 0.25 yields
                           # a few hundred same-label pairs at sf0.001
 
 
+NEARDUP_BLOCK_ELEMS = 1 << 24  # ≤128 MiB f64 sim block per step
+
+
 def embedding_neardup(sf_dir: str, threshold: float = NEARDUP_THRESHOLD):
     """(vec_id_a, vec_id_b, sim_micro) for same-label pairs with cosine ≥
     threshold. Label blocking (groupby label → per-group matmul) keeps the
     pair space linear-ish and is the standard bucketed-pairs shape at scale.
-    sim_micro = floor(sim * 1e6) as int64 — float-hash-safe vs the oracle
-    (which casts the float32 lists to DOUBLE so both sides sum in f64)."""
+    Inside a label the matmul is BLOCKWISE (fixed-size row blocks against
+    the remaining suffix) so a hot label costs bounded peak memory instead
+    of O(label²) — one skewed key no longer OOMs its task (the further
+    scale path, banding by (label, lsh_bucket), trades recall and isn't
+    needed while per-label vectors fit a worker heap). sim_micro =
+    floor(sim * 1e6) as int64 — float-hash-safe vs the oracle (which casts
+    the float32 lists to DOUBLE so both sides sum in f64)."""
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = mn @ mn.T
         ids = g["vec_id"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        mask = sims[ia, ib] >= threshold
-        a = np.minimum(ids[ia[mask]], ids[ib[mask]])
-        b = np.maximum(ids[ia[mask]], ids[ib[mask]])
-        return pd.DataFrame({
-            "vec_id_a": a.astype("int64"),
-            "vec_id_b": b.astype("int64"),
-            "sim_micro": np.floor(sims[ia, ib][mask] * 1e6).astype("int64"),
-        })
+        n = len(ids)
+        block = max(16, NEARDUP_BLOCK_ELEMS // max(n, 1))
+        outs = []
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            # rectangle (rows i0:i1) × (cols i0:n); keep col > row only
+            sims = mn[i0:i1] @ mn[i0:].T
+            r, c = np.nonzero(sims >= threshold)
+            keep = (c + i0) > (r + i0)  # strict upper triangle, global idx
+            r, c = r[keep], c[keep]
+            gi, gj = ids[r + i0], ids[c + i0]
+            outs.append(pd.DataFrame({
+                "vec_id_a": np.minimum(gi, gj).astype("int64"),
+                "vec_id_b": np.maximum(gi, gj).astype("int64"),
+                "sim_micro": np.floor(sims[r, c] * 1e6).astype("int64"),
+            }))
+        if not outs:
+            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
+                                 "vec_id_b": pd.Series([], dtype="int64"),
+                                 "sim_micro": pd.Series([], dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
 
     ds = _read_emb(sf_dir).groupby("label").map_groups(
         pairs, batch_format="pandas")

@@ -4,13 +4,17 @@ Exact dedup (hash-partition + per-group first — the distributed form of the
 reference's upsert-by-key, /root/reference/src/common/Doc.cc:79 and A3/A4 in
 SURVEY.md §2.5), n-gram Jaccard pairs, MinHash+LSH near-dup, SimHash
 near-dup. All are map_batches → (pre-aggregate) → groupby shapes; the LSH
-variants shuffle only (band_hash → doc ids) candidate rows, never documents.
+variants shuffle only (band_hash → doc ids) candidate rows plus the doc
+payloads the verify stage actually references, never all-pairs.
 
 Scale notes: at 100 TB the exact-dedup groupby runs on 8-byte content
-hashes (not text); minhash emits B band rows per doc (B≈16) and the
-band-bucket groupby is the only all-to-all; verification joins fetch only
-candidate texts. Thresholded exact-Jaccard verification makes LSH output a
-subset of the exact pair set (no false positives by construction).
+hashes (not text); minhash emits B band rows per doc (B≈16); candidate
+VERIFICATION is fully distributed — pairs join back to the shingle
+dataset by doc_id and verify inside map_groups (nothing row-shaped ever
+reaches the driver; only the final thresholded pair set, which is the
+query result, is collected). Coarse 256-way bucketing keeps every shuffle
+group large enough to vectorize in pandas (one Ray group per raw key
+would mean one Python call per key — catastrophic at scale).
 """
 
 from __future__ import annotations
@@ -24,6 +28,16 @@ import ray.data as rd
 from ..hashing import splitmix64, url_hash64_many
 
 _U64 = np.uint64
+N_BUCKETS = 256  # coarse shuffle buckets; scale ∝ cluster size at 100 TB
+
+_POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)],
+                         dtype="uint8")
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array via byte-view LUT."""
+    return _POPCOUNT_LUT[x.view("uint8").reshape(len(x), 8)] \
+        .sum(axis=1).astype("int64")
 
 
 def _read_docs(sf_dir: str, n_blocks: int = 32):
@@ -31,6 +45,11 @@ def _read_docs(sf_dir: str, n_blocks: int = 32):
     # so per-doc CPU work (shingling, hashing) actually parallelizes
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).repartition(n_blocks)
+
+
+def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a, b) → one int64 key (doc ids < 2^31 in the corpus design)."""
+    return (a.astype("int64") << 32) | b.astype("int64")
 
 
 # --------------------------------------------------------------------------
@@ -81,74 +100,74 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
 
     Distributed shape: per-batch shingle hashing, then an inverted-index
     explode (shingle_hash → doc_id) + groupby to count intersections —
-    the same skeleton as the SQL oracle's unnest/join/group. Jaccard is one
-    IEEE division of two int counts, so value-hash comparison is exact.
+    the same skeleton as the SQL oracle's unnest/join/group. The per-doc
+    set size rides on every exploded row (constant per doc), so the final
+    reduce — sum n_inter per pair, one Jaccard division, threshold — runs
+    entirely inside a second bucketed groupby; the driver only collects
+    the thresholded result. Jaccard is one IEEE division of two int
+    counts, so value-hash comparison vs the oracle is exact.
     """
     docs = _read_docs(sf_dir)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         hs = _doc_shingle_hashes(df["text"].tolist())
-        return pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), [len(h) for h in hs]),
-            "sh": np.concatenate(hs).astype("int64") if hs else
-                  np.array([], dtype="int64"),
+        lens = np.array([len(h) for h in hs], dtype="int64")
+        sh = (np.concatenate(hs).astype("int64") if hs
+              else np.array([], dtype="int64"))
+        out = pd.DataFrame({
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "sh": sh,
+            "n_sh": np.repeat(lens, lens),
         })
-
-    ex = docs.map_batches(explode, batch_format="pandas")
-    # set sizes per doc
-    from ray.data.aggregate import Count, Sum
-    sizes = ex.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
-    sizes_df = sizes.to_pandas().set_index("doc_id")["n_sh"]
-
-    # pairwise intersections, bucketed: grouping by raw shingle would make
-    # ~n_docs×n_shingles tiny Ray groups (one Python call each); hashing
-    # shingles into 256 buckets keeps the shuffle coarse and does the
-    # per-shingle pairing vectorized in pandas inside each bucket
-    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df["bucket"] = (df["sh"].to_numpy().astype("uint64") % 256).astype("int64")
-        return df
+        # coarse bucketing: grouping by raw shingle would make ~n_docs ×
+        # n_shingles tiny Ray groups; 256 hash buckets keep the shuffle
+        # coarse with vectorized per-shingle pairing inside each bucket
+        out["bucket"] = (out["sh"].to_numpy().astype("uint64")
+                         % _U64(N_BUCKETS)).astype("int64")
+        return out
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="sh")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         if len(m) == 0:
-            return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
-                                 "doc_id_b": pd.Series([], dtype="int64"),
-                                 "n_inter": pd.Series([], dtype="int64")})
-        out = m.groupby(["doc_id_x", "doc_id_y"], as_index=False).size()
-        return out.rename(columns={"doc_id_x": "doc_id_a",
-                                   "doc_id_y": "doc_id_b",
-                                   "size": "n_inter"})
+            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                                 "n_inter": pd.Series([], dtype="int64"),
+                                 "na": pd.Series([], dtype="int64"),
+                                 "nb": pd.Series([], dtype="int64"),
+                                 "kb": pd.Series([], dtype="int64")})
+        m = m.assign(key=_pack_pair(m["doc_id_x"].to_numpy(),
+                                    m["doc_id_y"].to_numpy()))
+        out = m.groupby("key", as_index=False).agg(
+            n_inter=("key", "size"), na=("n_sh_x", "first"),
+            nb=("n_sh_y", "first"))
+        out["kb"] = (out["key"].to_numpy().astype("uint64")
+                     % _U64(N_BUCKETS)).astype("int64")
+        return out
 
-    cand = ex.map_batches(add_bucket, batch_format="pandas") \
-        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
-    # final reduce over the candidate-pair partials: pack the pair key into
-    # one int64 and sum with a single vectorized pandas groupby — the pair
-    # key space is dense enough that a full sort-shuffle is wasted work
-    parts = []
-    for batch in cand.iter_batches(batch_size=1 << 20, batch_format="pandas"):
-        key = (batch["doc_id_a"].to_numpy().astype("int64") << 32) \
-            | batch["doc_id_b"].to_numpy().astype("int64")
-        p = pd.DataFrame({"key": key, "n_inter": batch["n_inter"]})
-        parts.append(p.groupby("key", as_index=False)["n_inter"].sum())
-    if not parts:
-        pdf = pd.DataFrame({"doc_id_a": [], "doc_id_b": [], "n_inter": []})
-    else:
-        agg = pd.concat(parts).groupby("key", as_index=False)["n_inter"].sum()
-        pdf = pd.DataFrame({
-            "doc_id_a": (agg["key"].to_numpy() >> 32).astype("int64"),
-            "doc_id_b": (agg["key"].to_numpy() & 0xFFFFFFFF).astype("int64"),
-            "n_inter": agg["n_inter"].to_numpy(),
+    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # all partials of one pair land in this bucket (bucketed by pair
+        # key); sum intersections, one division, threshold — distributed
+        agg = g.groupby("key", as_index=False).agg(
+            n_inter=("n_inter", "sum"), na=("na", "first"),
+            nb=("nb", "first"))
+        key = agg["key"].to_numpy()
+        ni = agg["n_inter"].to_numpy()
+        jac = ni / (agg["na"].to_numpy() + agg["nb"].to_numpy() - ni)
+        keep = jac >= threshold
+        return pd.DataFrame({
+            "doc_id_a": (key[keep] >> 32).astype("int64"),
+            "doc_id_b": (key[keep] & 0xFFFFFFFF).astype("int64"),
+            "jaccard": jac[keep].astype("float64"),
         })
+
+    out = docs.map_batches(explode, batch_format="pandas") \
+        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
+        .groupby("kb").map_groups(reduce_pairs, batch_format="pandas")
+    pdf = out.to_pandas()  # final thresholded pairs only — the query result
     if len(pdf) == 0:
         return pa.table({"doc_id_a": pa.array([], pa.int64()),
                          "doc_id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    na = sizes_df.reindex(pdf["doc_id_a"]).to_numpy()
-    nb = sizes_df.reindex(pdf["doc_id_b"]).to_numpy()
-    jac = pdf["n_inter"].to_numpy() / (na + nb - pdf["n_inter"].to_numpy())
-    pdf = pdf.assign(jaccard=jac)
-    pdf = pdf[pdf["jaccard"] >= threshold]
     pdf = pdf.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.table({
         "doc_id_a": pa.array(pdf["doc_id_a"].astype("int64")),
@@ -204,17 +223,29 @@ def _minhash_sig(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
 def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
-    Pipeline: shingle+sign per batch → explode (band_id, band_hash, doc_id)
-    → groupby band bucket → candidate pairs → exact-Jaccard verify →
-    pairs ≥ threshold. Output ⊆ the exact pair set (verification removes
-    LSH false positives); recall is probabilistic (tested ≥ in pytest).
+    Fully distributed pipeline (nothing row-shaped touches the driver):
+
+    1. sign: one map_batches pass emits per-doc band rows (doc_id,
+       band_id, band_hash) with the doc's shingle-hash blob riding on its
+       band-0 row only; the signed dataset is materialized ONCE into the
+       object store because two consumers (banding, verify-join) read it
+       — at 100 TB this is the natural stage boundary you'd persist to
+       parquet for resume.
+    2. candidates: coarse band-hash-bucket groupby → vectorized pair
+       discovery per bucket (dedup within bucket).
+    3. verify join (symmetric two-hop): each candidate pair fans out to
+       two (join_key=doc_id, pair_key, side) rows, unioned with the
+       (join_key=doc_id, shingles) rows; groupby doc-id bucket attaches
+       the blob to each referencing side; groupby pair-key bucket brings
+       both sides of a pair together (cross-band duplicates collapse
+       here) and computes exact Jaccard.
+
+    Output ⊆ the exact pair set (verification removes LSH false
+    positives); recall is probabilistic (tested ≥0.8 in pytest).
     """
     seeds = splitmix64(np.arange(1, N_PERM + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
 
-    def sign(df: pd.DataFrame) -> pd.DataFrame:
-        """One distributed pass: band rows AND the doc's shingle hashes
-        (the verify stage needs the latter; recomputing them serially on
-        the driver was the original hot spot)."""
+    def sign(df: pd.DataFrame) -> pa.Table:
         rows = {"doc_id": [], "band_id": [], "band_hash": [], "shingles": []}
         for doc_id, text in zip(df["doc_id"], df["text"]):
             grams = sorted(set(_trigrams((text or "").split())))
@@ -229,51 +260,118 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
                 rows["band_hash"].append(bh)
                 # ship shingles once (band 0 rows only) to keep rows narrow
                 rows["shingles"].append(sh.tobytes() if b == 0 else b"")
-        return pd.DataFrame(rows)
+        return pa.table({
+            "doc_id": pa.array(rows["doc_id"], pa.int64()),
+            "band_id": pa.array(rows["band_id"], pa.int64()),
+            "band_hash": pa.array(rows["band_hash"], pa.int64()),
+            "shingles": pa.array(rows["shingles"], pa.binary()),
+        })
 
     signed = _read_docs(sf_dir).map_batches(
-        sign, batch_format="pandas").to_pandas()
-    sh_by_doc = {
-        int(d): np.frombuffer(s, dtype=_U64)
-        for d, s, b in zip(signed["doc_id"], signed["shingles"],
-                           signed["band_id"]) if b == 0}
-    bands_df = signed[["doc_id", "band_id", "band_hash"]].copy()
-    # coarse bucketing: grouping by raw (band_id, band_hash) makes ~one Ray
-    # group (and one Python call) per DOC; 256 hash buckets keep the
-    # shuffle coarse and pair discovery vectorized per bucket
-    bands_df["bucket"] = (bands_df["band_hash"] % 256).astype("int64")
-    bands = rd.from_pandas(bands_df)
+        sign, batch_format="pandas").materialize()
+
+    # ---- stage 2: candidate pairs from band-hash buckets ----
+    def band_bucket(t: pa.Table) -> pd.DataFrame:
+        df = t.select(["doc_id", "band_id", "band_hash"]).to_pandas()
+        df["bucket"] = (df["band_hash"].to_numpy().astype("uint64")
+                        % _U64(N_BUCKETS)).astype("int64")
+        return df
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on=["band_id", "band_hash"])
         m = m[m["doc_id_x"] < m["doc_id_y"]]
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "doc_id_a": m["doc_id_x"].astype("int64"),
             "doc_id_b": m["doc_id_y"].astype("int64"),
+        }).drop_duplicates()
+        return out
+
+    cand = signed.map_batches(band_bucket, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
+
+    # ---- stage 3: distributed exact-Jaccard verify ----
+    def pair_sides(df: pd.DataFrame) -> pa.Table:
+        pk = _pack_pair(df["doc_id_a"].to_numpy(), df["doc_id_b"].to_numpy())
+        jk = np.concatenate([df["doc_id_a"].to_numpy(),
+                             df["doc_id_b"].to_numpy()]).astype("int64")
+        return pa.table({
+            "jk": pa.array(jk, pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
+            "side": pa.array(np.concatenate([
+                np.zeros(len(pk), dtype="int64"),
+                np.ones(len(pk), dtype="int64")]), pa.int64()),
+            "shingles": pa.array([b""] * (2 * len(pk)), pa.binary()),
+            "jbucket": pa.array((jk.astype("uint64") % _U64(N_BUCKETS))
+                                .astype("int64"), pa.int64()),
         })
 
-    cand = bands.groupby("bucket") \
-        .map_groups(pairs_of_bucket, batch_format="pandas").to_pandas()
-    if len(cand) == 0:
+    def doc_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.filter(pc.equal(t["band_id"], 0))
+        jk = t["doc_id"].to_numpy()
+        n = len(t)
+        return pa.table({
+            "jk": pa.array(jk, pa.int64()),
+            "pk": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
+            "side": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
+            "shingles": t["shingles"],
+            "jbucket": pa.array((jk.astype("uint64") % _U64(N_BUCKETS))
+                                .astype("int64"), pa.int64()),
+        })
+
+    sides = cand.map_batches(pair_sides, batch_format="pandas")
+    docs = signed.map_batches(doc_rows, batch_format="pyarrow")
+
+    def attach_blob(g: pd.DataFrame) -> pd.DataFrame:
+        blobs = g[g["side"] < 0].drop_duplicates("jk").set_index("jk")["shingles"]
+        refs = g[g["side"] >= 0]
+        if len(refs) == 0:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                                 "side": pd.Series([], dtype="int64"),
+                                 "shingles": pd.Series([], dtype="object"),
+                                 "pbucket": pd.Series([], dtype="int64")})
+        sh = blobs.reindex(refs["jk"]).to_numpy()
+        out = pd.DataFrame({"pk": refs["pk"].to_numpy(),
+                            "side": refs["side"].to_numpy(),
+                            "shingles": sh})
+        out["pbucket"] = (out["pk"].to_numpy().astype("uint64")
+                          % _U64(N_BUCKETS)).astype("int64")
+        return out
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        # cross-band duplicate pair references collapse here
+        g = g.drop_duplicates(["pk", "side"])
+        piv = g.pivot(index="pk", columns="side", values="shingles")
+        rows = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
+        for pk, blob_a, blob_b in piv.itertuples(index=True):
+            sa = np.frombuffer(blob_a, dtype=_U64)
+            sb = np.frombuffer(blob_b, dtype=_U64)
+            inter = len(np.intersect1d(sa, sb))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= threshold:
+                rows["doc_id_a"].append(int(pk) >> 32)
+                rows["doc_id_b"].append(int(pk) & 0xFFFFFFFF)
+                rows["jaccard"].append(j)
+        return pd.DataFrame({
+            "doc_id_a": pd.Series(rows["doc_id_a"], dtype="int64"),
+            "doc_id_b": pd.Series(rows["doc_id_b"], dtype="int64"),
+            "jaccard": pd.Series(rows["jaccard"], dtype="float64"),
+        })
+
+    out = sides.union(docs) \
+        .groupby("jbucket").map_groups(attach_blob, batch_format="pandas") \
+        .groupby("pbucket").map_groups(verify, batch_format="pandas")
+    pdf = out.to_pandas()  # thresholded pairs only
+    if len(pdf) == 0:
         return pa.table({"doc_id_a": pa.array([], pa.int64()),
                          "doc_id_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
-    cand = cand.drop_duplicates().astype("int64")
-    out = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
-    for a, b in cand.itertuples(index=False):
-        sa, sb = sh_by_doc[a], sh_by_doc[b]
-        inter = len(np.intersect1d(sa, sb))
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 0.0
-        if j >= threshold:
-            out["doc_id_a"].append(a)
-            out["doc_id_b"].append(b)
-            out["jaccard"].append(j)
-    order = np.lexsort((out["doc_id_b"], out["doc_id_a"]))
+    pdf = pdf.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.table({
-        "doc_id_a": pa.array(np.asarray(out["doc_id_a"], dtype="int64")[order]),
-        "doc_id_b": pa.array(np.asarray(out["doc_id_b"], dtype="int64")[order]),
-        "jaccard": pa.array(np.asarray(out["jaccard"], dtype="float64")[order]),
+        "doc_id_a": pa.array(pdf["doc_id_a"].astype("int64")),
+        "doc_id_b": pa.array(pdf["doc_id_b"].astype("int64")),
+        "jaccard": pa.array(pdf["jaccard"].astype("float64")),
     })
 
 
@@ -299,34 +397,106 @@ def simhash(sf_dir: str):
     return _read_docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
 
 
-def simhash_neardup(sf_dir: str, max_hamming: int = 8):
-    """Pairs with simhash hamming distance ≤ max_hamming, via 4-segment
-    pigeonhole blocking (any pair within distance 8 must agree on ≥1 of 8
-    8-bit segments... we use 4 16-bit segments, guaranteed to share one when
-    distance ≤ 3; wider distances verified from the blocked candidates)."""
-    sims = simhash(sf_dir).to_pandas()
-    h = sims["simhash"].to_numpy().astype("uint64")
-    ids = sims["doc_id"].to_numpy()
-    cand = set()
-    for seg in range(4):
-        key = (h >> _U64(seg * 16)) & _U64(0xFFFF)
-        df = pd.DataFrame({"k": key, "i": np.arange(len(h))})
-        for _, g in df.groupby("k"):
-            idx = g["i"].to_numpy()
-            if len(idx) > 1:
-                ia, ib = np.triu_indices(len(idx), k=1)
-                cand.update(zip(idx[ia].tolist(), idx[ib].tolist()))
-    rows = {"doc_id_a": [], "doc_id_b": [], "hamming": []}
-    for i, j in cand:
-        d = bin(int(h[i] ^ h[j])).count("1")
-        if d <= max_hamming:
-            a, b = sorted((int(ids[i]), int(ids[j])))
-            rows["doc_id_a"].append(a)
-            rows["doc_id_b"].append(b)
-            rows["hamming"].append(d)
-    order = np.lexsort((rows["doc_id_b"], rows["doc_id_a"]))
+def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
+    """(shift, width) spans of max_hamming+1 disjoint segments covering the
+    64-bit hash. Pigeonhole: ≤ max_hamming flipped bits over max_hamming+1
+    disjoint segments leave at least one segment untouched → any true pair
+    matches exactly on ≥1 segment key, for ANY segment widths. Fewer, wider
+    segments (small d) mean exponentially fewer candidate collisions, so
+    the segment count adapts to the contract instead of being fixed."""
+    n_segs = max_hamming + 1
+    if not 1 <= n_segs <= 64:
+        raise ValueError(f"max_hamming={max_hamming} out of range [0, 63]")
+    base, extra = divmod(64, n_segs)
+    spans, shift = [], 0
+    for i in range(n_segs):
+        w = base + (1 if i < extra else 0)
+        spans.append((shift, w))
+        shift += w
+    return spans
+
+
+def simhash_neardup_pairs(sims_ds, max_hamming: int = 3):
+    """Distributed hamming-≤d pairs over a (doc_id, simhash) dataset.
+
+    Blocking: d+1 disjoint pigeonhole segments (see _simhash_segments) —
+    the candidate set is COMPLETE for the advertised max_hamming (the
+    round-1 4×16 scheme advertised d≤8 but was only complete for d≤3;
+    now the blocking always matches the contract). Verification
+    (vectorized popcount on the two hashes riding in each candidate row)
+    and cross-segment dedup both run inside bucketed map_groups — nothing
+    reaches the driver but the result. Candidate volume is ~n²·(d+1)/2^w
+    per segment of width w, so tighter contracts are dramatically cheaper;
+    d≤3 (4×16-bit segments) is the standard web-dedup operating point.
+    """
+    spans = _simhash_segments(max_hamming)
+
+    def explode_segments(df: pd.DataFrame) -> pd.DataFrame:
+        h = df["simhash"].to_numpy().astype("uint64")
+        ids = df["doc_id"].to_numpy().astype("int64")
+        segs = []
+        for seg, (shift, width) in enumerate(spans):
+            mask = _U64((1 << width) - 1)
+            key = ((h >> _U64(shift)) & mask).astype("int64")
+            segs.append(pd.DataFrame({
+                "seg": np.full(len(h), seg, dtype="int64"),
+                "key": key,
+                "doc_id": ids,
+                "simhash": h.astype("int64"),
+            }))
+        out = pd.concat(segs, ignore_index=True)
+        # bucket on (seg, key) so one Ray group holds many segment cells
+        out["bucket"] = ((out["seg"].to_numpy() * 65599 + out["key"].to_numpy())
+                         % N_BUCKETS).astype("int64")
+        return out
+
+    def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["seg", "key"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        if len(m) == 0:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64"),
+                                 "pbucket": pd.Series([], dtype="int64")})
+        m = m.drop_duplicates(["doc_id_x", "doc_id_y"])
+        x = m["simhash_x"].to_numpy().astype("uint64") ^ \
+            m["simhash_y"].to_numpy().astype("uint64")
+        ham = _popcount64(x)
+        keep = ham <= max_hamming
+        pk = _pack_pair(m["doc_id_x"].to_numpy()[keep],
+                        m["doc_id_y"].to_numpy()[keep])
+        return pd.DataFrame({
+            "pk": pk,
+            "hamming": ham[keep],
+            "pbucket": (pk.astype("uint64") % _U64(N_BUCKETS)).astype("int64"),
+        })
+
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("pk")
+        pk = g["pk"].to_numpy()
+        return pd.DataFrame({
+            "doc_id_a": (pk >> 32).astype("int64"),
+            "doc_id_b": (pk & 0xFFFFFFFF).astype("int64"),
+            "hamming": g["hamming"].to_numpy().astype("int64"),
+        })
+
+    out = sims_ds.map_batches(explode_segments, batch_format="pandas") \
+        .groupby("bucket").map_groups(seg_pairs, batch_format="pandas") \
+        .groupby("pbucket").map_groups(dedup_pairs, batch_format="pandas")
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({"doc_id_a": pa.array([], pa.int64()),
+                         "doc_id_b": pa.array([], pa.int64()),
+                         "hamming": pa.array([], pa.int64())})
+    pdf = pdf.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
     return pa.table({
-        "doc_id_a": pa.array(np.asarray(rows["doc_id_a"], dtype="int64")[order]),
-        "doc_id_b": pa.array(np.asarray(rows["doc_id_b"], dtype="int64")[order]),
-        "hamming": pa.array(np.asarray(rows["hamming"], dtype="int64")[order]),
+        "doc_id_a": pa.array(pdf["doc_id_a"].astype("int64")),
+        "doc_id_b": pa.array(pdf["doc_id_b"].astype("int64")),
+        "hamming": pa.array(pdf["hamming"].astype("int64")),
     })
+
+
+def simhash_neardup(sf_dir: str, max_hamming: int = 3):
+    """Pairs with simhash hamming distance ≤ max_hamming. The blocking is
+    pigeonhole-complete for whatever contract is requested (d+1 segments);
+    the default d≤3 matches standard web-scale simhash dedup practice."""
+    return simhash_neardup_pairs(simhash(sf_dir), max_hamming=max_hamming)

@@ -1,11 +1,16 @@
 """Perceptual near-duplicate detection over image rows (SURVEY.md §2.7:
 "Graft adds phash:int64 column; near-dup = groupby on phash bands").
 
-Banding: a 64-bit phash splits into 4 × 16-bit bands; images within
-hamming distance ≤ 3×(bands-1)... pigeonhole: any pair within hamming d
-agree on at least one band when d < n_bands. Candidates (any-band match)
-are verified with exact hamming distance. Same skeleton as the text
-SimHash pairs — map_batches banding → coarse-bucket groupby → verify.
+Banding: a 64-bit phash splits into 8 × 8-bit segments; by pigeonhole any
+pair within hamming distance d < 8 agrees on at least one segment, so the
+candidate set is COMPLETE for the default max_hamming=6 contract.
+Candidates (any-band match) are verified with exact hamming distance —
+vectorized popcount on the two hashes riding in each candidate row, INSIDE
+the bucketed map_groups; a second pair-key-bucketed groupby collapses
+cross-band duplicates. Nothing row-shaped reaches the driver except the
+final thresholded pair set (the query result). Same skeleton as the text
+SimHash pairs (pipelines/dedup.py:simhash_neardup_pairs); ids here are
+strings, so the pair key is a hash-bucket column rather than a packed int.
 """
 
 from __future__ import annotations
@@ -16,7 +21,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-N_BANDS = 4  # 16-bit bands over the 64-bit phash
+from .dedup import N_BUCKETS, _popcount64, _simhash_segments
 
 
 def phash_neardup(ds_or_table, max_hamming: int = 6,
@@ -25,7 +30,11 @@ def phash_neardup(ds_or_table, max_hamming: int = 6,
 
     Input: a ray.data.Dataset or pyarrow Table with (id_col, phash_col).
     Output: pa.Table (id_a, id_b, hamming), id_a < id_b lexicographically.
+    Banding is d+1 disjoint pigeonhole segments (shared with the text
+    simhash op) — complete for the advertised contract at the lowest
+    candidate-collision rate the guarantee allows.
     """
+    spans = _simhash_segments(max_hamming)
     if isinstance(ds_or_table, pa.Table):
         ds = rd.from_arrow(ds_or_table.select([id_col, phash_col]))
     else:
@@ -34,12 +43,13 @@ def phash_neardup(ds_or_table, max_hamming: int = 6,
     def bands(df: pd.DataFrame) -> pd.DataFrame:
         h = df[phash_col].to_numpy().astype("uint64")
         out = []
-        for b in range(N_BANDS):
-            band_val = ((h >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype("int64")
+        for b, (shift, width) in enumerate(spans):
+            mask = np.uint64((1 << width) - 1)
+            band_val = ((h >> np.uint64(shift)) & mask).astype("int64")
             out.append(pd.DataFrame({
                 "id": df[id_col], "phash": h.astype("int64"),
                 "band": b, "band_val": band_val,
-                "bucket": (band_val % 64).astype("int64"),
+                "bucket": ((b * 65599 + band_val) % N_BUCKETS).astype("int64"),
             }))
         return pd.concat(out, ignore_index=True)
 
@@ -47,32 +57,41 @@ def phash_neardup(ds_or_table, max_hamming: int = 6,
         m = g.merge(g, on=["band", "band_val"])
         m = m[m["id_x"] < m["id_y"]]
         if len(m) == 0:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="object"),
-                                 "id_b": pd.Series([], dtype="object"),
-                                 "ph_a": pd.Series([], dtype="int64"),
-                                 "ph_b": pd.Series([], dtype="int64")})
+            return pd.DataFrame({"id_a": pd.Series([], dtype="str"),
+                                 "id_b": pd.Series([], dtype="str"),
+                                 "hamming": pd.Series([], dtype="int64"),
+                                 "pbucket": pd.Series([], dtype="int64")})
         m = m.drop_duplicates(subset=["id_x", "id_y"])
-        return pd.DataFrame({"id_a": m["id_x"], "id_b": m["id_y"],
-                             "ph_a": m["phash_x"], "ph_b": m["phash_y"]})
+        # verify HERE: both hashes are in the pair row already
+        x = m["phash_x"].to_numpy().astype("uint64") ^ \
+            m["phash_y"].to_numpy().astype("uint64")
+        ham = _popcount64(x)
+        keep = ham <= max_hamming
+        m = m[keep]
+        return pd.DataFrame({
+            "id_a": m["id_x"].astype(str),
+            "id_b": m["id_y"].astype(str),
+            "hamming": ham[keep],
+            "pbucket": (pd.util.hash_pandas_object(
+                (m["id_x"] + "\x00" + m["id_y"]).reset_index(drop=True),
+                index=False).to_numpy() % N_BUCKETS).astype("int64"),
+        })
 
-    cand = ds.map_batches(bands, batch_format="pandas") \
+    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=["id_a", "id_b"])
+        return g[["id_a", "id_b", "hamming"]]
+
+    out = ds.map_batches(bands, batch_format="pandas") \
         .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
-        .to_pandas()
-    if len(cand) == 0:
+        .groupby("pbucket").map_groups(dedup_pairs, batch_format="pandas")
+    pdf = out.to_pandas()
+    if len(pdf) == 0:
         return pa.table({"id_a": pa.array([], pa.string()),
                          "id_b": pa.array([], pa.string()),
                          "hamming": pa.array([], pa.int64())})
-    cand = cand.drop_duplicates(subset=["id_a", "id_b"])
-    x = cand["ph_a"].to_numpy().astype("uint64") ^ \
-        cand["ph_b"].to_numpy().astype("uint64")
-    # vectorized popcount via byte-view + lookup table
-    lut = np.array([bin(i).count("1") for i in range(256)], dtype="uint8")
-    ham = lut[x.view("uint8").reshape(len(x), 8)].sum(axis=1).astype("int64")
-    keep = ham <= max_hamming
-    out = cand[keep].assign(hamming=ham[keep])
-    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     return pa.table({
-        "id_a": pa.array(out["id_a"].astype(str)),
-        "id_b": pa.array(out["id_b"].astype(str)),
-        "hamming": pa.array(out["hamming"].astype("int64")),
+        "id_a": pa.array(pdf["id_a"].astype(str)),
+        "id_b": pa.array(pdf["id_b"].astype(str)),
+        "hamming": pa.array(pdf["hamming"].astype("int64")),
     })

@@ -114,3 +114,106 @@ def test_urlseen_no_false_drops(keys):
     for k, novel in zip(keys, out):
         assert novel == (k not in seen)
         seen.add(k)
+
+
+def test_simhash_neardup_pigeonhole_complete(ray_session):
+    """A hamming-6 pair that disagrees on ALL four 16-bit segments (the
+    round-1 blocking scheme's blind spot) must be found by the 8x8-bit
+    segment blocking, which is pigeonhole-complete for d <= 7."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from mycelium_ray.pipelines.dedup import simhash_neardup_pairs
+
+    a = np.uint64(0x123456789ABCDEF0)
+    # flip bits 1,17,33,49 (one per 16-bit segment) plus 2 more in seg 0:
+    # every 16-bit segment differs, but 8-bit segments 1,3,5,7 (bits 8-15,
+    # 24-31, 40-47, 56-63) are untouched
+    flips = (np.uint64(1) << np.array([1, 2, 3, 17, 33, 49], dtype=np.uint64))
+    b = a
+    for f in flips:
+        b ^= f
+    assert bin(int(a ^ b)).count("1") == 6
+    for seg in range(4):  # shares no 16-bit segment
+        assert (int(a) >> (16 * seg)) & 0xFFFF != (int(b) >> (16 * seg)) & 0xFFFF
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "simhash": np.array([a, b, np.uint64(0xFFFFFFFFFFFFFFFF ^ a)])
+        .astype("int64"),
+    }))
+    out = simhash_neardup_pairs(ds, max_hamming=7).to_pandas()
+    assert list(zip(out["doc_id_a"], out["doc_id_b"])) == [(1, 2)]
+    assert out["hamming"].tolist() == [6]
+
+
+def test_simhash_neardup_adaptive_segments_complete_any_d(ray_session):
+    """Segments adapt to the contract (d+1 disjoint spans): a planted
+    hamming-8 pair is found at max_hamming=8, missed at max_hamming=3."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from mycelium_ray.pipelines.dedup import (_simhash_segments,
+                                              simhash_neardup_pairs)
+    assert sum(w for _, w in _simhash_segments(3)) == 64
+    assert len(_simhash_segments(3)) == 4
+    assert sum(w for _, w in _simhash_segments(8)) == 64
+    a = np.uint64(0x0F0F0F0F0F0F0F0F)
+    b = a ^ np.uint64(0x0101010101010101)  # 8 flipped bits, one per byte
+    assert bin(int(a ^ b)).count("1") == 8
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "simhash": np.array([a, b]).astype("int64")}))
+    out8 = simhash_neardup_pairs(ds, max_hamming=8).to_pandas()
+    assert list(zip(out8["doc_id_a"], out8["doc_id_b"])) == [(1, 2)]
+    out3 = simhash_neardup_pairs(ds, max_hamming=3).to_pandas()
+    assert len(out3) == 0  # distance 8 > contract 3: correctly excluded
+
+
+def test_ann_lsh_actually_prunes(ray_session):
+    """Signatures gate the exact matmul: scored candidate fraction must be
+    well below 1 (round-1 computed exact sims for every row and only
+    filtered afterwards)."""
+    from mycelium_ray.pipelines.ann import ann_topk_lsh
+    _, stats = ann_topk_lsh("/root/testdata/sf0.001", with_stats=True)
+    assert stats["n_rows_x_queries"] > 0
+    frac = stats["n_candidates"] / stats["n_rows_x_queries"]
+    assert frac < 0.5, frac
+
+
+def test_embedding_neardup_blockwise_matches_full_matmul(ray_session, tmp_path):
+    """A skewed label (one label owns nearly all vectors) must produce the
+    same pair set as a full O(n^2) matmul — blockwise split is invisible."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mycelium_ray.pipelines import ann
+
+    rng = np.random.default_rng(7)
+    n, dim = 300, 16
+    emb = rng.standard_normal((n, dim)).astype(np.float32)
+    emb[1] = emb[0] + 0.01 * emb[1]          # planted near-dup
+    labels = np.zeros(n, dtype=np.int64)     # one hot label
+    labels[-3:] = 1
+    pq.write_table(pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "label": pa.array(labels, pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float32())),
+    }), tmp_path / "embeddings.parquet")
+
+    old = ann.NEARDUP_BLOCK_ELEMS
+    ann.NEARDUP_BLOCK_ELEMS = 64 * n  # force many small blocks (block≈64)
+    try:
+        got = ann.embedding_neardup(str(tmp_path), threshold=0.3).to_pandas()
+    finally:
+        ann.NEARDUP_BLOCK_ELEMS = old
+
+    e = emb.astype(np.float64)
+    en = e / np.linalg.norm(e, axis=1, keepdims=True)
+    sims = en @ en.T
+    want = set()
+    for i in range(n):
+        for j in range(i + 1, n):
+            if labels[i] == labels[j] and sims[i, j] >= 0.3:
+                want.add((i, j))
+    assert set(zip(got["vec_id_a"], got["vec_id_b"])) == want
+    assert (0, 1) in want
