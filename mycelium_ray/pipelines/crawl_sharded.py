@@ -44,6 +44,8 @@ class PlannerShard:
         self.follow_links = follow_links
         self.n_shards = n_shards
         self.crawler = None
+        self._peers = None
+        self._host_to_shard: dict = {}
 
     def load_site(self, site_blob, host_to_shard: dict | None = None,
                   store_root: str | None = None, checkpoint_every: int = 0,
@@ -67,6 +69,7 @@ class PlannerShard:
         if store_root is not None:
             store = TableStore(os.path.join(store_root,
                                             f"shard={self.shard_id:03d}"))
+        self._host_to_shard = host_to_shard or {}
         resumed = False
         if resume and store is not None and store.blob_versions("crawl_ckpt"):
             self.crawler = RayCrawler.restore(site, store, n_fetchers=0)
@@ -120,8 +123,18 @@ class PlannerShard:
     def feed_canonical(self, canon_urls: list[str]) -> int:
         return self.crawler.feed_canonical(canon_urls)
 
+    def set_peers(self, peers: list) -> None:
+        """Actor handles of all shards (self included) for direct
+        shard-to-shard discovery-link exchange — foreign outlinks flow
+        actor→actor by the ownership map; the driver never touches link
+        strings, only counters (the 10^10-URL frontier would OOM a
+        driver-side exchange)."""
+        self._peers = peers
+
+    enqueue_links = feed_canonical  # peer-facing alias (seen-filter at owner)
+
     def run(self, raw_dir: str | None = None, round_no: int = 1,
-            stop_after_waves: int = 0) -> dict:
+            stop_after_waves: int = 0, collect_url_seen: bool = False) -> dict:
         """Crawl until this shard's frontier drains.
 
         With ``raw_dir`` the shard publishes its fetched batches as
@@ -166,16 +179,41 @@ class PlannerShard:
                 "checksum": (int(np.bitwise_xor.reduce(h).astype(np.int64))
                              if len(h) else 0),
             })
+        # shard-to-shard exchange: route foreign links DIRECTLY to their
+        # owner shards (fire-and-forget; the returned refs let the driver
+        # barrier on delivery + collect enqueued counts). Peer messages
+        # queue behind the target actor's current run() and execute before
+        # its next round — no link string ever crosses the driver.
+        enqueue_refs = []
+        n_foreign_sent = 0
+        if foreign:
+            by_owner: dict[int, list[str]] = {}
+            for cu in foreign:
+                h = host_key(cu)
+                owner = self._host_to_shard.get(h,
+                                                url_hash64(h) % self.n_shards)
+                by_owner.setdefault(owner, []).append(cu)
+            for owner, links in sorted(by_owner.items()):
+                n_foreign_sent += len(links)
+                if self._peers is not None and owner != self.shard_id:
+                    enqueue_refs.append(
+                        self._peers[owner].enqueue_links.remote(links))
+                elif owner == self.shard_id:
+                    self.crawler.feed_canonical(links)
+                else:  # no peers wired (single-shard/test mode): keep local
+                    self.crawler.feed_canonical(links)
         return {
             "shard": self.shard_id,
             "n_saved": len(res.saved),
             "n_seen": len(res.url_seen),
             "batches": [] if raw_dir is not None else tables,
             "files": written,
-            "url_seen": res.url_seen,
+            "url_seen": res.url_seen if collect_url_seen else None,
             "metrics": dict(self.crawler.metrics),
             "lineage": lineage,
-            "foreign_links": foreign,
+            "enqueue_refs": enqueue_refs,
+            "n_foreign_sent": n_foreign_sent,
+            "frontier_size": self.crawler.classifier.size(),
             "run_sec": run_sec,
         }
 
@@ -270,7 +308,8 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                       raw_dir: str | None = None,
                       store_root: str | None = None,
                       checkpoint_every: int = 0,
-                      resume: bool = False):
+                      resume: bool = False,
+                      collect_url_seen: bool = False):
     """Returns (stats: dict, decoded ray.data.Dataset).
 
     When ``store`` (a TableStore) is given, per-shard metrics and
@@ -320,6 +359,8 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                                           store_root, checkpoint_every,
                                           resume)
                        for s, ref in zip(shards, slice_refs)])
+    if n_shards > 1:
+        ray.get([s.set_peers.remote(shards) for s in shards])
     t0 = _t("spawn+load", t0)
     # a resumed shard's frontier/seen state came from its checkpoint —
     # re-feeding the seed list would enqueue everything twice
@@ -340,25 +381,34 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     results = []
     while True:
         n_rounds += 1
-        results = ray.get([s.run.remote(raw_dir, n_rounds) for s in shards])
-        foreign_by_shard: list[list[str]] = [[] for _ in range(n_shards)]
+        results = ray.get([s.run.remote(raw_dir, n_rounds,
+                                        collect_url_seen=collect_url_seen)
+                           for s in shards])
+        enqueue_refs = []
+        pending_local = 0
         for r in results:
             all_tables.extend(r["batches"])
             all_files.extend(r["files"])
-            url_seen |= r["url_seen"]
-            for cu in r["foreign_links"]:
-                h = host_key(cu)
-                owner = host_to_shard.get(h, url_hash64(h) % n_shards)
-                foreign_by_shard[owner].append(cu)
+            if collect_url_seen and r["url_seen"] is not None:
+                url_seen |= r["url_seen"]
+            enqueue_refs.extend(r["enqueue_refs"])
+            pending_local += r["frontier_size"]
             for ln in r["lineage"]:
                 lineage_rows.append({**ln, "round": n_rounds})
-        if not any(foreign_by_shard):
-            break
-        fed = ray.get([s.feed_canonical.remote(links)
-                       for s, links in zip(shards, foreign_by_shard)])
-        if sum(fed) == 0:
+        # barrier on peer deliveries (counters only — link strings flow
+        # shard→shard, never through the driver)
+        fed = sum(ray.get(enqueue_refs)) if enqueue_refs else 0
+        if fed == 0 and pending_local == 0:
             break
     t0 = _t("run+rounds", t0)
+    # shards are done (row data is on disk / in driver-held tables): kill
+    # the actors NOW so their processes + site slices don't sit on the
+    # cluster for the rest of the job (a leaked 32-actor pool per crawl
+    # was the round-1 driver-bench slowdown: every later stage ran
+    # against the dead weight of earlier stages' pools)
+    for s in shards:
+        ray.kill(s)
+    del slice_refs
     # shard-level counters are cumulative; take the final round's values
     n_saved = sum(r["n_saved"] for r in results)
     metrics_rows = [{"shard": r["shard"], "rounds": n_rounds, **r["metrics"]}
@@ -402,9 +452,14 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         ds.write_parquet(out_dir)
         ds = rd.read_parquet(out_dir)
     t0 = _t("decode-write", t0)
-    stats = {"n_saved": n_saved, "n_seen": len(url_seen),
+    # hosts are disjoint across shards, so per-shard seen counts sum
+    # exactly; the url string set itself is test-only (flag-gated)
+    stats = {"n_saved": n_saved,
+             "n_seen": (len(url_seen) if collect_url_seen
+                        else sum(r["n_seen"] for r in results)),
              "n_shards": n_shards, "parallel": parallel,
-             "url_seen": url_seen, "n_rounds": n_rounds,
+             "url_seen": url_seen if collect_url_seen else None,
+             "n_rounds": n_rounds,
              "metrics": metrics_rows, "lineage": lineage_rows,
              "sustained_sec": sustained_sec}
     return stats, ds

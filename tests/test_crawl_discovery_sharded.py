@@ -19,7 +19,7 @@ def test_sharded_discovery_matches_serial(ray_session, tmp_path):
     serial = sim.run()
 
     store = TableStore(str(tmp_path))
-    stats, ds = run_crawl_sharded(site, seeds, parallel=8, n_shards=2,
+    stats, ds = run_crawl_sharded(site, seeds, parallel=8, collect_url_seen=True, n_shards=2,
                                   dedup="cuckoo", follow_links=True,
                                   store=store)
     # discovery converges and covers the same url set as the serial engine

@@ -25,14 +25,14 @@ def test_partition_seeds_host_affinity():
 
 def test_sharded_crawl_seen_set_and_per_host_order(ray_session):
     _, site, seeds = generate_corpus(n_hosts=8, pages_per_host=4, seed=42)
-    stats, ds = run_crawl_sharded(site, seeds, parallel=8, n_shards=2)
+    stats, ds = run_crawl_sharded(site, seeds, parallel=8, collect_url_seen=True, n_shards=2)
 
     # seen set matches the serial reference (membership is N-invariant)
     ref = simulate(site, seeds, parallel=8)
     assert stats["url_seen"] == ref.url_seen
 
     # single-shard mode reproduces the global reference order exactly
-    stats1, _ = run_crawl_sharded(site, seeds, parallel=8, n_shards=1)
+    stats1, _ = run_crawl_sharded(site, seeds, parallel=8, collect_url_seen=True, n_shards=1)
     assert stats1["url_seen"] == ref.url_seen
 
     # decoded dataset covers the fetched images
@@ -46,7 +46,7 @@ def test_sharded_crawl_seen_set_and_per_host_order(ray_session):
 
 def test_sharded_cuckoo_dedup(ray_session):
     _, site, seeds = generate_corpus(n_hosts=8, pages_per_host=4, seed=42)
-    stats, _ = run_crawl_sharded(site, seeds, parallel=8, n_shards=2,
+    stats, _ = run_crawl_sharded(site, seeds, parallel=8, collect_url_seen=True, n_shards=2,
                                  dedup="cuckoo")
     # with per-shard cuckoo filters no canonical url is fetched twice
     ref = simulate(site, seeds, parallel=8)

@@ -29,7 +29,7 @@ def test_sharded_preempt_resume_byte_identical(ray_session, tmp_path):
     root_b = str(tmp_path / "b")
 
     # uninterrupted run, checkpointing along the way
-    stats_a, _ = cs.run_crawl_sharded(site, seeds, parallel=PARALLEL,
+    stats_a, _ = cs.run_crawl_sharded(site, seeds, parallel=PARALLEL, collect_url_seen=True,
                                       n_shards=N_SHARDS,
                                       store_root=root_a, checkpoint_every=4)
 
@@ -51,7 +51,7 @@ def test_sharded_preempt_resume_byte_identical(ray_session, tmp_path):
         ray.kill(s)  # the "killed ray job"
 
     # resume from the checkpoints and run to completion
-    stats_b, _ = cs.run_crawl_sharded(site, seeds, parallel=PARALLEL,
+    stats_b, _ = cs.run_crawl_sharded(site, seeds, parallel=PARALLEL, collect_url_seen=True,
                                       n_shards=N_SHARDS,
                                       store_root=root_b, checkpoint_every=4,
                                       resume=True)
