@@ -66,7 +66,12 @@ _CT_CHAIN = [
 
 
 _SEP_SET = frozenset('()<>@,;\\:"/[]?={}\t')  # utils.cc:613 separator class
+_SEP_SEARCH = re.compile(r'[()<>@,;\\:"/\[\]?={}\t]').search
 _LINE_SPLIT = re.compile(r"[\n\r]")
+# content-type VALUES repeat across millions of responses while full header
+# blocks don't (Content-Length/ETag vary): memoize the chain+charset scan
+# on the value string — this runs twice per fetched URL in the planner
+_CT_CACHE: dict[str, tuple["ContentType", str]] = {}
 
 
 def parse_http_headers(headers: str):
@@ -89,17 +94,24 @@ def parse_http_headers(headers: str):
         name, colon, value = line.partition(":")
         if not colon or not name or not value:
             continue
-        if any(c in _SEP_SET for c in name):
+        if _SEP_SEARCH(name):
             continue
         if name.lower() == "content-type":
-            ctype = ContentType.UNRECOGNIZED
-            for needle, ct in _CT_CHAIN:
-                if needle in value:
-                    ctype = ct
-                    break
-            cm = _CHARSET_RE.search(value)
-            if cm:
-                charset = cm.group(1)
+            hit = _CT_CACHE.get(value)
+            if hit is None:
+                ctype = ContentType.UNRECOGNIZED
+                for needle, ct in _CT_CHAIN:
+                    if needle in value:
+                        ctype = ct
+                        break
+                cm = _CHARSET_RE.search(value)
+                cs = cm.group(1) if cm else ""
+                if len(_CT_CACHE) < 4096:
+                    _CT_CACHE[value] = (ctype, cs)
+                hit = (ctype, cs)
+            ctype, cs = hit
+            if cs:
+                charset = cs
         headermap[name] = value
     return ctype, charset, headermap
 

@@ -417,6 +417,7 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     # time, excluding cluster bring-up (actor spawn / site distribution) —
     # the BASELINE.md "sustained fetch+dedup throughput" surface
     sustained_sec = max(r["run_sec"] for r in results)
+    run_secs = sorted(r["run_sec"] for r in results)
     if store is not None:
         v = (store.latest_version("metrics") or 0) + 1
         store.write("metrics", pa.Table.from_pylist(metrics_rows), v)
@@ -461,5 +462,5 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
              "url_seen": url_seen if collect_url_seen else None,
              "n_rounds": n_rounds,
              "metrics": metrics_rows, "lineage": lineage_rows,
-             "sustained_sec": sustained_sec}
+             "sustained_sec": sustained_sec, "run_secs": run_secs}
     return stats, ds

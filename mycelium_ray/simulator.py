@@ -160,6 +160,14 @@ class ReferenceSimulator:
     def feed(self, seed_lines: list[str]) -> None:
         accepted, rejected = ingest_filter(seed_lines)
         self.result.rejected_seeds.extend(rejected)
+        # pre-warm the normalize memo from the ALREADY-PARSED Url objects:
+        # _norm would otherwise re-parse every queued string from scratch
+        # on first peek (copy+normalize is ~half the parse+normalize cost)
+        for u in accepted:
+            raw = u.get()
+            if raw not in self._norm_cache:
+                n = u.copy().normalize()
+                self._norm_cache[raw] = (n.get(), n.host, n.path.get())
         if self.seen is not None:
             canon = [self._norm(u.get())[0] for u in accepted]
             novel = self.seen.check_and_insert_urls(canon)
