@@ -267,7 +267,16 @@ GROUP BY c.c_nationkey
 """
 
 
-N_JOIN_BUCKETS = 16
+def _n_join_buckets() -> int:
+    """Partitioned-join bucket count scales with the cluster (≈4 buckets
+    per CPU for scheduling slack, floor 16) instead of a constant that
+    would cap join parallelism at 16 tasks on a 256-node cluster."""
+    try:
+        import ray
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(16, 4 * cpus)
 
 
 def revenue_by_priority(sf_dir: str):
@@ -277,10 +286,11 @@ def revenue_by_priority(sf_dir: str):
     The portable Ray Data join pattern (no broadcast possible): add
     ``bucket = key % B`` to both sides, union, groupby(bucket), and join
     the two sides pairwise inside each bucket group with a pandas merge —
-    an explicit partitioned hash join with B=16 buckets. Skewed keys would
+    an explicit partitioned hash join with B ∝ cluster CPUs. Skewed keys would
     be salted into sub-buckets; orderkeys here are uniform.
     Output: (o_orderpriority, n_items, revenue_cents).
     """
+    n_buckets = _n_join_buckets()
     li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
                          columns=["l_orderkey", "l_extendedprice",
                                   "l_discount"])
@@ -292,14 +302,14 @@ def revenue_by_priority(sf_dir: str):
         disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
         return pd.DataFrame({
             "key": df["l_orderkey"].astype("int64"),
-            "bucket": (df["l_orderkey"] % N_JOIN_BUCKETS).astype("int64"),
+            "bucket": (df["l_orderkey"] % n_buckets).astype("int64"),
             "side": 0, "rev_c": price * (100 - disc), "prio": "",
         })
 
     def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "key": df["o_orderkey"].astype("int64"),
-            "bucket": (df["o_orderkey"] % N_JOIN_BUCKETS).astype("int64"),
+            "bucket": (df["o_orderkey"] % n_buckets).astype("int64"),
             "side": 1, "rev_c": 0, "prio": df["o_orderpriority"],
         })
 

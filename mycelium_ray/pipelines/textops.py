@@ -42,16 +42,22 @@ def _tokens(series: pd.Series) -> pd.Series:
 # --------------------------------------------------------------------------
 # token_count: (doc_id, n_tokens)
 # --------------------------------------------------------------------------
-def token_count_batch(df: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({
-        "doc_id": df["doc_id"],
-        "n_tokens": _tokens(df["text"]).str.len().astype("int64"),
+def token_count_batch(t: pa.Table) -> pa.Table:
+    """Arrow-native: a token is one ``\\S+`` run (RE2), identical to the
+    oracle's ``string_split_regex(trim(text), '\\s+')`` length — counted
+    without materializing the split (zero-copy in, no pandas boxing)."""
+    import pyarrow.compute as pc
+    text = pc.fill_null(t["text"], "")
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pc.cast(pc.count_substring_regex(text, r"\S+"),
+                            pa.int64()),
     })
 
 
 def token_count(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(token_count_batch, batch_format="pandas")
+        .map_batches(token_count_batch, batch_format="pyarrow")
 
 
 TOKEN_COUNT_SQL = """
@@ -64,24 +70,50 @@ FROM documents
 # --------------------------------------------------------------------------
 # quality_score: integer counts + one IEEE division
 # --------------------------------------------------------------------------
-def quality_score_batch(df: pd.DataFrame) -> pd.DataFrame:
-    toks = _tokens(df["text"])
-    n_tokens = toks.str.len().astype("int64")
-    stop = set(STOP_EN)
-    n_stop = toks.map(lambda ws: sum(1 for w in ws if w in stop)).astype("int64")
-    n_chars = df["text"].fillna("").str.len().astype("int64")
-    return pd.DataFrame({
-        "doc_id": df["doc_id"],
+def _stopword_hits(t: pa.Table, *stopsets) -> list[np.ndarray]:
+    """Per-row counts of tokens ∈ each stopset, Arrow-vectorized: one
+    regex split, list_flatten + list_parent_indices, is_in per set, and a
+    single Arrow group_by on the parent index (no per-token Python)."""
+    import pyarrow.compute as pc
+    text = pc.fill_null(t["text"], "")
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    parent = pc.list_parent_indices(toks)
+    cols = {"p": parent}
+    for i, ss in enumerate(stopsets):
+        hit = pc.is_in(flat, value_set=pa.array(list(ss)))
+        cols[f"h{i}"] = pc.cast(hit, pa.int64())
+    grp = pa.table(cols).group_by("p").aggregate(
+        [(f"h{i}", "sum") for i in range(len(stopsets))])
+    idx = grp["p"].to_numpy()
+    outs = []
+    for i in range(len(stopsets)):
+        out = np.zeros(len(t), dtype=np.int64)
+        out[idx] = grp[f"h{i}_sum"].to_numpy()
+        outs.append(out)
+    return outs
+
+
+def quality_score_batch(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    text = pc.fill_null(t["text"], "")
+    n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"),
+                       pa.int64()).to_numpy()
+    (n_stop,) = _stopword_hits(t, STOP_EN)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    return pa.table({
+        "doc_id": t["doc_id"],
         "n_chars_c": n_chars,
-        "n_tokens": n_tokens,
-        "n_stopwords": n_stop,
-        "stop_ratio": n_stop.to_numpy() / np.maximum(n_tokens.to_numpy(), 1),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_stopwords": pa.array(n_stop, pa.int64()),
+        "stop_ratio": pa.array(n_stop / np.maximum(n_tokens, 1),
+                               pa.float64()),
     })
 
 
 def quality_score(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(quality_score_batch, batch_format="pandas")
+        .map_batches(quality_score_batch, batch_format="pyarrow")
 
 
 QUALITY_SCORE_SQL = f"""
@@ -103,18 +135,16 @@ FROM t
 # --------------------------------------------------------------------------
 # lang_id: stopword-hit n-gram heuristic
 # --------------------------------------------------------------------------
-def lang_id_batch(df: pd.DataFrame) -> pd.DataFrame:
-    toks = _tokens(df["text"])
-    en, es = set(STOP_EN), set(STOP_ES)
-    n_en = toks.map(lambda ws: sum(1 for w in ws if w in en))
-    n_es = toks.map(lambda ws: sum(1 for w in ws if w in es))
+def lang_id_batch(t: pa.Table) -> pa.Table:
+    n_en, n_es = _stopword_hits(t, STOP_EN, STOP_ES)
     pred = np.where(n_en > n_es, "en", np.where(n_es > n_en, "es", "und"))
-    return pd.DataFrame({"doc_id": df["doc_id"], "lang_pred": pred})
+    return pa.table({"doc_id": t["doc_id"],
+                     "lang_pred": pa.array(pred, pa.string())})
 
 
 def lang_id(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(lang_id_batch, batch_format="pandas")
+        .map_batches(lang_id_batch, batch_format="pyarrow")
 
 
 LANG_ID_SQL = f"""

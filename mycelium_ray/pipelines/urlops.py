@@ -110,13 +110,16 @@ def robots_filter(sf_dir: str):
             self.cache[0] = None  # no robots → allowed
 
         def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            kind = df["source"].str.slice(3).astype(int) % 3
+            kind = (df["source"].str.slice(3).astype(int) % 3).to_numpy()
             path = "/d/" + df["doc_id"].astype(str) + "/asset.png"
             allowed = np.ones(len(df), dtype=bool)
-            for i, (kd, p) in enumerate(zip(kind, path)):
+            # group by robots kind, one vectorized matcher call per group
+            for kd in np.unique(kind):
                 r = self.cache[int(kd)]
-                if r is not None:
-                    allowed[i] = r.path_allowed("*", p)
+                if r is None:
+                    continue
+                m = kind == kd
+                allowed[m] = r.path_allowed_many("*", path[m])
             return pd.DataFrame({"doc_id": df["doc_id"], "allowed": allowed})
 
     return ds.map_batches(RobotsGate, batch_format="pandas", concurrency=2)

@@ -55,6 +55,9 @@ _DISALLOW_RE = re.compile(r"disallow:[ \t]*([^#\r\n]*)([ \t]*#.*)?", re.IGNORECA
 _DELAY_RE = re.compile(r"crawl-delay:[ \t]*([^#\r\n]*)([ \t]*#.*)?", re.IGNORECASE)
 _COMMENT_RE = re.compile(r"[ \t]*#.*")
 _BLANK_RE = re.compile(r"[ \t]*")
+# chars for which canon_rule_path is the identity (in the path class, no
+# escapes): anything else routes that path to the per-path slow path
+_PATH_UNSAFE_RE = re.compile(r"[^A-Za-z0-9/._~-]")
 
 
 def canon_rule_path(p: str) -> str:
@@ -173,6 +176,39 @@ class Robots:
                             return rtype == ALLOW
                     return True
         return True
+
+    def path_allowed_many(self, user_agent: str, paths) -> "np.ndarray":
+        """Vectorized ``path_allowed`` over a path array (same semantics:
+        first UA-matching group, first prefix-matching rule wins, no match
+        ⇒ allowed). The UA group is resolved ONCE; rule matching is
+        pandas ``str.startswith`` per rule over the whole column; only
+        paths containing %-escapes or path-unsafe characters take the
+        per-path canonicalization slow path (identity otherwise)."""
+        import numpy as np
+        import pandas as pd
+        s = pd.Series(paths, dtype="str").reset_index(drop=True)
+        allowed = np.ones(len(s), dtype=bool)
+        group = None
+        for g in self.groups:
+            if any(ua == user_agent or ua == "*" for ua in g.ua):
+                group = g
+                break
+        if group is None:
+            return allowed
+        unsafe = s.str.contains(_PATH_UNSAFE_RE).to_numpy()
+        canon = s.copy()
+        if unsafe.any():
+            canon[unsafe] = [canon_rule_path(p) for p in s[unsafe]]
+        undecided = np.ones(len(s), dtype=bool)
+        for rtype, rtext in group.rules:
+            if rtype == CRAWL_DELAY or not rtext:
+                continue
+            if not undecided.any():
+                break
+            m = undecided & canon.str.startswith(rtext).to_numpy()
+            allowed[m] = rtype == ALLOW
+            undecided &= ~m
+        return allowed
 
     def crawl_delay(self, user_agent: str) -> float | None:
         """Crawl-delay for a UA (parsed but unused by the reference,

@@ -75,3 +75,37 @@ def test_odd_sizes():
         out, _ = decode_image(encode_png(px))
         assert (out == px).all()
         phash64(px)  # must not raise
+
+
+def test_fake_lossy_codec_contract():
+    """The stand-in codec must behave like a REAL lossy codec for the
+    north-rule invariant to be exercised meaningfully: (a) deterministic
+    byte output, (b) genuinely lossy (finite PSNR — quantization changes
+    pixels), (c) PSNR >= 40 dB across content classes (noise, gradient,
+    flat). Real libjpeg/libwebp are absent from this container (no
+    PIL/cv2); imaging.encode_image raises NotImplementedError for any
+    format beyond the documented stubs."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    imgs = {
+        "noise": rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8),
+        "gradient": np.stack(np.meshgrid(
+            np.arange(48), np.arange(32), indexing="ij"), axis=-1)
+            .sum(axis=-1)[..., None].repeat(3, -1).astype(np.uint8),
+        "flat": np.full((24, 24, 3), 130, dtype=np.uint8),
+    }
+    for fmt in ("jpeg", "webp"):
+        for kind, px in imgs.items():
+            b1 = encode_image(px, fmt)
+            b2 = encode_image(px, fmt)
+            assert b1 == b2, (fmt, kind)  # deterministic
+            out, got_fmt = decode_image(b1)
+            assert got_fmt == fmt
+            p = psnr(px, out)
+            assert p >= 40.0, (fmt, kind, p)
+    # lossy in at least one content class (identity would make the PSNR
+    # assertion vacuous)
+    noisy = imgs["noise"]
+    out, _ = decode_image(encode_image(noisy, "jpeg"))
+    assert not np.array_equal(noisy, out)
+    assert psnr(noisy, out) != float("inf")

@@ -128,3 +128,26 @@ def test_roundtrip_record():
     assert e2.state == e.state
     assert [(g.ua, g.rules) for g in e2.groups] == [(g.ua, g.rules) for g in e.groups]
     assert e2.path_allowed("a", "/x/1") == e.path_allowed("a", "/x/1") == False  # noqa: E712
+
+
+def test_path_allowed_many_matches_scalar():
+    """Vectorized matcher ≡ per-path matcher over adversarial paths
+    (escapes, case, unicode, allow-before-disallow ordering)."""
+    import numpy as np
+    body = ("User-agent: a\nDisallow: /never/\n\n"
+            "User-agent: *\nAllow: /d/pub\nDisallow: /d/\n"
+            "Crawl-delay: 3\nDisallow: /%7Etmp\nAllow: \n")
+    r = Robots(body)
+    paths = ["/d/1/x.png", "/d/pub/2.png", "/d", "/D/1", "/other",
+             "/%7etmp/a", "/~tmp/b", "/%2Fq", "/d/pub", "/d/",
+             "/näive/p", "", "/never/ok", "/d/pub/../d/9"]
+    got = r.path_allowed_many("*", paths)
+    want = np.array([r.path_allowed("*", p) for p in paths])
+    assert (got == want).all(), list(zip(paths, got, want))
+    got_a = r.path_allowed_many("a", paths)
+    want_a = np.array([r.path_allowed("a", p) for p in paths])
+    assert (got_a == want_a).all()
+    # UA with no matching group: everything allowed
+    r2 = Robots("User-agent: onlybot\nDisallow: /\n")
+    assert r2.path_allowed_many("*", paths).all() == all(
+        r2.path_allowed("*", p) for p in paths)
