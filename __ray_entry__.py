@@ -33,6 +33,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "fingerprint": textops.fingerprint,          # rows-only (rolling hash)
+        "stem_stats": textops.stem_stats,            # rows-only (M26 Porter;
+                                                     # no offline DuckDB fts)
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -42,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search (embeddings) ---
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,              # rows-only (approximate)
+        "ann_topk_ivf": ann.ann_topk_ivf,              # rows-only (approximate)
         "embedding_neardup": ann.embedding_neardup,
         # --- aggregations (events / lineitem / documents) ---
         "events_window_agg": analytics.events_window_agg,

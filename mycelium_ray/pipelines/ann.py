@@ -202,6 +202,120 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
 
 
 # --------------------------------------------------------------------------
+# IVF-bucketed ANN (the coarse-quantizer scale path): k-means centroids
+# trained on a deterministic sample, broadcast once; each batch assigns
+# rows to their nearest centroid and scores a row for a query only when
+# the row's cell is among the query's nprobe nearest cells.
+# --------------------------------------------------------------------------
+N_CENTROIDS = 32
+NPROBE = 8
+KMEANS_ITERS = 10
+TRAIN_SAMPLE_STRIDE = 4  # train on vec_id % stride == 0 (bounded sample)
+
+
+def _train_centroids(sf_dir: str, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on a strided sample (the sample is
+    the scale story: at 10^10 rows you train on ~10^5 rows, never the
+    table). Returns L2-normalized (N_CENTROIDS, dim)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    import pyarrow.compute as pc
+    mask = pc.equal(pc.bit_wise_and(t["vec_id"],
+                                    TRAIN_SAMPLE_STRIDE - 1), 0)
+    t = t.filter(mask).sort_by("vec_id")
+    x = np.stack([np.asarray(v, dtype=np.float64)
+                  for v in t["embedding"].to_pylist()])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    cent = xn[rng.choice(len(xn), size=min(N_CENTROIDS, len(xn)),
+                         replace=False)]
+    for _ in range(KMEANS_ITERS):
+        assign = np.argmax(xn @ cent.T, axis=1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                v = xn[m].mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def ann_topk_ivf(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
+                 with_stats: bool = False):
+    """Approximate top-k via IVF coarse quantization: rows in the query's
+    nprobe nearest cells are exact-ranked, everything else skipped — the
+    candidate fraction is ~nprobe/N_CENTROIDS by construction. Centroids
+    broadcast once via ray.put; assignment + pruned matmul per batch;
+    partial top-k caps the shuffle at k rows per query per batch.
+    Rows-only oracle (approximate); recall floor + pruning asserted in
+    tests."""
+    qids, q = _query_matrix(sf_dir)
+    cent = _train_centroids(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    # nprobe nearest cells per query
+    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    cent_ref = ray.put(cent)
+    qn_ref = ray.put(qn)
+    qcells_ref = ray.put(qcells)
+
+    def probe_and_score(df: pd.DataFrame) -> pd.DataFrame:
+        ct = ray.get(cent_ref)
+        qnm = ray.get(qn_ref)
+        qc = ray.get(qcells_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        cells = np.argmax(mn @ ct.T, axis=1)  # (rows,)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        n_cand_total = 0
+        for qi in range(qnm.shape[0]):
+            cand = np.isin(cells, qc[qi])
+            n_cand = int(cand.sum())
+            n_cand_total += n_cand
+            if n_cand == 0:
+                continue
+            sims_c = mn[cand] @ qnm[qi]
+            take = min(k, n_cand)
+            idx = np.argpartition(-sims_c, take - 1)[:take]
+            rows["query_id"].extend([int(qids[qi])] * take)
+            rows["vec_id"].extend(vids[cand][idx].tolist())
+            rows["sim"].extend(sims_c[idx].tolist())
+        out = pd.DataFrame(rows)
+        out["n_cand"] = 0
+        out["n_total"] = 0
+        if with_stats:
+            out = pd.concat([out, pd.DataFrame(
+                {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
+                 "n_cand": [n_cand_total],
+                 "n_total": [len(vids) * qnm.shape[0]]})],
+                ignore_index=True)
+        return out
+
+    parts = _read_emb(sf_dir).map_batches(probe_and_score,
+                                          batch_format="pandas").to_pandas()
+    out = {"query_id": [], "rank": [], "vec_id": []}
+    for qid in qids:
+        g = parts[parts["query_id"] == qid]
+        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
+        out["query_id"].extend([int(qid)] * len(g))
+        out["rank"].extend(range(1, len(g) + 1))
+        out["vec_id"].extend(g["vec_id"].astype(int).tolist())
+    table = pa.table({
+        "query_id": pa.array(out["query_id"], pa.int64()),
+        "rank": pa.array(out["rank"], pa.int64()),
+        "vec_id": pa.array(out["vec_id"], pa.int64()),
+    })
+    if with_stats:
+        srows = parts[parts["query_id"] == -1]
+        stats = {"n_candidates": int(srows["n_cand"].sum()),
+                 "n_rows_x_queries": int(srows["n_total"].sum())}
+        return table, stats
+    return table
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup pairs
 # --------------------------------------------------------------------------
 NEARDUP_THRESHOLD = 0.25  # testdata embeddings are unclustered; 0.25 yields

@@ -133,6 +133,26 @@ class PlannerShard:
 
     enqueue_links = feed_canonical  # peer-facing alias (seen-filter at owner)
 
+    def status(self) -> dict:
+        """S7 control-channel analog (the reference's stdin qlen/status
+        commands, crawler.cc:604-625 / 1375-1395): live introspection of
+        this shard — queue depths, backlog, counters — queryable at any
+        point between rounds without touching row data."""
+        c = self.crawler.classifier
+        return {
+            "shard": self.shard_id,
+            "frontier_size": c.size(),
+            "qlen_top": c.q_len_top(),
+            "qlens": [c.q_len(n) for n in range(c.n_queues)],
+            "metrics": dict(self.crawler.metrics),
+            "n_saved": len(self.crawler.result.saved),
+        }
+
+    def dump_frontier(self, limit: int = 1000) -> list[dict]:
+        """dumpq analog (crawler.cc:1375-1395): frontier contents as
+        (kind, queue_n, host, ord, payload) rows, truncated to ``limit``."""
+        return self.crawler.classifier.to_records()[:limit]
+
     def run(self, raw_dir: str | None = None, round_no: int = 1,
             stop_after_waves: int = 0, collect_url_seen: bool = False) -> dict:
         """Crawl until this shard's frontier drains.

@@ -193,3 +193,39 @@ def fingerprint_batch(df: pd.DataFrame, window: int = 4) -> pd.DataFrame:
 def fingerprint(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(fingerprint_batch, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# stem_stats: Porter-stemmed token statistics (M26; non-SQL → rows-only —
+# the container's DuckDB cannot load the fts extension offline)
+# --------------------------------------------------------------------------
+def stem_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+    """(doc_id, n_tokens, n_distinct_stems, top_stem) per document using
+    the from-scratch Porter stemmer (functions/stemmer.py). The distinct-
+    value memo inside porter_stem_many makes the per-token cost ~a dict
+    hit on Zipfian text."""
+    from collections import Counter
+
+    from ..functions.stemmer import porter_stem_many
+    toks = _tokens(df["text"])
+    n_tok, n_stem, top = [], [], []
+    for ws in toks:
+        stems = porter_stem_many([w.lower() for w in ws])
+        n_tok.append(len(ws))
+        n_stem.append(len(set(stems)))
+        if stems:
+            c = Counter(stems)
+            top.append(min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0])
+        else:
+            top.append("")
+    return pd.DataFrame({
+        "doc_id": df["doc_id"],
+        "n_tokens": pd.Series(n_tok, dtype="int64"),
+        "n_distinct_stems": pd.Series(n_stem, dtype="int64"),
+        "top_stem": pd.Series(top, dtype="str"),
+    })
+
+
+def stem_stats(sf_dir: str):
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(stem_stats_batch, batch_format="pandas")

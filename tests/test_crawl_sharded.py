@@ -51,3 +51,32 @@ def test_sharded_cuckoo_dedup(ray_session):
     # with per-shard cuckoo filters no canonical url is fetched twice
     ref = simulate(site, seeds, parallel=8)
     assert stats["n_saved"] <= len(ref.url_seen) + 2  # ties only via aliases
+
+
+def test_shard_status_control_channel(ray_session):
+    """S7 analog: qlen/status/dumpq introspection on a live shard."""
+    import pickle
+    import ray as _ray
+    from mycelium_ray.corpus import Response, SiteGraph
+    from mycelium_ray.pipelines.crawl_sharded import PlannerShard
+    site = SiteGraph()
+    site.hosts = ["s1.test", "s2.test"]
+    for h in site.hosts:
+        site.robots[h] = None
+        for i in range(3):
+            site.responses[f"http://{h}/img/{i}.png"] = Response(
+                status=200, content=b"\x89PNG", content_type="image/png")
+    shard = PlannerShard.remote(0, parallel=2)
+    _ray.get(shard.load_site.remote(pickle.dumps(site, protocol=5)))
+    seeds = [f"http://{h}/img/{i}.png" for h in site.hosts for i in range(3)]
+    _ray.get(shard.feed.remote(seeds))
+    st = _ray.get(shard.status.remote())
+    assert st["frontier_size"] == 6
+    assert sum(st["qlens"]) + st["qlen_top"] == 6
+    dump = _ray.get(shard.dump_frontier.remote())
+    assert len(dump) == 6
+    assert {r["host"] for r in dump} == {"s1.test", "s2.test"}
+    _ray.get(shard.run.remote())
+    st2 = _ray.get(shard.status.remote())
+    assert st2["frontier_size"] == 0 and st2["n_saved"] == 6
+    _ray.kill(shard)

@@ -217,3 +217,20 @@ def test_embedding_neardup_blockwise_matches_full_matmul(ray_session, tmp_path):
                 want.add((i, j))
     assert set(zip(got["vec_id_a"], got["vec_id_b"])) == want
     assert (0, 1) in want
+
+
+def test_ann_ivf_recall_and_pruning(ray_session):
+    """IVF coarse quantization: recall vs brute force must clearly beat
+    random candidate selection, and the scored fraction must be close to
+    nprobe/N_CENTROIDS (the pruning is structural)."""
+    import __ray_entry__ as em
+    from mycelium_ray.pipelines.ann import ann_topk_ivf, N_CENTROIDS, NPROBE
+    SF = "/root/testdata/sf0.001"
+    exact = em.queries()["ann_topk"](SF).to_pandas()
+    approx, stats = ann_topk_ivf(SF, with_stats=True)
+    approx = approx.to_pandas()
+    e = {(q, v) for q, v in zip(exact["query_id"], exact["vec_id"])}
+    a = {(q, v) for q, v in zip(approx["query_id"], approx["vec_id"])}
+    assert len(a & e) / len(e) >= 0.4
+    frac = stats["n_candidates"] / stats["n_rows_x_queries"]
+    assert frac <= 2.5 * NPROBE / N_CENTROIDS, frac
