@@ -1,0 +1,173 @@
+"""Real-socket HTTP fixture: serves a SiteGraph over actual TCP.
+
+``FixtureHTTPServer`` is a threading HTTP/1.1 server that virtual-hosts
+every site host on one listener (the Host header routes, exactly like a
+crawl through a forward proxy), and ``transport.SocketTransport`` fetches
+from it with real sockets via http.client. Together they exercise the
+fetch path end-to-end over the wire — connection handling, HEAD vs GET
+framing, redirect following, conditional 304s, content-cap abort — while
+remaining byte-parity-comparable with the in-process FixtureTransport
+(tests/test_socket_transport.py asserts identical crawl results).
+
+Fixture-only affordances (each marked on the wire with an ``X-`` header):
+- ``X-Outlinks``: the page's embedded outlinks as JSON (a real HTML
+  transport would parse these from the body; the graft payload is image
+  bytes, so the fixture carries them as metadata, mirroring
+  ``Response.outlinks``).
+- ``X-Fixture-Resolve-Fail`` (status 599): the Host is unknown to the
+  site — the transport maps it to CURLE_COULDNT_RESOLVE_HOST, which a
+  real transport would get from DNS.
+- ``X-Curl-Fail`` (status 598): a scripted transfer failure
+  (Response.curl_fail), mapped back to its curl code.
+- ``X-Fixture-Synthetic-404``: a 404 synthesized for an unknown path
+  (vs an explicit 404 Response in the site).
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from .corpus import SiteGraph
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "fixture/1.0"
+    site: SiteGraph = None  # set on the server class
+
+    def log_message(self, *args):  # quiet
+        pass
+
+    # ---- routing ----
+    def _host(self) -> str:
+        h = self.headers.get("Host") or ""
+        if h.startswith("["):  # ipv6 literal: [::1] or [::1]:port
+            end = h.find("]")
+            return h[:end + 1] if end >= 0 else h
+        return h.split(":")[0]
+
+    def _send(self, status: int, headers: list[tuple[str, str]],
+              body: bytes, head_only: bool) -> None:
+        self.send_response_only(status, "X")
+        names = {k.lower() for k, _ in headers}
+        for k, v in headers:
+            self.send_header(k, v)
+        if "content-length" not in names:
+            self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        if not head_only and body:
+            self.wfile.write(body)
+
+    def _serve(self, head_only: bool) -> None:
+        site = self.server.site  # type: ignore[attr-defined]
+        host = self._host()
+        url = f"http://{host}{self.path}"
+        url = url.split("#", 1)[0]
+
+        # robots.txt: site.robots is the authority unless an explicit
+        # Response exists for the exact URL (mirrors FixtureTransport
+        # where fetch_robots consults only site.robots)
+        if self.path == "/robots.txt" and url not in site.responses:
+            body = site.robots.get(host)
+            if body is not None:
+                self._send(200, [("Content-Type", "text/plain")],
+                           body.encode(), head_only)
+                return
+            if host in site.hosts or host in site.robots \
+                    or self._host_known(host):
+                self._send(404, [("X-Fixture-Synthetic-404", "1")],
+                           b"", head_only)
+                return
+            self._send(599, [("X-Fixture-Resolve-Fail", "1")], b"", head_only)
+            return
+
+        resp = site.responses.get(url)
+        if resp is None:
+            if self._host_known(host):
+                self._send(404, [("X-Fixture-Synthetic-404", "1")],
+                           b"", head_only)
+            else:
+                self._send(599, [("X-Fixture-Resolve-Fail", "1")],
+                           b"", head_only)
+            return
+        if resp.curl_fail:
+            self._send(598, [("X-Curl-Fail", str(resp.curl_fail))],
+                       b"", head_only)
+            return
+        # conditional revalidation
+        inm = self.headers.get("If-None-Match") or ""
+        ims = self.headers.get("If-Modified-Since") or ""
+        not_modified = resp.status == 200 and (
+            (inm and inm == resp.etag)
+            or (ims and resp.last_modified and ims == resp.last_modified))
+        # header block mirrors SiteGraph.headers_for line-for-line (the
+        # transport rebuilds the block for byte parity with the fixture)
+        hdrs: list[tuple[str, str]] = [("Server", "fixture/1.0")]
+        if resp.content_type:
+            hdrs.append(("Content-Type", resp.content_type))
+        hdrs.append(("Content-Length", str(len(resp.content))))
+        if resp.etag:
+            hdrs.append(("ETag", resp.etag))
+        if resp.last_modified:
+            hdrs.append(("Last-Modified", resp.last_modified))
+        if resp.location:
+            hdrs.append(("Location", resp.location))
+        if resp.outlinks:
+            hdrs.append(("X-Outlinks", json.dumps(list(resp.outlinks))))
+        if not_modified:
+            self._send(304, hdrs, b"", True)
+            return
+        self._send(resp.status, hdrs, resp.content, head_only)
+
+    def _host_known(self, host: str) -> bool:
+        site = self.server.site  # type: ignore[attr-defined]
+        h = host.lower()
+        return (h in (x.lower() for x in site.hosts)
+                or h in (x.lower() for x in site.robots)
+                or any(u.split("/", 3)[2].lower() == h
+                       for u in site.responses))
+
+    def do_GET(self):
+        self._serve(head_only=False)
+
+    def do_HEAD(self):
+        self._serve(head_only=True)
+
+
+class _Server(ThreadingHTTPServer):
+    def handle_error(self, request, client_address):
+        import sys
+        et, _, _ = sys.exc_info()
+        if et is not None and issubclass(et, (ConnectionResetError,
+                                              BrokenPipeError)):
+            return  # client hung up mid-request (content-cap abort) — fine
+        super().handle_error(request, client_address)
+
+
+class FixtureHTTPServer:
+    """Threaded HTTP server over a SiteGraph; use as a context manager.
+
+    ``addr`` is ("127.0.0.1", port) once started; pass it to
+    SocketTransport (locally or into fetch actors — any process on the
+    box can fetch from it)."""
+
+    def __init__(self, site: SiteGraph):
+        self._srv = _Server(("127.0.0.1", 0), _Handler)
+        self._srv.site = site  # type: ignore[attr-defined]
+        self._srv.daemon_threads = True
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    @property
+    def addr(self) -> tuple[str, int]:
+        return self._srv.server_address[:2]
+
+    def __enter__(self) -> "FixtureHTTPServer":
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()

@@ -108,6 +108,15 @@ class FetcherActor:
         self.transport = FixtureTransport(site)
         return True
 
+    def load_socket(self, addr) -> bool:
+        """Real-TCP mode: fetch over sockets (httpfixture server / any
+        SocketTransport-convention endpoint). No site object is shipped
+        anywhere — the actor holds only a connection, which is exactly
+        the real-internet deployment shape."""
+        from ..transport import SocketTransport
+        self.transport = SocketTransport(addr)
+        return True
+
     def fetch_batch(self, reqs: list[tuple]) -> list[tuple]:
         """reqs: [(idx, kind, url, etag, ims)] → [(idx, FetchResult-tuple)]"""
         out = []
@@ -145,12 +154,17 @@ class RayCrawler(ReferenceSimulator):
                  seen_shards: int = 4,
                  follow_links: bool = False,
                  honor_crawl_delay: bool = False,
-                 refresh_from: dict | None = None):
+                 refresh_from: dict | None = None,
+                 transport_addr: tuple | None = None):
         super().__init__(site, parallel=parallel, user_agent=user_agent,
                          dedup=dedup, seen_shards=seen_shards,
                          follow_links=follow_links,
                          honor_crawl_delay=honor_crawl_delay,
                          refresh_from=refresh_from)
+        # real-TCP fetch pool: fetchers connect to this address instead of
+        # receiving the site fixture (the production shape — see
+        # FetcherActor.load_socket)
+        self.transport_addr = transport_addr
         self.site = site
         self.n_fetchers = n_fetchers
         self.store = store
@@ -165,12 +179,16 @@ class RayCrawler(ReferenceSimulator):
     # ---- wave execution ----
     def _ensure_fetchers(self):
         if self._fetchers is None:
-            import pickle
-            self._site_ref = ray.put(pickle.dumps(self.site, protocol=5))
             self._fetchers = [FetcherActor.remote()
                               for _ in range(self.n_fetchers)]
-            ray.get([f.load_site.remote(self._site_ref)
-                     for f in self._fetchers])
+            if self.transport_addr is not None:
+                ray.get([f.load_socket.remote(self.transport_addr)
+                         for f in self._fetchers])
+            else:
+                import pickle
+                self._site_ref = ray.put(pickle.dumps(self.site, protocol=5))
+                ray.get([f.load_site.remote(self._site_ref)
+                         for f in self._fetchers])
 
     def _run_wave(self) -> bool:
         """Complete all in-flight transfers (one logical tick). Returns

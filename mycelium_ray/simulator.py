@@ -121,8 +121,13 @@ class ReferenceSimulator:
                  user_agent: str = USER_AGENT, dedup: str = "reference",
                  seen_shards: int = 4, follow_links: bool = False,
                  honor_crawl_delay: bool = False,
-                 refresh_from: dict | None = None):
-        self.transport = FixtureTransport(site)
+                 refresh_from: dict | None = None,
+                 transport=None):
+        # transport is pluggable (same 2-method interface): the in-process
+        # FixtureTransport by default, or SocketTransport for real-TCP
+        # fetching — the planner is transport-agnostic by construction
+        self.transport = transport if transport is not None \
+            else FixtureTransport(site)
         self.classifier = UrlClassifier(parallel)
         self.handles = [_Handle(i) for i in range(parallel)]
         self.user_agent = user_agent

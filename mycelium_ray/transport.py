@@ -12,9 +12,16 @@ depends on (/root/reference/src/crawler/crawler.cc):
 - conditional revalidation If-None-Match / If-Modified-Since → 304 (:1138-1155)
 - unknown host → CURLE_COULDNT_RESOLVE_HOST
 
-A real-network transport would implement the same three methods with
-aiohttp/urllib; nothing else in the pipeline changes (and none is shipped
-here — the sandbox has no network).
+``SocketTransport`` implements the same interface over REAL sockets
+(http.client against httpfixture.FixtureHTTPServer, or any server that
+speaks its conventions): actual TCP connections, HTTP/1.1 framing,
+client-side redirect following with the same MAXREDIRS cap, client-side
+content cutoff (stop reading past CONTENT_SIZE_LIMIT — curl's
+write-callback-returns-0 abort), conditional requests. The planner is
+transport-agnostic: tests/test_socket_transport.py pins byte-identical
+crawl results across the two transports. A real-internet transport is
+this class minus the fixture ``X-`` header conventions (the sandbox has
+no outbound network).
 """
 
 from __future__ import annotations
@@ -119,3 +126,130 @@ class FixtureTransport:
         return FetchResult(CURLE_OK, 200, url,
                            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n",
                            body.encode())
+
+
+class SocketTransport:
+    """Fetch over real TCP from a FixtureHTTPServer (see module docstring).
+
+    One persistent HTTP/1.1 connection per transport instance (the
+    per-handle connection model of the reference's curl easy handles);
+    reconnects transparently if the server closes it."""
+
+    _SKIP_HDRS = frozenset(["x-outlinks", "x-fixture-synthetic-404",
+                            "x-fixture-resolve-fail", "x-curl-fail"])
+
+    def __init__(self, addr: tuple[str, int]):
+        self.addr = tuple(addr)
+        self._conn = None
+
+    # -- internals --
+    def _connection(self):
+        import http.client
+        if self._conn is None:
+            self._conn = http.client.HTTPConnection(self.addr[0],
+                                                    self.addr[1], timeout=30)
+        return self._conn
+
+    def _do(self, method: str, url: str, extra: dict[str, str]):
+        """One request over the wire; returns (status, header_pairs,
+        headermap, body). Retries once on a dropped keep-alive."""
+        import http.client
+        host_path = url.split("/", 3)
+        host = host_path[2]
+        path = "/" + (host_path[3] if len(host_path) > 3 else "")
+        for attempt in (0, 1):
+            conn = self._connection()
+            try:
+                conn.putrequest(method, path, skip_host=True,
+                                skip_accept_encoding=True)
+                conn.putheader("Host", host)
+                for k, v in extra.items():
+                    conn.putheader(k, v)
+                conn.endheaders()
+                r = conn.getresponse()
+                pairs = r.getheaders()
+                body = b""
+                if method != "HEAD" and r.status != 304:
+                    # client-side content cap: stop READING past the
+                    # limit (curl's write-callback abort) — the extra
+                    # byte detects truncation
+                    body = r.read(CONTENT_SIZE_LIMIT + 1)
+                    if len(body) > CONTENT_SIZE_LIMIT:
+                        conn.close()
+                        self._conn = None
+                r.read()  # drain (no-op when fully read/closed)
+                return r.status, pairs, {k.lower(): v for k, v in pairs}, body
+            except (http.client.HTTPException, ConnectionError, OSError):
+                self._conn = None
+                conn.close()
+                if attempt:
+                    raise
+
+    def _rebuild_headers(self, status: int, pairs) -> str:
+        """Reconstruct the SiteGraph.headers_for block byte-for-byte from
+        the wire headers (parity surface for the saved-row `headers`
+        column)."""
+        lines = [f"HTTP/1.1 {status} X"]
+        for k, v in pairs:
+            if k.lower() in self._SKIP_HDRS:
+                continue
+            lines.append(f"{k}: {v}")
+        return "\r\n".join(lines) + "\r\n"
+
+    def request(self, url: str, method: str = "GET",
+                if_none_match: str = "", if_modified_since: str = "") -> FetchResult:
+        import json
+        cur = url.split("#", 1)[0]
+        redirects = 0
+        extra = {}
+        if if_none_match:
+            extra["If-None-Match"] = if_none_match
+        if if_modified_since:
+            extra["If-Modified-Since"] = if_modified_since
+        while True:
+            status, pairs, hmap, body = self._do(method, cur, extra)
+            if "x-fixture-resolve-fail" in hmap:
+                return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, cur, "", b"",
+                                   "Couldn't resolve host name")
+            if "x-curl-fail" in hmap:
+                code = int(hmap["x-curl-fail"])
+                return FetchResult(code, 0, cur, "", b"",
+                                   f"simulated curl failure {code}")
+            if "x-fixture-synthetic-404" in hmap:
+                return FetchResult(CURLE_OK, 404, cur,
+                                   "HTTP/1.1 404 Not Found\r\n", b"")
+            if status in (301, 302, 303, 307, 308) and "location" in hmap:
+                redirects += 1
+                if redirects > MAXREDIRS:
+                    return FetchResult(CURLE_TOO_MANY_REDIRECTS, status, cur,
+                                       self._rebuild_headers(status, pairs),
+                                       b"", "Maximum redirects followed")
+                cur = hmap["location"].split("#", 1)[0]
+                continue
+            # fixture semantics: a 304's header block is headers_for of
+            # the underlying resource, whose own status line is 200
+            headers = self._rebuild_headers(200 if status == 304 else status,
+                                            pairs)
+            if method == "HEAD" or status == 304:
+                return FetchResult(CURLE_OK, status, cur, headers, b"")
+            if len(body) > CONTENT_SIZE_LIMIT:
+                return FetchResult(CURLE_WRITE_ERROR, status, cur, headers,
+                                   body[:CONTENT_SIZE_LIMIT],
+                                   "Failed writing body (content size cutoff)")
+            outlinks = tuple(json.loads(hmap["x-outlinks"])) \
+                if "x-outlinks" in hmap else ()
+            return FetchResult(CURLE_OK, status, cur, headers, body,
+                               outlinks=outlinks)
+
+    def fetch_robots(self, host: str) -> FetchResult:
+        url = f"http://{host}/robots.txt"
+        status, pairs, hmap, body = self._do("GET", url, {})
+        if "x-fixture-resolve-fail" in hmap:
+            return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, url, "", b"",
+                               "Couldn't resolve host name")
+        if "x-fixture-synthetic-404" in hmap or status == 404:
+            return FetchResult(CURLE_OK, 404, url,
+                               "HTTP/1.1 404 Not Found\r\n", b"")
+        return FetchResult(CURLE_OK, 200, url,
+                           "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n",
+                           body)
