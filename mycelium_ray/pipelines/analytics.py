@@ -188,19 +188,51 @@ def events_sessionize(sf_dir: str):
     """
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["user_id", "ts", "event_id"])
+    n_buckets = _n_join_buckets()
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        us = g["ts"].astype("datetime64[us]").astype("int64")
-        new = (us.diff().fillna(10**18) > SESSION_GAP_S * 10**6)
-        sid = new.cumsum().astype("int64")
-        out = pd.DataFrame({"user_id": g["user_id"], "session_id": sid,
-                            "us": us})
-        return out.groupby(["user_id", "session_id"], as_index=False).agg(
-            n_events=("us", "size"), start_us=("us", "min"),
-            end_us=("us", "max"))
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # coarse user-hash bucketing: one Ray group per ~(users/B), NOT
+        # one per user — a per-user map_groups would mean one Python call
+        # per key, catastrophic at web-scale user cardinality
+        df = df.copy()
+        df["bucket"] = (df["user_id"].to_numpy().astype("uint64")
+                        % np.uint64(n_buckets)).astype("int64")
+        return df
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # all users of the bucket in ONE vectorized pass: sort by
+        # (user, ts, event_id); a session break is a user boundary or a
+        # gap > SESSION_GAP_S; sessions are contiguous runs, so their
+        # stats are pure index arithmetic on the run starts/ends
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        us = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = g["user_id"].to_numpy()
+        if len(g) == 0:
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "session_id": pd.Series([], dtype="int64"),
+                                 "n_events": pd.Series([], dtype="int64"),
+                                 "start_us": pd.Series([], dtype="int64"),
+                                 "end_us": pd.Series([], dtype="int64")})
+        new_user = np.concatenate([[True], uid[1:] != uid[:-1]])
+        gap = np.concatenate([[10**18], np.diff(us)])
+        new = new_user | (gap > SESSION_GAP_S * 10**6)
+        glob = np.cumsum(new)                      # global run counter
+        u_starts = np.flatnonzero(new_user)
+        u_lens = np.diff(np.append(u_starts, len(uid)))
+        first_glob = np.repeat(glob[u_starts], u_lens)
+        sid = (glob - first_glob + 1).astype("int64")  # restarts per user
+        s_idx = np.flatnonzero(new)
+        s_end = np.append(s_idx[1:], len(us)) - 1
+        return pd.DataFrame({
+            "user_id": uid[s_idx],
+            "session_id": sid[s_idx],
+            "n_events": (s_end - s_idx + 1).astype("int64"),
+            "start_us": us[s_idx],
+            "end_us": us[s_end],
+        })
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(sessions_bucket, batch_format="pandas")
 
 
 EVENTS_SESSIONIZE_SQL = f"""
