@@ -234,3 +234,67 @@ def test_ann_ivf_recall_and_pruning(ray_session):
     assert len(a & e) / len(e) >= 0.4
     frac = stats["n_candidates"] / stats["n_rows_x_queries"]
     assert frac <= 2.5 * NPROBE / N_CENTROIDS, frac
+
+
+def test_robots_vectorized_property():
+    """Property: path_allowed_many ≡ scalar path_allowed on random rule
+    sets and adversarial random paths."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    from mycelium_ray.robots import Robots
+
+    path_chars = st.sampled_from(list("abc/%7E.~_-%2F \t?*$"))
+    paths_st = st.lists(
+        st.text(path_chars, min_size=0, max_size=12).map(lambda s: "/" + s),
+        min_size=1, max_size=20)
+    rules_st = st.lists(
+        st.tuples(st.sampled_from(["Allow", "Disallow"]),
+                  st.text(st.sampled_from(list("abc/~%7E")), max_size=6)),
+        min_size=0, max_size=5)
+
+    @settings(max_examples=60, deadline=None)
+    @given(rules=rules_st, paths=paths_st)
+    def check(rules, paths):
+        body = "User-agent: *\n" + "".join(
+            f"{kind}: {text}\n" for kind, text in rules)
+        r = Robots(body)
+        got = r.path_allowed_many("*", paths)
+        want = np.array([r.path_allowed("*", p) for p in paths])
+        assert (got == want).all()
+
+    check()
+
+
+def test_simhash_blocking_complete_property():
+    """Property: for random 64-bit hashes, every pair within the stated
+    max_hamming is found (pigeonhole blocking has NO false negatives)."""
+    from hypothesis import given, settings, strategies as st
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from mycelium_ray.pipelines.dedup import simhash_neardup_pairs
+
+    @settings(max_examples=5, deadline=None)
+    @given(seed=st.integers(0, 10_000), d=st.sampled_from([2, 3, 5]))
+    def check(seed, d):
+        rng = np.random.default_rng(seed)
+        base = rng.integers(0, 2**63, size=6, dtype=np.int64)
+        rows = list(base)
+        # planted neighbors at distance exactly d from each base hash
+        for b in base:
+            flips = rng.choice(64, size=d, replace=False)
+            v = np.uint64(b)
+            for f in flips:
+                v ^= np.uint64(1) << np.uint64(f)
+            rows.append(np.int64(v.view(np.int64)))
+        ids = np.arange(len(rows))
+        h = np.array(rows, dtype=np.int64)
+        ds = rd.from_pandas(pd.DataFrame({"doc_id": ids, "simhash": h}))
+        got = simhash_neardup_pairs(ds, max_hamming=d).to_pandas()
+        gpairs = set(zip(got["doc_id_a"], got["doc_id_b"]))
+        hu = h.astype(np.uint64)
+        for i in range(len(h)):
+            for j in range(i + 1, len(h)):
+                if bin(int(hu[i] ^ hu[j])).count("1") <= d:
+                    assert (i, j) in gpairs, (i, j)
+    check()
