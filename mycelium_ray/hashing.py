@@ -62,7 +62,10 @@ def url_hash64_many(strings) -> np.ndarray:
             if len(uniq) * 2 < n:  # only worth it when values repeat
                 return _sha1_many_loop(uniq)[d.indices.to_numpy()]
             return _sha1_many_loop(strings)
-        except (pa.ArrowInvalid, pa.ArrowTypeError, UnicodeError):
+        except Exception:
+            # pyarrow missing, non-UTF-8-encodable strings, or any Arrow
+            # conversion error: the loop handles everything (a narrower
+            # except naming pa.* would NameError when the import fails)
             pass
     return _sha1_many_loop(strings)
 

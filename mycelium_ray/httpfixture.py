@@ -66,10 +66,14 @@ class _Handler(BaseHTTPRequestHandler):
         url = f"http://{host}{self.path}"
         url = url.split("#", 1)[0]
 
-        # robots.txt: site.robots is the authority unless an explicit
-        # Response exists for the exact URL (mirrors FixtureTransport
-        # where fetch_robots consults only site.robots)
-        if self.path == "/robots.txt" and url not in site.responses:
+        # robots.txt: the crawler's robots probe (X-Robots-Fetch) is
+        # ALWAYS answered from site.robots — FixtureTransport.fetch_robots
+        # never consults site.responses; a plain request() for the same
+        # URL falls through to the responses lookup below (also mirroring
+        # the fixture)
+        if self.path == "/robots.txt" and (
+                self.headers.get("X-Robots-Fetch")
+                or url not in site.responses):
             body = site.robots.get(host)
             if body is not None:
                 self._send(200, [("Content-Type", "text/plain")],

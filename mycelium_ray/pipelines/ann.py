@@ -41,6 +41,20 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return t["vec_id"].to_numpy(), q
 
 
+def _topk_idx(sims: np.ndarray, vids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (sim desc, vec_id asc). argpartition alone
+    breaks exact-sim ties arbitrarily at the k-th slot — with duplicate
+    embeddings the kept vec_id would then depend on Ray block boundaries;
+    a full deterministic lexsort keeps the global merge reproducible and
+    oracle-consistent (batches are small; ties can be arbitrarily wide)."""
+    n = len(sims)
+    take = min(k, n)
+    if take == 0:
+        return np.array([], dtype=np.int64)
+    order = np.lexsort((vids, -sims))  # full sort: ties can be arbitrarily
+    return order[:take]                # wide, and batches are small
+
+
 def _batch_sims(df: pd.DataFrame, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -63,9 +77,8 @@ def ann_topk(sf_dir: str, k: int = TOPK):
         rows = {"query_id": [], "vec_id": [], "sim": []}
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
-            take = min(k, len(s))
-            idx = np.argpartition(-s, take - 1)[:take]
-            rows["query_id"].extend([int(qids[qi])] * take)
+            idx = _topk_idx(s, vids, k)
+            rows["query_id"].extend([int(qids[qi])] * len(idx))
             rows["vec_id"].extend(vids[idx].tolist())
             rows["sim"].extend(s[idx].tolist())
         return pd.DataFrame(rows)
@@ -162,10 +175,10 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
                 continue
             # exact sims for the CANDIDATES only — the pruned matmul
             sims_c = mn[cand] @ qnm[qi]
-            take = min(k, n_cand)
-            idx = np.argpartition(-sims_c, take - 1)[:take]
-            rows["query_id"].extend([int(qids[qi])] * take)
-            rows["vec_id"].extend(vids[cand][idx].tolist())
+            cvids = vids[cand]
+            idx = _topk_idx(sims_c, cvids, k)
+            rows["query_id"].extend([int(qids[qi])] * len(idx))
+            rows["vec_id"].extend(cvids[idx].tolist())
             rows["sim"].extend(sims_c[idx].tolist())
         out = pd.DataFrame(rows)
         out["n_cand"] = 0
@@ -216,14 +229,18 @@ TRAIN_SAMPLE_STRIDE = 4  # train on vec_id % stride == 0 (bounded sample)
 def _train_centroids(sf_dir: str, seed: int = 42) -> np.ndarray:
     """Deterministic spherical k-means on a strided sample (the sample is
     the scale story: at 10^10 rows you train on ~10^5 rows, never the
-    table). Returns L2-normalized (N_CENTROIDS, dim)."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                      columns=["vec_id", "embedding"])
+    table). The stride predicate is pushed INTO the scan (pyarrow dataset
+    filter) so non-sample rows never materialize on the driver; a row cap
+    bounds training regardless of table size. Returns L2-normalized
+    (N_CENTROIDS, dim)."""
     import pyarrow.compute as pc
-    mask = pc.equal(pc.bit_wise_and(t["vec_id"],
-                                    TRAIN_SAMPLE_STRIDE - 1), 0)
-    t = t.filter(mask).sort_by("vec_id")
+    import pyarrow.dataset as pads
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.bit_wise_and(pc.field("vec_id"),
+                               TRAIN_SAMPLE_STRIDE - 1) == 0)
+    t = t.sort_by("vec_id").slice(0, 200_000)  # hard training-row cap
     x = np.stack([np.asarray(v, dtype=np.float64)
                   for v in t["embedding"].to_pylist()])
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
@@ -277,10 +294,10 @@ def ann_topk_ivf(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
             if n_cand == 0:
                 continue
             sims_c = mn[cand] @ qnm[qi]
-            take = min(k, n_cand)
-            idx = np.argpartition(-sims_c, take - 1)[:take]
-            rows["query_id"].extend([int(qids[qi])] * take)
-            rows["vec_id"].extend(vids[cand][idx].tolist())
+            cvids = vids[cand]
+            idx = _topk_idx(sims_c, cvids, k)
+            rows["query_id"].extend([int(qids[qi])] * len(idx))
+            rows["vec_id"].extend(cvids[idx].tolist())
             rows["sim"].extend(sims_c[idx].tolist())
         out = pd.DataFrame(rows)
         out["n_cand"] = 0

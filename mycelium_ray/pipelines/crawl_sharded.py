@@ -239,15 +239,17 @@ class PlannerShard:
 
 
 def partition_seeds(seed_lines: list[str], n_shards: int) -> list[list[str]]:
-    """Route seed lines by hash(raw parsed host) — invalid lines go to
-    shard 0 so the reject accounting stays complete."""
+    """Route seed lines by hash(lowercased parsed host) — case aliases of
+    one physical host MUST co-locate or per-shard seen-sets overlap
+    (sum ≠ union) and two shards fetch one host concurrently. Invalid
+    lines go to shard 0 so the reject accounting stays complete."""
     parts: list[list[str]] = [[] for _ in range(n_shards)]
     for line in seed_lines:
         s = line.strip()
         if not s:
             continue
         try:
-            host = Url(s).host
+            host = Url(s).host.lower()
         except (UrlParseError, Exception):
             parts[0].append(line)
             continue

@@ -1,9 +1,11 @@
 """Perceptual near-duplicate detection over image rows (SURVEY.md §2.7:
 "Graft adds phash:int64 column; near-dup = groupby on phash bands").
 
-Banding: a 64-bit phash splits into 8 × 8-bit segments; by pigeonhole any
-pair within hamming distance d < 8 agrees on at least one segment, so the
-candidate set is COMPLETE for the default max_hamming=6 contract.
+Banding: a 64-bit phash splits into max_hamming+1 disjoint segments
+(_simhash_segments — 7 segments of 10/9 bits at the default d≤6); by
+pigeonhole any pair within hamming distance d agrees on at least one
+segment, so the candidate set is COMPLETE for the advertised contract at
+the lowest collision rate the guarantee allows.
 Candidates (any-band match) are verified with exact hamming distance —
 vectorized popcount on the two hashes riding in each candidate row, INSIDE
 the bucketed map_groups; a second pair-key-bucketed groupby collapses

@@ -224,7 +224,10 @@ class SocketTransport:
                     return FetchResult(CURLE_TOO_MANY_REDIRECTS, status, cur,
                                        self._rebuild_headers(status, pairs),
                                        b"", "Maximum redirects followed")
-                cur = hmap["location"].split("#", 1)[0]
+                # Location may be relative (RFC 7231 §7.1.2): resolve
+                # against the current url like curl does
+                from urllib.parse import urljoin
+                cur = urljoin(cur, hmap["location"]).split("#", 1)[0]
                 continue
             # fixture semantics: a 304's header block is headers_for of
             # the underlying resource, whose own status line is 200
@@ -242,14 +245,29 @@ class SocketTransport:
                                outlinks=outlinks)
 
     def fetch_robots(self, host: str) -> FetchResult:
+        # X-Robots-Fetch marks this as the crawler's robots probe so the
+        # fixture server answers from site.robots (matching
+        # FixtureTransport.fetch_robots, which never consults
+        # site.responses) even when an explicit /robots.txt Response
+        # exists for a plain request() of the same URL
         url = f"http://{host}/robots.txt"
-        status, pairs, hmap, body = self._do("GET", url, {})
+        status, pairs, hmap, body = self._do("GET", url,
+                                             {"X-Robots-Fetch": "1"})
         if "x-fixture-resolve-fail" in hmap:
             return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, url, "", b"",
                                "Couldn't resolve host name")
+        if "x-curl-fail" in hmap:
+            code = int(hmap["x-curl-fail"])
+            return FetchResult(code, 0, url, "", b"",
+                               f"simulated curl failure {code}")
         if "x-fixture-synthetic-404" in hmap or status == 404:
             return FetchResult(CURLE_OK, 404, url,
                                "HTTP/1.1 404 Not Found\r\n", b"")
+        if status != 200:
+            # non-200 robots (5xx etc.): report the status faithfully —
+            # the planner maps it to NOT_AVAILABLE (tried_but_failed)
+            return FetchResult(CURLE_OK, status, url,
+                               self._rebuild_headers(status, pairs), body)
         return FetchResult(CURLE_OK, 200, url,
                            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n",
                            body)

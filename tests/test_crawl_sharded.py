@@ -80,3 +80,24 @@ def test_shard_status_control_channel(ray_session):
     st2 = _ray.get(shard.status.remote())
     assert st2["frontier_size"] == 0 and st2["n_saved"] == 6
     _ray.kill(shard)
+
+
+def test_n_seen_counter_equals_union_with_aliases(ray_session):
+    """Default (no collect_url_seen) n_seen must equal the true distinct
+    canonical-URL count even when case-alias seeds exist: aliases of one
+    host co-locate (lowercased routing), so per-shard counts sum exactly."""
+    from mycelium_ray.corpus import Response, SiteGraph
+    site = SiteGraph()
+    for h in ("al.test", "bl.test"):
+        site.hosts.append(h)
+        site.robots[h] = None
+        for i in range(4):
+            site.responses[f"http://{h}/img/{i}.png"] = Response(
+                status=200, content=b"\x89PNG", content_type="image/png")
+    seeds = [f"http://{h}/img/{i}.png" for h in site.hosts for i in range(4)]
+    seeds += [s.replace("al.test", "AL.Test") for s in seeds
+              if "al.test" in s]  # case aliases of every al.test seed
+    stats, _ = run_crawl_sharded(site, seeds, parallel=8, n_shards=2)
+    ref_stats, _ = run_crawl_sharded(site, seeds, parallel=8,
+                                     collect_url_seen=True, n_shards=2)
+    assert stats["n_seen"] == len(ref_stats["url_seen"]) == 8

@@ -111,3 +111,51 @@ def test_ray_fetch_pool_over_sockets(ray_session, corpus):
     assert res.url_seen == ref.url_seen
     assert [(d.url, d.http_code, d.content) for d in res.saved] == \
         [(d.url, d.http_code, d.content) for d in ref.saved]
+
+
+def test_relative_location_redirect():
+    """RFC 7231: Location may be relative — resolve against current url."""
+    site = SiteGraph()
+    site.hosts = ["r.test"]
+    site.robots["r.test"] = None
+    site.responses["http://r.test/a"] = Response(
+        status=302, content=b"", location="/b")  # relative!
+    site.responses["http://r.test/b"] = Response(
+        status=200, content=b"ok", content_type="image/png")
+    with FixtureHTTPServer(site) as srv:
+        t = SocketTransport(srv.addr)
+        r = t.request("http://r.test/a")
+        assert (r.http_code, r.eff_url, r.content) == \
+            (200, "http://r.test/b", b"ok")
+
+
+def test_robots_error_paths_over_socket():
+    """Robots fetch must report failures faithfully: a scripted curl
+    failure and a 5xx must NOT be parsed as robots rules, and an explicit
+    /robots.txt Response in site.responses must not shadow the robots
+    dict for the crawler's robots probe (matching FixtureTransport)."""
+    site = SiteGraph()
+    site.hosts = ["f.test", "e.test", "s.test"]
+    site.robots["f.test"] = None
+    site.responses["http://f.test/robots.txt"] = Response(
+        status=0, content=b"", curl_fail=28)  # scripted timeout
+    site.robots["e.test"] = None
+    site.responses["http://e.test/robots.txt"] = Response(
+        status=500, content=b"boom", content_type="text/plain")
+    site.robots["s.test"] = "User-agent: *\nDisallow: /x/\n"
+    site.responses["http://s.test/robots.txt"] = Response(
+        status=200, content=b"NOT THE RULES", content_type="text/plain")
+    with FixtureHTTPServer(site) as srv:
+        t = SocketTransport(srv.addr)
+        fx = FixtureTransport(site)
+        # curl-fail response at the robots URL: fixture's fetch_robots
+        # consults only site.robots (None -> 404); socket probe must agree
+        assert t.fetch_robots("f.test") == fx.fetch_robots("f.test")
+        assert t.fetch_robots("e.test") == fx.fetch_robots("e.test")
+        # robots dict wins over the explicit Response for the probe
+        assert t.fetch_robots("s.test") == fx.fetch_robots("s.test")
+        assert t.fetch_robots("s.test").content == \
+            b"User-agent: *\nDisallow: /x/\n"
+        # ...while a PLAIN request for the same URL serves the Response
+        assert t.request("http://s.test/robots.txt").content == \
+            fx.request("http://s.test/robots.txt").content == b"NOT THE RULES"
