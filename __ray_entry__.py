@@ -26,6 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
+    from mycelium_ray.pipelines.flagship import image_phash_neardup as _image_phash_neardup
 
     return {
         # --- text analysis (documents) ---
@@ -55,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_nation": analytics.orders_by_nation,
         "revenue_by_priority": analytics.revenue_by_priority,
+        # --- multimodal: derive/decode image rows -> phash near-dup ---
+        "image_phash_neardup": _image_phash_neardup,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -64,7 +67,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
+    from mycelium_ray.pipelines import (analytics, ann, dedup, flagship,
+                                        textops, urlops)
 
     return {
         "token_count": textops.TOKEN_COUNT_SQL,
@@ -82,6 +86,7 @@ def oracle_sql() -> dict[str, str]:
         "top_users_by_value": analytics.TOP_USERS_SQL,
         "orders_by_nation": analytics.ORDERS_BY_NATION_SQL,
         "revenue_by_priority": analytics.REVENUE_BY_PRIORITY_SQL,
+        "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

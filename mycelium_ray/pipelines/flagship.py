@@ -15,25 +15,32 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..hashing import url_hash64
 from ..imaging import encode_image
 from ..stages.decode import DecodeValidate, clean_caption_batch
 
 _FMTS = ["png", "jpeg", "webp"]
 
 
-def synth_image_row(doc_id: int) -> tuple[bytes, int, int, str]:
-    """Deterministic image for a doc row: seeded by doc_id only."""
-    rng = np.random.default_rng(1_000_003 * doc_id + 7)
+def synth_image_row(text: str) -> tuple[bytes, int, int, str]:
+    """Deterministic image for a doc row, seeded by the TEXT content hash:
+    exact-duplicate documents therefore carry byte-identical images (same
+    pixels AND same format), which makes the image near-dup pipeline's
+    output provable against a SQL oracle — phash-hamming-0 pairs are
+    exactly the exact-text-duplicate pairs."""
+    seed = url_hash64(text or "")
+    rng = np.random.default_rng(seed)
     w = int(rng.integers(16, 41))
     h = int(rng.integers(16, 41))
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
-    fmt = _FMTS[doc_id % 3]
+    fmt = _FMTS[seed % 3]
     return encode_image(px, fmt), w, h, fmt
 
 
 def derive_images_batch(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
-    payloads = [synth_image_row(int(d)) for d in ids]
+    texts = batch["text"].to_pylist()
+    payloads = [synth_image_row(t) for t in texts]
     return pa.table({
         "image_id": pa.array([f"http://img.test/d/{d}" for d in ids]),
         "doc_id": pa.array(ids, pa.int64()),
@@ -55,3 +62,28 @@ def flagship(sf_dir: str):
                         batch_size=128)
     ds = ds.map_batches(clean_caption_batch, batch_format="pyarrow")
     return ds
+
+
+def image_phash_neardup(sf_dir: str):
+    """End-to-end multimodal dedup: derive/decode image rows (flagship
+    path), then phash-band near-dup over the decoded-pixel hashes. With
+    text-hash-seeded images, the hamming-0 pair set is EXACTLY the
+    exact-text-duplicate pair set (id_a < id_b as strings), so this
+    pipeline is full-value oracle-checked despite running real image
+    bytes through decode + perceptual hashing. Random non-duplicate
+    phashes land within hamming 6 with probability ~5e-12 per pair —
+    never at test scales."""
+    from .imagedup import phash_neardup
+    return phash_neardup(flagship(sf_dir).select_columns(
+        ["image_id", "phash"]))
+
+
+IMAGE_PHASH_NEARDUP_SQL = """
+WITH ids AS (
+  SELECT doc_id, text,
+         'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS iid
+  FROM documents
+)
+SELECT a.iid AS id_a, b.iid AS id_b, CAST(0 AS BIGINT) AS hamming
+FROM ids a JOIN ids b ON a.text = b.text AND a.iid < b.iid
+"""
