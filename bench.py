@@ -89,12 +89,14 @@ def run_bench() -> dict:
     timings["ingest_canonicalize"] = time.perf_counter() - t0
 
     # --- stage 2+3: crawl (plan/fetch) + decode/validate + write ---
-    # one planner shard per CPU — the single-node analog of "one crawl
-    # executor per node": at N vs 4N CPUs the same seed list runs over N
-    # vs 4N host-partition shards (output set is partition-invariant,
-    # verified by tests; per-shard ordering is the documented scale-mode
-    # semantics)
-    n_shards = NUM_CPUS
+    # one planner shard per CPU minus 2 — the single-node analog of "one
+    # crawl executor per node, with head-node services (driver, raylet)
+    # on their own cores": at N vs 4N CPUs the same seed list runs over
+    # proportionally-scaled host-partition shards (output set is
+    # partition-invariant, verified by tests). Oversubscribing all cores
+    # measured 35-60% slower sustained with a 1.5x straggler tail — the
+    # actors timesharing with Ray system processes, not engine cost.
+    n_shards = max(1, NUM_CPUS - 2)
     t0 = time.perf_counter()
     stats, ds = run_crawl_sharded(site, seeds, parallel=16 * n_shards,
                                   n_shards=n_shards,
