@@ -26,7 +26,9 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
-    from mycelium_ray.pipelines.flagship import image_phash_neardup as _image_phash_neardup
+    from mycelium_ray.pipelines.flagship import (
+        image_phash_neardup as _image_phash_neardup,
+        image_resize as _image_resize)
 
     return {
         # --- text analysis (documents) ---
@@ -58,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_priority": analytics.revenue_by_priority,
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
+        "image_resize": _image_resize,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -87,6 +90,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_by_nation": analytics.ORDERS_BY_NATION_SQL,
         "revenue_by_priority": analytics.REVENUE_BY_PRIORITY_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
+        "image_resize": flagship.IMAGE_RESIZE_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

@@ -78,6 +78,29 @@ def image_phash_neardup(sf_dir: str):
         ["image_id", "phash"]))
 
 
+def image_resize(sf_dir: str, tw: int = 16, th: int = 16):
+    """End-to-end multimodal resize: derive/decode image rows, then the
+    ResizeImages actor stage (block-mean numpy + re-encode). The oracle
+    asserts the full contract the pipeline can prove in SQL: every
+    document's derived image decodes and resizes to the target (one row
+    per doc, resize_ok all true, target dims)."""
+    from ..stages.media import ResizeImages
+    ds = flagship(sf_dir).select_columns(["image_id", "content"])
+    out = ds.map_batches(ResizeImages(tw, th), batch_format="pyarrow",
+                         batch_size=128)
+    return out.select_columns(["image_id", "resized_w", "resized_h",
+                               "resize_ok"])
+
+
+IMAGE_RESIZE_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       CAST(16 AS INTEGER) AS resized_w,
+       CAST(16 AS INTEGER) AS resized_h,
+       TRUE AS resize_ok
+FROM documents
+"""
+
+
 IMAGE_PHASH_NEARDUP_SQL = """
 WITH ids AS (
   SELECT doc_id, text,

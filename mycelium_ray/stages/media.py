@@ -1,0 +1,162 @@
+"""Multimodal actor-pool stages beyond decode: resize and video
+frame-sampling (build-brief §multimodal: "decode / feature-extract /
+resize / frame-sample as actor-pool map_batches stages").
+
+``ResizeImages`` is REAL: block-mean downscale in pure numpy (the same
+bucketed-index reduction as imaging.phash64's 8×8 step, generalized to any
+target), re-encoded with the available codecs. ``SampleFrames`` has REAL
+Ray-side plumbing (schema, batching, actor signature, deterministic frame
+selection, output layout) with the video DECODER stubbed — no
+libav/ffmpeg/PyAV exists in this container, so actual codec work raises
+NotImplementedError unless the payload uses the fixture container format
+below (a trivial concatenation of encoded frames used by the tests to
+drive the plumbing end-to-end).
+
+Fixture video container (``FAKEVID1``): magic ``FAKEVID1`` + uint32 frame
+count + frames, each uint32 length + encoded-image bytes (any
+imaging.decode_image format).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from ..imaging import ImageDecodeError, decode_image, encode_image
+
+VIDEO_MAGIC = b"FAKEVID1"
+
+
+def resize_block_mean(px: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Block-mean resize (h, w, 3) → (th, tw, 3) uint8 for any size ≥
+    target; pure numpy (bucketed indices + np.add.at), no image libs."""
+    h, w, _ = px.shape
+    yi = (np.arange(h) * th // h)
+    xi = (np.arange(w) * tw // w)
+    acc = np.zeros((th, tw, 3), dtype=np.float64)
+    cnt = np.zeros((th, tw, 1), dtype=np.float64)
+    np.add.at(acc, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)),
+              px.astype(np.float64))
+    np.add.at(cnt, (yi[:, None].repeat(w, 1), xi[None, :].repeat(h, 0)), 1.0)
+    return np.clip(np.rint(acc / np.maximum(cnt, 1)), 0, 255).astype(np.uint8)
+
+
+class ResizeImages:
+    """content:binary → (content resized+re-encoded, w, h) actor stage.
+
+    __init__ holds the target (and would hold codec state with a real
+    libjpeg); __call__ is per-batch. Rows that fail to decode pass
+    through unchanged with resize_ok=False.
+    """
+
+    def __init__(self, target_w: int = 16, target_h: int = 16):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch["content"].to_pylist()
+        out_bytes, ws, hs, ok = [], [], [], []
+        for data in contents:
+            try:
+                px, fmt = decode_image(data)
+                small = resize_block_mean(px, self.tw, self.th)
+                out_bytes.append(encode_image(small, fmt))
+                ws.append(self.tw)
+                hs.append(self.th)
+                ok.append(True)
+            except (ImageDecodeError, Exception):
+                out_bytes.append(data)
+                ws.append(-1)
+                hs.append(-1)
+                ok.append(False)
+        return batch.drop_columns(["content"]) \
+            .append_column("content", pa.array(out_bytes, pa.binary())) \
+            .append_column("resized_w", pa.array(ws, pa.int32())) \
+            .append_column("resized_h", pa.array(hs, pa.int32())) \
+            .append_column("resize_ok", pa.array(ok, pa.bool_()))
+
+
+# --------------------------------------------------------------------------
+# video frame sampling
+# --------------------------------------------------------------------------
+def encode_fixture_video(frames: list[np.ndarray], fmt: str = "png") -> bytes:
+    """Test-fixture container: concatenated encoded frames."""
+    blobs = [encode_image(f, fmt) for f in frames]
+    out = [VIDEO_MAGIC, struct.pack(">I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack(">I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def _decode_fixture_video(data: bytes) -> list[bytes]:
+    (n,) = struct.unpack(">I", data[8:12])
+    off = 12
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[off:off + 4])
+        off += 4
+        frames.append(data[off:off + ln])
+        off += ln
+    return frames
+
+
+class SampleFrames:
+    """video:binary → one output row per sampled frame.
+
+    Deterministic sampling: ``n_samples`` frame indices evenly spaced
+    over the clip (same rule a production pipeline uses for thumbnail /
+    embedding extraction). The CODEC is the stub boundary: real
+    containers (mp4/webm/...) raise NotImplementedError — PyAV/ffmpeg are
+    absent here — while the plumbing (flat_map batching: 1 row in → k
+    frame rows out, schema, id layout) is real and tested via the
+    FAKEVID1 fixture container.
+    """
+
+    def __init__(self, n_samples: int = 4):
+        self.n_samples = n_samples
+
+    def _frames(self, data: bytes) -> list[bytes]:
+        if data.startswith(VIDEO_MAGIC):
+            return _decode_fixture_video(data)
+        raise NotImplementedError(
+            "real video containers need PyAV/ffmpeg (absent from this "
+            "container); only the FAKEVID1 fixture format is decodable")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        vids = batch["video_id"].to_pylist()
+        blobs = batch["video"].to_pylist()
+        out = {"video_id": [], "frame_idx": [], "frame": [],
+               "w": [], "h": [], "sample_ok": []}
+        for vid, data in zip(vids, blobs):
+            try:
+                frames = self._frames(data)
+            except NotImplementedError:
+                out["video_id"].append(vid)
+                out["frame_idx"].append(-1)
+                out["frame"].append(b"")
+                out["w"].append(-1)
+                out["h"].append(-1)
+                out["sample_ok"].append(False)
+                continue
+            n = len(frames)
+            take = min(self.n_samples, n)
+            idxs = (np.arange(take) * n // take) if take else []
+            for i in idxs:
+                fb = frames[int(i)]
+                px, _fmt = decode_image(fb)
+                out["video_id"].append(vid)
+                out["frame_idx"].append(int(i))
+                out["frame"].append(fb)
+                out["w"].append(px.shape[1])
+                out["h"].append(px.shape[0])
+                out["sample_ok"].append(True)
+        return pa.table({
+            "video_id": pa.array(out["video_id"], pa.string()),
+            "frame_idx": pa.array(out["frame_idx"], pa.int64()),
+            "frame": pa.array(out["frame"], pa.binary()),
+            "w": pa.array(out["w"], pa.int32()),
+            "h": pa.array(out["h"], pa.int32()),
+            "sample_ok": pa.array(out["sample_ok"], pa.bool_()),
+        })

@@ -1,0 +1,80 @@
+"""Multimodal resize + frame-sample actor stages (build-brief §multimodal):
+resize is REAL (block-mean numpy); video decode is the stub boundary, with
+the Ray-side plumbing driven end-to-end through the FAKEVID1 fixture."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from mycelium_ray.imaging import decode_image, encode_image, psnr
+from mycelium_ray.stages.media import (ResizeImages, SampleFrames,
+                                       encode_fixture_video,
+                                       resize_block_mean)
+
+
+def _img(seed, w, h):
+    return np.random.default_rng(seed).integers(
+        0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_resize_block_mean_properties():
+    px = _img(1, 40, 32)
+    small = resize_block_mean(px, 16, 16)
+    assert small.shape == (16, 16, 3) and small.dtype == np.uint8
+    # global mean is preserved to block-rounding error
+    assert abs(px.mean() - small.mean()) < 4.0
+    flat = np.full((24, 24, 3), 77, dtype=np.uint8)
+    assert (resize_block_mean(flat, 8, 8) == 77).all()
+
+
+def test_resize_stage_over_dataset(ray_session):
+    rows = []
+    for i in range(6):
+        px = _img(i, 20 + i, 30)
+        rows.append({"image_id": f"i{i}",
+                     "content": encode_image(px, ["png", "jpeg", "webp"][i % 3])})
+    rows.append({"image_id": "bad", "content": b"not an image"})
+    ds = rd.from_arrow(pa.table({
+        "image_id": pa.array([r["image_id"] for r in rows]),
+        "content": pa.array([r["content"] for r in rows], pa.binary()),
+    }))
+    out = ds.map_batches(ResizeImages(16, 16), batch_format="pyarrow",
+                         batch_size=4, concurrency=2).to_pandas()
+    good = out[out["resize_ok"]]
+    assert len(good) == 6 and (good["resized_w"] == 16).all()
+    for _, row in good.iterrows():
+        px, _ = decode_image(row["content"])
+        assert px.shape == (16, 16, 3)
+    bad = out[~out["resize_ok"]]
+    assert list(bad["image_id"]) == ["bad"]
+    assert bad["content"].iloc[0] == b"not an image"  # passthrough
+
+
+def test_frame_sampling_plumbing(ray_session):
+    clips = []
+    for v in range(3):
+        frames = [_img(10 * v + f, 18, 12) for f in range(5 + v * 3)]
+        clips.append((f"v{v}", encode_fixture_video(frames)))
+    clips.append(("real.mp4", b"\x00\x00\x00\x18ftypmp42"))  # real container
+    ds = rd.from_arrow(pa.table({
+        "video_id": pa.array([c[0] for c in clips]),
+        "video": pa.array([c[1] for c in clips], pa.binary()),
+    }))
+    out = ds.map_batches(SampleFrames(n_samples=4), batch_format="pyarrow",
+                         batch_size=2, concurrency=2).to_pandas()
+    ok = out[out["sample_ok"]]
+    # 1 row in -> k frame rows out, evenly spaced, decodable
+    assert ok.groupby("video_id").size().to_dict() == {"v0": 4, "v1": 4, "v2": 4}
+    v2 = ok[ok["video_id"] == "v2"]["frame_idx"].tolist()
+    assert v2 == [0, 2, 5, 8]  # evenly spaced over 11 frames
+    px, _ = decode_image(ok["frame"].iloc[0])
+    assert px.shape == (12, 18, 3)
+    # real containers: clearly-marked stub, row survives with sample_ok=False
+    stub = out[~out["sample_ok"]]
+    assert list(stub["video_id"]) == ["real.mp4"]
+
+
+def test_frame_sampler_stub_raises_directly():
+    with pytest.raises(NotImplementedError):
+        SampleFrames()._frames(b"\x00\x00\x00\x18ftypmp42")
