@@ -102,6 +102,86 @@ def _decode_fixture_video(data: bytes) -> list[bytes]:
     return frames
 
 
+class AudioFeatures:
+    """audio:binary → per-clip features (duration, rms, peak,
+    zero-crossing rate). WAV/PCM decode is REAL (stdlib ``wave`` +
+    numpy DSP — no codec library needed); compressed formats (mp3/ogg/
+    flac) are the stub boundary and raise NotImplementedError internally
+    (no libsndfile/ffmpeg in this container), surfacing as
+    audio_ok=False rows.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["audio_id"].to_pylist()
+        blobs = batch["audio"].to_pylist()
+        out = {"audio_id": [], "duration_ms": [], "rms": [], "peak": [],
+               "zcr_ppm": [], "sample_rate": [], "audio_ok": []}
+        for aid, data in zip(ids, blobs):
+            try:
+                sr, samples = self._decode(data)
+                x = samples.astype(np.float64) / 32768.0
+                out["audio_id"].append(aid)
+                out["duration_ms"].append(int(len(x) * 1000 / sr))
+                out["rms"].append(float(np.sqrt(np.mean(x * x))) if len(x)
+                                  else 0.0)
+                out["peak"].append(float(np.abs(x).max()) if len(x) else 0.0)
+                zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum()) \
+                    if len(x) > 1 else 0
+                out["zcr_ppm"].append(int(zc * 1_000_000 / max(len(x) - 1, 1)))
+                out["sample_rate"].append(sr)
+                out["audio_ok"].append(True)
+            except (NotImplementedError, Exception):
+                out["audio_id"].append(aid)
+                out["duration_ms"].append(-1)
+                out["rms"].append(0.0)
+                out["peak"].append(0.0)
+                out["zcr_ppm"].append(-1)
+                out["sample_rate"].append(-1)
+                out["audio_ok"].append(False)
+        return pa.table({
+            "audio_id": pa.array(out["audio_id"], pa.string()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int64()),
+            "rms": pa.array(out["rms"], pa.float64()),
+            "peak": pa.array(out["peak"], pa.float64()),
+            "zcr_ppm": pa.array(out["zcr_ppm"], pa.int64()),
+            "sample_rate": pa.array(out["sample_rate"], pa.int32()),
+            "audio_ok": pa.array(out["audio_ok"], pa.bool_()),
+        })
+
+    @staticmethod
+    def _decode(data: bytes) -> tuple[int, np.ndarray]:
+        """bytes → (sample_rate, mono int16 samples). WAV only (real);
+        anything else is the documented stub boundary."""
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            import io
+            import wave
+            with wave.open(io.BytesIO(data)) as w:
+                if w.getsampwidth() != 2:
+                    raise NotImplementedError("only 16-bit PCM WAV")
+                frames = w.readframes(w.getnframes())
+                x = np.frombuffer(frames, dtype="<i2")
+                ch = w.getnchannels()
+                if ch > 1:  # downmix to mono
+                    x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
+                return w.getframerate(), x
+        raise NotImplementedError(
+            "compressed audio (mp3/ogg/flac) needs libsndfile/ffmpeg, "
+            "absent from this container; WAV/PCM is decoded for real")
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → WAV bytes (test fixture helper)."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
 class SampleFrames:
     """video:binary → one output row per sampled frame.
 

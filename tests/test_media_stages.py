@@ -78,3 +78,29 @@ def test_frame_sampling_plumbing(ray_session):
 def test_frame_sampler_stub_raises_directly():
     with pytest.raises(NotImplementedError):
         SampleFrames()._frames(b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_audio_features_real_wav(ray_session):
+    """WAV decode is REAL: a pure sine's RMS is 1/sqrt(2) of peak, its
+    zero-crossing rate matches 2f/sr, and duration is exact; compressed
+    payloads surface as audio_ok=False (stub boundary)."""
+    from mycelium_ray.stages.media import AudioFeatures, encode_wav
+    sr, f = 16000, 440.0
+    t = np.arange(sr)  # exactly 1 s
+    sine = (0.5 * 32767 * np.sin(2 * np.pi * f * t / sr)).astype(np.int16)
+    silence = np.zeros(sr // 2, dtype=np.int16)
+    ds = rd.from_arrow(pa.table({
+        "audio_id": pa.array(["sine", "silence", "mp3"]),
+        "audio": pa.array([encode_wav(sine, sr), encode_wav(silence, sr),
+                           b"ID3\x04fakempeg"], pa.binary()),
+    }))
+    out = ds.map_batches(AudioFeatures(), batch_format="pyarrow",
+                         batch_size=2, concurrency=2).to_pandas()
+    out = out.set_index("audio_id")
+    s = out.loc["sine"]
+    assert s["audio_ok"] and s["duration_ms"] == 1000 and s["sample_rate"] == sr
+    assert abs(s["rms"] - s["peak"] / np.sqrt(2)) < 0.01
+    assert abs(s["zcr_ppm"] / 1e6 - 2 * f / sr) < 0.005
+    q = out.loc["silence"]
+    assert q["audio_ok"] and q["duration_ms"] == 500 and q["rms"] == 0.0
+    assert not out.loc["mp3"]["audio_ok"]
