@@ -156,8 +156,17 @@ def top_users_by_value(sf_dir: str, k: int = 20):
     agg = ds.map_batches(partial, batch_format="pandas") \
         .groupby("user_id").aggregate(Sum("value_cents",
                                           alias_name="value_cents"))
-    pdf = agg.to_pandas().sort_values(
-        ["value_cents", "user_id"], ascending=[False, True]).head(k)
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # keep k rows per block (deterministic (value desc, user asc)
+        # tie-break) so the driver merges k×n_blocks rows, never the full
+        # per-user aggregate (10^8 users at scale)
+        return df.sort_values(["value_cents", "user_id"],
+                              ascending=[False, True]).head(k)
+
+    pdf = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    pdf = pdf.sort_values(["value_cents", "user_id"],
+                          ascending=[False, True]).head(k)
     pdf["rank"] = range(1, len(pdf) + 1)
     import pyarrow as pa
     return pa.Table.from_pandas(pdf.reset_index(drop=True),
