@@ -1,15 +1,20 @@
 """Versioned table store: the durability layer for frontier / url_seen /
 fetched / metrics / lineage tables.
 
-North-star storage is Lance; the ``lance`` package is not available in this
-container, so the store writes **versioned Parquet datasets** with the same
-contract (append-only versions, atomic publish, read-at-version) behind an
-import-try — if ``lance`` is importable the same API maps onto
-``lance.write_dataset(..., mode='create'/'overwrite')`` versions.
+North-star storage is Lance. When the ``lance`` package is importable the
+write path is ``lance.write_dataset(table, <vdir>/data.lance)`` per
+version; this container ships no lance, so the default falls back to
+**versioned Parquet datasets** with the same contract (append-only
+versions, atomic publish, read-at-version). Reads AUTO-DETECT the format
+per version directory, so a store written under one environment resumes
+under the other. The lance branch is exercised in CI through a minimal
+fake ``lance`` module (tests/test_state.py::test_lance_branch) so the
+adapter stays honest without the real dependency.
 
 Layout (one directory per logical table):
 
-    root/<table>/v000001/part-000.parquet …   # one dir per version
+    root/<table>/v000001/part-000.parquet     # parquet version
+    root/<table>/v000001/data.lance/…         # or a lance version
     root/<table>/v000001/_OK                  # publish marker
     root/<table>/_blobs/<name>                # binary blobs (filter states)
 
@@ -36,8 +41,15 @@ except ImportError:
 
 
 class TableStore:
-    def __init__(self, root: str):
+    def __init__(self, root: str, format: str = "auto"):
+        """format: 'auto' (lance when importable, else parquet),
+        'parquet', or 'lance' (requires the lance module)."""
         self.root = root
+        if format == "auto":
+            format = "lance" if HAVE_LANCE else "parquet"
+        if format == "lance" and not HAVE_LANCE:
+            raise RuntimeError("format='lance' but no lance module")
+        self.format = format
         os.makedirs(root, exist_ok=True)
 
     # ---- paths ----
@@ -73,7 +85,12 @@ class TableStore:
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
-        pq.write_table(table, os.path.join(tmp, "part-000.parquet"))
+        if self.format == "lance":
+            import lance as _lance
+            _lance.write_dataset(table, os.path.join(tmp, "data.lance"),
+                                 mode="create")
+        else:
+            pq.write_table(table, os.path.join(tmp, "part-000.parquet"))
         if os.path.exists(final):
             shutil.rmtree(final)
         os.replace(tmp, final)
@@ -89,6 +106,11 @@ class TableStore:
         vdir = self._vdir(name, version)
         if not os.path.exists(os.path.join(vdir, "_OK")):
             raise FileNotFoundError(f"{name} v{version} not published")
+        # per-version format auto-detect: resume works across environments
+        lance_path = os.path.join(vdir, "data.lance")
+        if os.path.exists(lance_path):
+            import lance as _lance
+            return _lance.dataset(lance_path).to_table()
         parts = sorted(f for f in os.listdir(vdir) if f.endswith(".parquet"))
         return pa.concat_tables([pq.read_table(os.path.join(vdir, p)) for p in parts])
 
