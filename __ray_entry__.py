@@ -58,6 +58,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_nation": analytics.orders_by_nation,
         "revenue_by_priority": analytics.revenue_by_priority,
+        "events_asof_join": analytics.events_asof_join,
+        "events_error_burst": analytics.events_error_burst,
+        "value_percentiles": analytics.value_percentiles,
+        "segment_revenue_topk": analytics.segment_revenue_topk,
+        "distinct_users_hll": analytics.distinct_users_hll,  # rows-only (sketch)
+        "word_count_topk": textops.word_count_topk,
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
@@ -89,6 +95,11 @@ def oracle_sql() -> dict[str, str]:
         "top_users_by_value": analytics.TOP_USERS_SQL,
         "orders_by_nation": analytics.ORDERS_BY_NATION_SQL,
         "revenue_by_priority": analytics.REVENUE_BY_PRIORITY_SQL,
+        "events_asof_join": analytics.EVENTS_ASOF_SQL,
+        "events_error_burst": analytics.EVENTS_ERROR_BURST_SQL,
+        "value_percentiles": analytics.VALUE_PERCENTILES_SQL,
+        "segment_revenue_topk": analytics.SEGMENT_REVENUE_SQL,
+        "word_count_topk": textops.WORD_COUNT_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,

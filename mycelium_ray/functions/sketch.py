@@ -1,0 +1,73 @@
+"""Distributed cardinality sketch: HyperLogLog (Flajolet et al. 2007).
+
+The scale path for COUNT(DISTINCT) at 100 TB: exact distinct needs an
+all-to-all shuffle of every key; the HLL register array is a fixed
+2^P bytes no matter how many rows stream through, merges with an
+elementwise max, and rides an ordinary ``map_batches`` → tiny reduce.
+
+Layout: P index bits, 64-P rank bits over a 64-bit hash (xxhash-strength
+splitmix64 from ``hashing.url_hash64_many``). Standard error ≈
+1.04/sqrt(2^P) — P=14 ⇒ ~0.8%. Bias correction: linear counting for the
+small range (HLL++-style switch), raw estimator elsewhere (the classic
+large-range correction is unnecessary with 64-bit hashes).
+
+Rebuild-only component (the reference has no approximate aggregates —
+SURVEY.md §2.5); mandated by the training-data op suite, not parity.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..hashing import url_hash64_many
+
+P = 14
+M = 1 << P
+_ALPHA = 0.7213 / (1 + 1.079 / M)  # alpha_m for m >= 128
+
+
+def empty_registers() -> np.ndarray:
+    return np.zeros(M, dtype=np.uint8)
+
+
+def add_hashed(regs: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Fold a batch of uint64 hashes into the register array (in place)."""
+    h = h.astype(np.uint64, copy=False)
+    idx = (h >> np.uint64(64 - P)).astype(np.int64)
+    rest = h << np.uint64(P)  # low 64-P bits, left-aligned
+    # rank = leading zeros of the remaining bits + 1, capped at 64-P+1
+    lz = np.full(len(h), 64 - P, dtype=np.uint8)
+    mask = rest != 0
+    if mask.any():
+        # float64 log2 is exact for the leading-bit position of a uint64
+        # except at the very top — handle via bit-length arithmetic instead
+        r = rest[mask]
+        bits = np.zeros(len(r), dtype=np.uint8)
+        for shift in (32, 16, 8, 4, 2, 1):
+            step = r >= (np.uint64(1) << np.uint64(shift))
+            hi = r >> np.uint64(shift)
+            r = np.where(step, hi, r)
+            bits = bits + np.where(step, np.uint8(shift), np.uint8(0))
+        lz[mask] = 63 - bits  # 64 - (bits+1) leading zeros in the u64 view
+    rank = lz.astype(np.uint8) + 1
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def add_values(regs: np.ndarray, values) -> np.ndarray:
+    strs = pd.Series(values).astype(str).tolist()
+    return add_hashed(regs, url_hash64_many(strs))
+
+
+def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def estimate(regs: np.ndarray) -> float:
+    inv = np.ldexp(1.0, -regs.astype(np.int64))  # 2^-reg
+    raw = _ALPHA * M * M / inv.sum()
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * M and zeros:
+        return M * np.log(M / zeros)  # linear counting, small range
+    return raw

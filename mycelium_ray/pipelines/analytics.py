@@ -387,3 +387,376 @@ SELECT o.o_orderpriority,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY o.o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins the reference lacks but a training-data pipeline needs
+# (build-brief "custom operators": as-of join + range join). Both follow the
+# documented partitioning assumption: rows are hash-bucketed by user_id, all
+# rows of one user land in one group, and the per-group logic is a
+# vectorized pandas/numpy kernel (merge_asof / rank arithmetic) — never a
+# per-pair or per-row Python loop. B = _n_join_buckets() ∝ cluster CPUs.
+# ---------------------------------------------------------------------------
+
+def events_asof_join(sf_dir: str):
+    """As-of join: each 'purchase' event matched to the same user's most
+    recent 'view' event at-or-before it (inner, backward, ties allowed).
+
+    Ray shape: single pruned read → hash-bucket by user → groupby(bucket)
+    → per-group pd.merge_asof (vectorized backward search). The right side
+    is deduplicated to one row per (user_id, ts) keeping max event_id so
+    the as-of pick is deterministic (mirrors the oracle's max() pre-agg).
+    Output: (purchase_id, user_id, purchase_us, view_id, gap_us).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = _n_join_buckets()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "view"])].copy()
+        df["us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        df["bucket"] = (df["user_id"].to_numpy().astype("uint64")
+                        % np.uint64(n_buckets)).astype("int64")
+        return df[["event_id", "user_id", "event_type", "us", "bucket"]]
+
+    EMPTY = pd.DataFrame({
+        "purchase_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "purchase_us": pd.Series([], dtype="int64"),
+        "view_id": pd.Series([], dtype="int64"),
+        "gap_us": pd.Series([], dtype="int64")})
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"]
+        v = g[g["event_type"] == "view"]
+        if len(p) == 0 or len(v) == 0:
+            return EMPTY.copy()
+        # deterministic right side: one view per (user, ts), max event_id
+        v = (v.sort_values(["user_id", "us", "event_id"])
+               .groupby(["user_id", "us"], as_index=False).last())
+        p = p.sort_values("us", kind="mergesort")
+        v = v.sort_values("us", kind="mergesort")
+        m = pd.merge_asof(p, v, on="us", by="user_id",
+                          direction="backward", allow_exact_matches=True,
+                          suffixes=("", "_v"))
+        m = m[m["event_id_v"].notna()]
+        if len(m) == 0:
+            return EMPTY.copy()
+        out = pd.DataFrame({
+            "purchase_id": m["event_id"].astype("int64"),
+            "user_id": m["user_id"].astype("int64"),
+            "purchase_us": m["us"].astype("int64"),
+            "view_id": m["event_id_v"].astype("int64"),
+        })
+        # merge_asof keeps only the left 'us'; recover the view ts via the
+        # dedup frame to compute the gap without a second join: index lookup
+        vv = v.set_index(["user_id", "event_id"])["us"]
+        out["gap_us"] = (out["purchase_us"].to_numpy()
+                         - vv.loc[list(zip(out["user_id"], out["view_id"]))]
+                             .to_numpy()).astype("int64")
+        return out
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(asof_bucket, batch_format="pandas")
+
+
+EVENTS_ASOF_SQL = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+), v AS (
+  SELECT user_id, epoch_us(ts) AS view_us, max(event_id) AS view_id
+  FROM events WHERE event_type = 'view' GROUP BY 1, 2
+)
+SELECT p.purchase_id, p.user_id, p.purchase_us, v.view_id,
+       p.purchase_us - v.view_us AS gap_us
+FROM p ASOF JOIN v
+  ON p.user_id = v.user_id AND p.purchase_us >= v.view_us
+"""
+
+
+RANGE_JOIN_WINDOW_S = 300
+
+
+def events_error_burst(sf_dir: str):
+    """Range join: per purchase, how many 'error' events the same user had
+    in the preceding RANGE_JOIN_WINDOW_S seconds (exclusive lower bound,
+    inclusive upper: err.us ∈ (p.us - W, p.us]). Purchases with zero
+    errors are kept (count 0) — LEFT range-join semantics.
+
+    Distributed shape: hash-bucket by user → per-group the count is rank
+    arithmetic, not a pair join: errors get a per-user running rank, and
+    two backward merge_asof probes (at p.us and at p.us - W) give the
+    rank at each bound; the count is the difference. O((P+E) log E) per
+    bucket, vectorized, and never materializes the pair blow-up a naive
+    range join would.
+    Output: (purchase_id, user_id, n_errors).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "event_type"])
+    n_buckets = _n_join_buckets()
+    w_us = RANGE_JOIN_WINDOW_S * 10 ** 6
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(["purchase", "error"])].copy()
+        df["us"] = df["ts"].astype("datetime64[us]").astype("int64")
+        df["bucket"] = (df["user_id"].to_numpy().astype("uint64")
+                        % np.uint64(n_buckets)).astype("int64")
+        return df[["event_id", "user_id", "event_type", "us", "bucket"]]
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["event_type"] == "purchase"].sort_values(
+            "us", kind="mergesort")
+        if len(p) == 0:
+            return pd.DataFrame({"purchase_id": pd.Series([], dtype="int64"),
+                                 "user_id": pd.Series([], dtype="int64"),
+                                 "n_errors": pd.Series([], dtype="int64")})
+        e = g[g["event_type"] == "error"].sort_values(
+            ["user_id", "us", "event_id"], kind="mergesort").copy()
+        if len(e) == 0:
+            return pd.DataFrame({
+                "purchase_id": p["event_id"].astype("int64").to_numpy(),
+                "user_id": p["user_id"].astype("int64").to_numpy(),
+                "n_errors": np.zeros(len(p), dtype="int64")})
+        e["rank"] = e.groupby("user_id").cumcount() + 1
+        e = e.sort_values("us", kind="mergesort")
+        er = e[["user_id", "us", "rank"]]
+
+        def rank_at(ts_us: np.ndarray) -> np.ndarray:
+            probe = pd.DataFrame({"user_id": p["user_id"].to_numpy(),
+                                  "us": ts_us}).sort_values(
+                "us", kind="mergesort")
+            probe["order"] = np.arange(len(probe))
+            m = pd.merge_asof(probe, er, on="us", by="user_id",
+                              direction="backward",
+                              allow_exact_matches=True)
+            return m.sort_values("order")["rank"].fillna(0).to_numpy()
+
+        hi = rank_at(p["us"].to_numpy())
+        lo = rank_at(p["us"].to_numpy() - w_us)  # ≤ p.us - W ⇒ excluded
+        return pd.DataFrame({
+            "purchase_id": p["event_id"].astype("int64").to_numpy(),
+            "user_id": p["user_id"].astype("int64").to_numpy(),
+            "n_errors": (hi - lo).astype("int64")})
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(count_bucket, batch_format="pandas")
+
+
+EVENTS_ERROR_BURST_SQL = f"""
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events WHERE event_type = 'error'
+)
+SELECT p.purchase_id, p.user_id,
+       count(e.us) AS n_errors
+FROM p LEFT JOIN e
+  ON p.user_id = e.user_id
+ AND e.us > p.us - {RANGE_JOIN_WINDOW_S} * 1000000
+ AND e.us <= p.us
+GROUP BY 1, 2
+"""
+
+
+PCTL_QS = (50, 90, 99)
+
+
+def value_percentiles(sf_dir: str):
+    """Exact distributed percentiles per event_type over a fixed-point
+    domain: map_batches partial histogram per (event_type, cents) →
+    groupby sum → tiny driver cumsum picks the smallest value whose
+    cumulative count reaches ceil(q/100 × n).
+
+    Scale shape: the shuffle moves one row per distinct (type, cents) per
+    batch — the value domain is bounded (cents), so the histogram is
+    small no matter how many rows stream through; the all-to-all is over
+    the histogram, never the raw events. (For unbounded/continuous
+    domains the same pipeline runs on quantized buckets + a second pruned
+    pass — not needed for a priced-value column.)
+    Output: (event_type, p50_cents, p90_cents, p99_cents).
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"event_type": df["event_type"], "cents": cents,
+                          "cnt": 1})
+        return g.groupby(["event_type", "cents"], as_index=False).sum()
+
+    hist = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "cents"]).aggregate(
+            Sum("cnt", alias_name="cnt"))
+    h = hist.to_pandas()  # bounded: |types| × |distinct cents| rows
+
+    outs = []
+    for et, g in h.groupby("event_type"):
+        g = g.sort_values("cents")
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        row = {"event_type": et}
+        for q in PCTL_QS:
+            target = -(-q * n // 100)  # ceil(q*n/100)
+            row[f"p{q}_cents"] = int(
+                g["cents"].to_numpy()[np.searchsorted(cum, target)])
+        outs.append(row)
+    out = pd.DataFrame(outs).sort_values("event_type").reset_index(drop=True)
+    for q in PCTL_QS:
+        out[f"p{q}_cents"] = out[f"p{q}_cents"].astype("int64")
+    return out
+
+
+VALUE_PERCENTILES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+), r AS (
+  SELECT event_type, cents, count(*) AS cnt FROM c GROUP BY 1, 2
+), w AS (
+  SELECT event_type, cents,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY cents) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS total
+  FROM r
+)
+SELECT event_type,
+       min(CASE WHEN cum >= CAST(ceil(50 * total / 100.0) AS BIGINT)
+                THEN cents END) AS p50_cents,
+       min(CASE WHEN cum >= CAST(ceil(90 * total / 100.0) AS BIGINT)
+                THEN cents END) AS p90_cents,
+       min(CASE WHEN cum >= CAST(ceil(99 * total / 100.0) AS BIGINT)
+                THEN cents END) AS p99_cents
+FROM w GROUP BY event_type
+"""
+
+
+SEGMENT = "BUILDING"
+SEGMENT_TOPK = 10
+
+
+def segment_revenue_topk(sf_dir: str, k: int = SEGMENT_TOPK):
+    """TPC-H-Q3-shaped 3-table pipeline: customers in one market segment →
+    their orders (broadcast semi-join: the segment's custkey set rides
+    ray.put once) → lineitem revenue per order (partitioned hash join on
+    orderkey, bucketed ∝ CPUs) → top-k orders by revenue.
+
+    Composition of both join strategies in one pipeline: small side
+    broadcast where one side is bounded (customers of one segment), all-
+    to-all bucket join where both sides are large (lineitem ⋈ orders).
+    Output: (o_orderkey, o_orderdate_us, revenue_cents), top-k by
+    (revenue desc, orderkey asc).
+    """
+    import pyarrow.parquet as pq
+    import ray
+    import pyarrow as pa
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keys = cust.filter(
+        pa.compute.equal(cust["c_mktsegment"], SEGMENT))["c_custkey"]
+    seg_keys = ray.put(set(keys.to_pylist()))
+
+    n_buckets = _n_join_buckets()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_orderdate"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        import ray as _ray
+        sk = _ray.get(seg_keys)
+        df = df[df["o_custkey"].isin(sk)]
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "bucket": (df["o_orderkey"] % n_buckets).astype("int64"),
+            "side": 1, "rev_c": 0,
+            "date_us": df["o_orderdate"].astype("datetime64[us]")
+                         .astype("int64"),
+        })
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "key": df["l_orderkey"].astype("int64"),
+            "bucket": (df["l_orderkey"] % n_buckets).astype("int64"),
+            "side": 0, "rev_c": price * (100 - disc),
+            "date_us": 0,
+        })
+
+    both = orders.map_batches(tag_orders, batch_format="pandas").union(
+        li.map_batches(tag_li, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 1][["key", "date_us"]]
+        l = g[g["side"] == 0][["key", "rev_c"]]
+        m = l.merge(o, on="key")
+        if len(m) == 0:
+            return pd.DataFrame({
+                "o_orderkey": pd.Series([], dtype="int64"),
+                "o_orderdate_us": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64")})
+        out = m.groupby(["key", "date_us"], as_index=False).agg(
+            revenue_cents=("rev_c", "sum"))
+        out = out.rename(columns={"key": "o_orderkey",
+                                  "date_us": "o_orderdate_us"})
+        # partial top-k inside the bucket: only k rows per bucket travel
+        return out.sort_values(["revenue_cents", "o_orderkey"],
+                               ascending=[False, True]).head(k)
+
+    pdf = both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pandas").to_pandas()
+    pdf = pdf.sort_values(["revenue_cents", "o_orderkey"],
+                          ascending=[False, True]).head(k)
+    import pyarrow as _pa
+    return _pa.Table.from_pandas(
+        pdf[["o_orderkey", "o_orderdate_us", "revenue_cents"]]
+        .reset_index(drop=True), preserve_index=False)
+
+
+SEGMENT_REVENUE_SQL = f"""
+SELECT o.o_orderkey, epoch_us(o.o_orderdate) AS o_orderdate_us,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{SEGMENT}'
+GROUP BY 1, 2
+ORDER BY revenue_cents DESC, o_orderkey ASC
+LIMIT {SEGMENT_TOPK}
+"""
+
+
+def distinct_users_hll(sf_dir: str):
+    """Approximate COUNT(DISTINCT user_id) via a distributed HyperLogLog
+    (functions/sketch.py, P=14 ⇒ ~0.8% standard error).
+
+    The 100-TB COUNT(DISTINCT) shape: each batch folds its keys into a
+    fixed 16 KiB register array, one register row per batch travels, and
+    the driver merges a handful of arrays with elementwise max — no
+    shuffle of the key space at any cardinality. Rows-only by design
+    (probabilistic); the error bound vs exact is asserted in
+    tests/test_sketch.py.
+    Output: one row (n_users_approx: int64).
+    """
+    from ..functions import sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        regs = sketch.empty_registers()
+        sketch.add_values(regs, df["user_id"].to_numpy())
+        return pd.DataFrame({"regs": [regs.tobytes()]})
+
+    rows = ds.map_batches(partial, batch_format="pandas").take_all()
+    regs = sketch.empty_registers()
+    for r in rows:
+        regs = sketch.merge(regs, np.frombuffer(r["regs"], dtype=np.uint8))
+    import pyarrow as pa
+    return pa.table({"n_users_approx":
+                     pa.array([int(round(sketch.estimate(regs)))],
+                              pa.int64())})

@@ -229,3 +229,60 @@ def stem_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
 def stem_stats(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(stem_stats_batch, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# word_count_topk: classic distributed word count with partial aggregation,
+# top-k terms. The flat_map blow-up (1 doc → n tokens) never leaves the
+# batch: tokens are counted per batch first, so the shuffle moves one row
+# per distinct (token) per batch, not one row per token occurrence.
+# Tokens are ASCII [A-Za-z0-9]+ runs extracted BEFORE lowercasing so the
+# lowercase step only ever sees ASCII — bit-identical between Python and
+# the DuckDB/ICU oracle regardless of the surrounding Unicode text.
+# --------------------------------------------------------------------------
+WORDCOUNT_TOPK = 20
+
+
+def word_count_topk(sf_dir: str, k: int = WORDCOUNT_TOPK):
+    """(token, n) for the k most frequent ASCII word tokens,
+    (n desc, token asc)-ordered with rank."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        # Arrow-vectorized flat_map: split on non-token runs → list array,
+        # flatten, drop the empty boundary tokens, ASCII-lowercase, count.
+        toks = pc.list_flatten(
+            pc.split_pattern_regex(text, "[^A-Za-z0-9]+"))
+        toks = pc.utf8_lower(toks.filter(pc.not_equal(toks, "")))
+        vc = pc.value_counts(toks)
+        return pa.table({"token": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "token"],
+                              ascending=[False, True]).head(k)
+
+    pdf = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    pdf = pdf.sort_values(["n", "token"], ascending=[False, True]).head(k)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype="int64")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
+WORD_COUNT_SQL = f"""
+WITH toks AS (
+  SELECT lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+)
+SELECT token, n,
+       row_number() OVER (ORDER BY n DESC, token ASC) AS rank
+FROM c ORDER BY n DESC, token ASC LIMIT {WORDCOUNT_TOPK}
+"""
