@@ -46,10 +46,14 @@ class PlannerShard:
         self.crawler = None
         self._peers = None
         self._host_to_shard: dict = {}
+        self._warm = False
 
     def load_site(self, site_blob, host_to_shard: dict | None = None,
                   store_root: str | None = None, checkpoint_every: int = 0,
-                  resume: bool = False) -> bool:
+                  resume: bool = False, parallel: int | None = None,
+                  dedup: str | None = None, follow_links: bool | None = None,
+                  n_shards: int | None = None,
+                  user_agent: str | None = None) -> bool:
         """site_blob: pickled SiteGraph bytes (one flat blob — Ray's
         recursive per-object serialization of a 10^5-entry dataclass graph
         is an order of magnitude slower than a flat pickle round-trip).
@@ -57,7 +61,24 @@ class PlannerShard:
         shard); unknown hosts fall back to hash routing.
         ``store_root``/``checkpoint_every``: per-shard durable checkpoints
         under ``store_root/shard=NNN``; ``resume=True`` restores the latest
-        checkpoint instead of starting fresh (returns False if none)."""
+        checkpoint instead of starting fresh (returns False if none).
+
+        The trailing kwargs reconfigure a POOLED (reused) actor for a new
+        crawl job — all per-run state lives in the crawler rebuilt here, so
+        one long-lived actor serves any sequence of jobs (the fixed-size-
+        cluster executor model: bring-up is paid once per session, not per
+        job; cold-starting a 30-process pool mid-session measured 5-31 s on
+        this box because Ray Data tasks consume the prestarted workers)."""
+        if parallel is not None:
+            self.parallel = parallel
+        if dedup is not None:
+            self.dedup = dedup
+        if follow_links is not None:
+            self.follow_links = follow_links
+        if n_shards is not None:
+            self.n_shards = n_shards
+        if user_agent is not None:
+            self.user_agent = user_agent
         import os
         import pickle
         from ..state.store import TableStore
@@ -97,8 +118,17 @@ class PlannerShard:
                 return owner == _id
 
             self.crawler.owns_host = owns
-        self._warmup()
+        if not self._warm:
+            self._warmup()
+            self._warm = True
         return resumed
+
+    def clear(self) -> None:
+        """Drop all per-job state (crawler, site slice, peer handles) so an
+        idle pooled actor holds ~no memory between jobs."""
+        self.crawler = None
+        self._peers = None
+        self._host_to_shard = {}
 
     def _warmup(self) -> None:
         """Trigger the lazy imports and plasma-client init that otherwise
@@ -238,6 +268,40 @@ class PlannerShard:
         }
 
 
+# One long-lived planner pool per driver session (the fixed-size-cluster
+# executor model). Reused across run_crawl_sharded calls of the same shard
+# count; resized (old pool killed) when the count changes; actors clear()
+# their job state between runs so an idle pool holds ~no memory.
+_POOL: dict = {"n": 0, "actors": None}
+
+
+def _planner_pool(n_shards: int, per_shard: int, dedup: str,
+                  follow_links: bool) -> tuple[list, bool]:
+    """Returns (actors, reused)."""
+    if _POOL["actors"] is not None and _POOL["n"] == n_shards:
+        try:  # liveness ping — a died/OOM-killed actor poisons the pool
+            ray.get([a.__ray_ready__.remote() for a in _POOL["actors"]])
+            return _POOL["actors"], True
+        except Exception:
+            pass
+    shutdown_pool()
+    actors = [PlannerShard.remote(i, per_shard, dedup=dedup,
+                                  follow_links=follow_links,
+                                  n_shards=n_shards)
+              for i in range(n_shards)]
+    _POOL["n"] = n_shards
+    _POOL["actors"] = actors
+    return actors, False
+
+
+def shutdown_pool() -> None:
+    if _POOL["actors"] is not None:
+        for a in _POOL["actors"]:
+            ray.kill(a)
+    _POOL["n"] = 0
+    _POOL["actors"] = None
+
+
 def partition_seeds(seed_lines: list[str], n_shards: int) -> list[list[str]]:
     """Route seed lines by hash(lowercased parsed host) — case aliases of
     one physical host MUST co-locate or per-shard seen-sets overlap
@@ -373,13 +437,13 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     slice_refs = [ray.put(pickle.dumps(slice_site(site, hs), protocol=5))
                   for hs in shard_hosts]
     t0 = _t("slice+put", t0)
-    shards = [PlannerShard.remote(i, per_shard, dedup=dedup,
-                                  follow_links=follow_links,
-                                  n_shards=n_shards)
-              for i in range(n_shards)]
+    shards, _reused = _planner_pool(n_shards, per_shard, dedup, follow_links)
     resumed = ray.get([s.load_site.remote(ref, host_to_shard,
                                           store_root, checkpoint_every,
-                                          resume)
+                                          resume, parallel=per_shard,
+                                          dedup=dedup,
+                                          follow_links=follow_links,
+                                          n_shards=n_shards)
                        for s, ref in zip(shards, slice_refs)])
     if n_shards > 1:
         ray.get([s.set_peers.remote(shards) for s in shards])
@@ -423,13 +487,14 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         if fed == 0 and pending_local == 0:
             break
     t0 = _t("run+rounds", t0)
-    # shards are done (row data is on disk / in driver-held tables): kill
-    # the actors NOW so their processes + site slices don't sit on the
-    # cluster for the rest of the job (a leaked 32-actor pool per crawl
-    # was the round-1 driver-bench slowdown: every later stage ran
-    # against the dead weight of earlier stages' pools)
-    for s in shards:
-        ray.kill(s)
+    # shards are done (row data is on disk / in driver-held tables): drop
+    # their job state NOW so the idle pool holds ~no memory for the rest
+    # of the job (a leaked 32-actor pool per crawl was the round-1
+    # driver-bench slowdown), but keep the PROCESSES — cold-starting a
+    # fresh 30-worker pool mid-session costs 5-31 s once Ray Data tasks
+    # have consumed the prestarted workers, and a fixed-size cluster's
+    # executors are long-lived anyway.
+    ray.get([s.clear.remote() for s in shards])
     del slice_refs
     # shard-level counters are cumulative; take the final round's values
     n_saved = sum(r["n_saved"] for r in results)
