@@ -41,6 +41,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "dedup_clusters": dedup.dedup_clusters,
+        "corpus_filter": textops.corpus_filter,
+        "tfidf_top_terms": textops.tfidf_top_terms,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # rows-only (probabilistic)
         "simhash": dedup.simhash,                      # rows-only (bit tricks)
         "simhash_neardup": dedup.simhash_neardup,      # rows-only
@@ -85,6 +88,9 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": textops.LANG_ID_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "corpus_filter": textops.CORPUS_FILTER_SQL,
+        "tfidf_top_terms": textops.TFIDF_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         "embedding_neardup": ann.EMBEDDING_NEARDUP_SQL,
         "events_window_agg": analytics.EVENTS_WINDOW_AGG_SQL,

@@ -95,8 +95,9 @@ def _doc_shingle_hashes(texts: list[str]) -> list[np.ndarray]:
     return out
 
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
-    """All pairs (doc_id_a < doc_id_b) with trigram-set Jaccard ≥ threshold.
+def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
+    """Dataset of (doc_id_a < doc_id_b, jaccard ≥ threshold) pairs — the
+    uncollected form of ngram_jaccard_pairs, reused by dedup_clusters.
 
     Distributed shape: per-batch shingle hashing, then an inverted-index
     explode (shingle_hash → doc_id) + groupby to count intersections —
@@ -160,9 +161,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
             "jaccard": jac[keep].astype("float64"),
         })
 
-    out = docs.map_batches(explode, batch_format="pandas") \
+    return docs.map_batches(explode, batch_format="pandas") \
         .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
         .groupby("kb").map_groups(reduce_pairs, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
+    """All pairs (doc_id_a < doc_id_b) with trigram-set Jaccard ≥ threshold
+    (see _jaccard_pairs_ds for the distributed shape)."""
+    out = _jaccard_pairs_ds(sf_dir, threshold)
     pdf = out.to_pandas()  # final thresholded pairs only — the query result
     if len(pdf) == 0:
         return pa.table({"doc_id_a": pa.array([], pa.int64()),
@@ -507,3 +514,146 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
     pigeonhole-complete for whatever contract is requested (d+1 segments);
     the default d≤3 matches standard web-scale simhash dedup practice."""
     return simhash_neardup_pairs(simhash(sf_dir), max_hamming=max_hamming)
+
+
+# --------------------------------------------------------------------------
+# near-dup cluster resolution: pair graph → connected components
+# --------------------------------------------------------------------------
+def connected_components(pairs_ds):
+    """(doc_id, rep) for every node of a (doc_id_a, doc_id_b) pair Dataset,
+    where rep = min doc_id in the node's connected component — the dedup
+    DECISION step that turns near-dup pairs into keep/drop clusters.
+
+    Distributed iterative min-label propagation: each round, every node's
+    label and its incident edges meet in a bucketed groupby keyed on the
+    node; labels flow across edges; a second bucketed groupby takes the
+    min per node. Converges in O(component diameter) rounds — near-dup
+    clusters are shallow (dup chains are short), so this is 2-4 rounds in
+    practice; the path-doubling variant (Hash-to-Min, Rastogi et al. 2013)
+    drops it to O(log d) at the cost of label-set blowup and isn't needed
+    at these diameters. Per round the driver sees ONE counter (number of
+    labels that changed); labels/edges stay in the object store.
+    """
+    edges = pairs_ds.map_batches(
+        lambda df: pd.DataFrame({
+            "u": np.concatenate([df["doc_id_a"].to_numpy(),
+                                 df["doc_id_b"].to_numpy()]).astype("int64"),
+            "v": np.concatenate([df["doc_id_b"].to_numpy(),
+                                 df["doc_id_a"].to_numpy()]).astype("int64"),
+        }), batch_format="pandas").materialize()
+
+    def init_labels(df: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(df["u"].to_numpy())
+        return pd.DataFrame({"node": u, "label": u,
+                             "bucket": (u % N_BUCKETS).astype("int64")})
+
+    def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("node")
+        return g[["node", "label"]]
+
+    labels = edges.map_batches(init_labels, batch_format="pandas") \
+        .groupby("bucket").map_groups(dedup_nodes, batch_format="pandas") \
+        .materialize()
+
+    def edge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["u"].to_numpy()
+        return pd.DataFrame({
+            "key": key, "val": df["v"].to_numpy(),
+            "kind": np.ones(len(df), dtype="int64"),
+            "bucket": (key % N_BUCKETS).astype("int64"),
+        })
+
+    def label_rows(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["node"].to_numpy()
+        return pd.DataFrame({
+            "key": key, "val": df["label"].to_numpy(),
+            "kind": np.zeros(len(df), dtype="int64"),
+            "bucket": (key % N_BUCKETS).astype("int64"),
+        })
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g[g["kind"] == 0].drop_duplicates("key").set_index("key")["val"]
+        e = g[g["kind"] == 1]
+        lu = lab.reindex(e["key"]).to_numpy()  # label of each edge's source
+        node = np.concatenate([e["val"].to_numpy(), lab.index.to_numpy()])
+        label = np.concatenate([lu, lab.to_numpy()])
+        # the self row carries the node's previous label so the reducer can
+        # count changes; message rows carry -1 there
+        old = np.concatenate([np.full(len(e), -1, dtype="int64"),
+                              lab.to_numpy()])
+        return pd.DataFrame({
+            "node": node.astype("int64"), "label": label.astype("int64"),
+            "old": old,
+            "nbucket": (node % N_BUCKETS).astype("int64"),
+        })
+
+    def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("node", as_index=False).agg(
+            label=("label", "min"), old=("old", "max"))
+        return pd.DataFrame({
+            "node": agg["node"].astype("int64"),
+            "label": agg["label"].astype("int64"),
+            "changed": (agg["label"] != agg["old"]).astype("int64"),
+        })
+
+    edge_msgs = edges.map_batches(edge_rows, batch_format="pandas")
+    while True:
+        lab_msgs = labels.map_batches(label_rows, batch_format="pandas")
+        new_labels = lab_msgs.union(edge_msgs) \
+            .groupby("bucket").map_groups(propagate, batch_format="pandas") \
+            .groupby("nbucket").map_groups(reduce_min, batch_format="pandas") \
+            .materialize()
+        n_changed = new_labels.sum("changed")
+        labels = new_labels.drop_columns(["changed"]).materialize()
+        if not n_changed:
+            break
+    return labels
+
+
+def dedup_clusters(sf_dir: str, threshold: float = 0.5):
+    """(doc_id, rep) cluster assignment over the exact-Jaccard near-dup
+    pair graph: rep = min doc_id of the connected component (the kept
+    representative; every other member is a drop candidate). Only docs
+    that appear in ≥1 pair are emitted — singletons are trivially their
+    own rep and would dominate the output without informing dedup."""
+    labels = connected_components(_jaccard_pairs_ds(sf_dir, threshold))
+    pdf = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.table({
+        "doc_id": pa.array(pdf["node"].astype("int64")),
+        "rep": pa.array(pdf["label"].astype("int64")),
+    })
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           END)) AS g
+  FROM toks
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT da AS u, db AS v FROM pairs
+  UNION ALL
+  SELECT db, da FROM pairs
+), reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+)
+SELECT node AS doc_id, min(lab) AS rep FROM reach GROUP BY node
+"""

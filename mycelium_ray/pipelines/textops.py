@@ -286,3 +286,253 @@ SELECT token, n,
        row_number() OVER (ORDER BY n DESC, token ASC) AS rank
 FROM c ORDER BY n DESC, token ASC LIMIT {WORDCOUNT_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms: inverted-index term weighting — per-doc top-k terms by
+# tf/df (rarity-weighted frequency; the exact-rational stand-in for tf·idf
+# chosen so the score is ONE IEEE division of two ints and therefore
+# hash-identical to the SQL oracle — a log() would differ in final ulps).
+# Distributed shape: postings (term, doc_id, tf) built per batch, then a
+# term-bucketed groupby where each term's df is counted AND attached to
+# its postings in the same pass (all rows of a term land in one group —
+# no separate df table, no second join), then a doc-bucketed groupby for
+# the per-doc top-k. Two shuffles total, both on coarse buckets.
+# --------------------------------------------------------------------------
+TFIDF_K = 5
+
+
+def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
+    """(doc_id, term, tf, df, rank) for each doc's k highest-tf/df ASCII
+    word terms; ties broken by term asc. Terms are [A-Za-z0-9]+ runs,
+    ASCII-lowercased (bit-identical to the oracle's regexp_extract_all)."""
+    import pyarrow.compute as pc
+
+    from .dedup import N_BUCKETS
+
+    def postings(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern_regex(text, "[^A-Za-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = pc.utf8_lower(flat.filter(keep))
+        doc = pc.take(t["doc_id"], parent.filter(keep))
+        tf = pa.table({"doc_id": doc, "term": flat}) \
+            .group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        # deterministic 64-bit term hash (Python's hash() is per-process
+        # randomized — it would split one term across shuffle buckets)
+        term_hash = url_hash64_many(tf["term"].to_pylist())
+        return pa.table({
+            "doc_id": pc.cast(tf["doc_id"], pa.int64()),
+            "term": tf["term"],
+            "tf": pc.cast(tf["count_all"], pa.int64()),
+            "tbucket": pa.array(
+                (term_hash % np.uint64(N_BUCKETS)).astype("int64")),
+        })
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        # every posting of a term is in this group: df = distinct docs
+        df_per_term = g.groupby("term")["doc_id"].nunique()
+        out = pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "term": g["term"].to_numpy(),
+            "tf": g["tf"].to_numpy(),
+            "df": df_per_term.reindex(g["term"]).to_numpy().astype("int64"),
+        })
+        out["dbucket"] = (out["doc_id"].to_numpy()
+                          % N_BUCKETS).astype("int64")
+        return out
+
+    def doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(score=g["tf"].to_numpy().astype("float64")
+                     / g["df"].to_numpy())
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True])
+        g["rank"] = g.groupby("doc_id").cumcount() + 1
+        g = g[g["rank"] <= k]
+        return g[["doc_id", "term", "tf", "df", "rank"]].astype(
+            {"doc_id": "int64", "tf": "int64", "df": "int64",
+             "rank": "int64"})
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow") \
+        .groupby("tbucket").map_groups(attach_df, batch_format="pandas") \
+        .groupby("dbucket").map_groups(doc_topk, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["doc_id", "rank"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.term ASC
+         ) AS rank
+  FROM tf JOIN df ON df.term = tf.term
+)
+SELECT doc_id, term, tf, df, rank FROM scored
+WHERE rank <= {TFIDF_K}
+ORDER BY doc_id, rank
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus_filter: the composed LLM-corpus cleaning pipeline — quality/lang
+# gates ∩ exact-dedup representative ∩ near-dup cluster representative.
+# This is the end-to-end "which documents survive cleaning" decision that
+# the individual ops feed at 100 TB; each leg is an independent Dataset
+# branch and the three keep/drop sets meet in ONE bucketed groupby on
+# doc_id (no driver-side set logic).
+# --------------------------------------------------------------------------
+CORPUS_MIN_TOKENS = 30
+CORPUS_LANG = "en"
+
+
+def corpus_filter(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
+                  lang: str = CORPUS_LANG, threshold: float = 0.5):
+    """(doc_id) of documents kept by the full cleaning pipeline:
+
+    1. gates: predicted language == ``lang`` (stopword-hit heuristic,
+       same rule as lang_id) and n_tokens ≥ ``min_tokens``;
+    2. exact dedup: doc is the min-doc_id representative of its exact
+       text group (64-bit content hash pre-aggregation, as dedup_exact);
+    3. near-dup dedup: doc is NOT a non-representative member of a
+       trigram-Jaccard ≥ threshold connected component (dedup_clusters).
+
+    Verdict rows (doc_id, kind, flag) from the three branches meet in a
+    bucketed groupby; a doc is kept iff gate=1 ∧ exact-kept present ∧ no
+    drop row. Only the final doc_id list is collected."""
+    import pyarrow.compute as pc
+
+    from ..hashing import url_hash64_many
+    from .dedup import N_BUCKETS, _jaccard_pairs_ds, connected_components
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # branch 1: per-doc gates (one Arrow-native pass)
+    def gate_rows(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n_tokens = pc.cast(pc.count_substring_regex(text, r"\S+"),
+                           pa.int64()).to_numpy()
+        n_en, n_es = _stopword_hits(t, STOP_EN, STOP_ES)
+        pred = np.where(n_en > n_es, "en",
+                        np.where(n_es > n_en, "es", "und"))
+        ok = ((pred == lang) & (n_tokens >= min_tokens)).astype("int64")
+        doc_id = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "kind": pa.array(np.zeros(len(ok), dtype="int64")),
+            "flag": pa.array(ok, pa.int64()),
+            "bucket": pa.array((doc_id % N_BUCKETS).astype("int64")),
+        })
+
+    gates = docs.map_batches(gate_rows, batch_format="pyarrow")
+
+    # branch 2: exact-dedup representatives (hash pre-agg → groupby min)
+    def hash_partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = url_hash64_many(df["text"].fillna("").tolist()).astype("int64")
+        g = pd.DataFrame({"content_hash": h, "doc_id": df["doc_id"]})
+        return g.groupby("content_hash", as_index=False)["doc_id"].min()
+
+    from ray.data.aggregate import Min
+    kept_exact = docs.map_batches(hash_partial, batch_format="pandas") \
+        .groupby("content_hash") \
+        .aggregate(Min("doc_id", alias_name="doc_id")) \
+        .map_batches(lambda df: pa.table({
+            "doc_id": pa.array(df["doc_id"].astype("int64")),
+            "kind": pa.array(np.ones(len(df), dtype="int64")),
+            "flag": pa.array(np.ones(len(df), dtype="int64")),
+            "bucket": pa.array((df["doc_id"].to_numpy() % N_BUCKETS)
+                               .astype("int64")),
+        }), batch_format="pandas")
+
+    # branch 3: near-dup cluster drops (node that is not its cluster rep)
+    def drop_rows(df: pd.DataFrame) -> pa.Table:
+        d = df[df["node"] != df["label"]]
+        doc_id = d["node"].to_numpy().astype("int64")
+        return pa.table({
+            "doc_id": pa.array(doc_id),
+            "kind": pa.array(np.full(len(d), 2, dtype="int64")),
+            "flag": pa.array(np.ones(len(d), dtype="int64")),
+            "bucket": pa.array((doc_id % N_BUCKETS).astype("int64")),
+        })
+
+    drops = connected_components(_jaccard_pairs_ds(sf_dir, threshold)) \
+        .map_batches(drop_rows, batch_format="pandas")
+
+    def decide(g: pd.DataFrame) -> pd.DataFrame:
+        p = g.pivot_table(index="doc_id", columns="kind", values="flag",
+                          aggfunc="max", fill_value=0)
+        gate = p[0] if 0 in p.columns else pd.Series(0, index=p.index)
+        exact = p[1] if 1 in p.columns else pd.Series(0, index=p.index)
+        drop = p[2] if 2 in p.columns else pd.Series(0, index=p.index)
+        keep = (gate == 1) & (exact == 1) & (drop == 0)
+        return pd.DataFrame({"doc_id": p.index[keep].astype("int64")})
+
+    out = gates.union(kept_exact).union(drops) \
+        .groupby("bucket").map_groups(decide, batch_format="pandas")
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"))})
+
+
+CORPUS_FILTER_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(
+           CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+                ELSE list_transform(range(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+           END)) AS g
+  FROM toks
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT da, db FROM inter
+  JOIN sz sa ON sa.doc_id = da
+  JOIN sz sb ON sb.doc_id = db
+  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+), edges AS (
+  SELECT da AS u, db AS v FROM pairs
+  UNION ALL SELECT db, da FROM pairs
+), reach(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM reach r JOIN edges e ON e.u = r.node
+), drops AS (
+  SELECT node AS doc_id FROM reach GROUP BY node HAVING node != min(lab)
+), lang_gate AS (
+  SELECT doc_id,
+         len(list_filter(ws, w -> w IN {STOP_EN!r})) AS n_en,
+         len(list_filter(ws, w -> w IN {STOP_ES!r})) AS n_es,
+         len(ws) AS n_tokens
+  FROM toks
+), gates AS (
+  SELECT doc_id FROM lang_gate
+  WHERE (CASE WHEN n_en > n_es THEN 'en'
+              WHEN n_es > n_en THEN 'es' ELSE 'und' END) = '{CORPUS_LANG}'
+    AND n_tokens >= {CORPUS_MIN_TOKENS}
+), kept_exact AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+)
+SELECT g.doc_id FROM gates g
+JOIN kept_exact k ON k.doc_id = g.doc_id
+WHERE g.doc_id NOT IN (SELECT doc_id FROM drops)
+ORDER BY g.doc_id
+"""

@@ -99,3 +99,28 @@ def test_ann_lsh_recall(ray_session, qs):
     # unclustered random embeddings are LSH's worst case; multi-table
     # collision still has to beat random candidate selection clearly
     assert len(a & e) / len(e) >= 0.4
+
+
+def test_connected_components_transitive(ray_session):
+    """Multi-hop chains resolve to one component (label propagation must
+    iterate past direct neighbors), islands stay separate."""
+    import ray.data as rd
+
+    from mycelium_ray.pipelines.dedup import connected_components
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_id_a": [1, 2, 3, 4, 10, 20],
+         "doc_id_b": [2, 3, 4, 5, 11, 21]}))
+    got = _to_pandas(connected_components(pairs))
+    labels = dict(zip(got["node"], got["label"]))
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                      10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_corpus_filter_subset_semantics(ray_session, qs):
+    """corpus_filter output ⊆ gates; every near-dup cluster non-rep is
+    excluded."""
+    kept = set(_to_pandas(qs["corpus_filter"](SF))["doc_id"])
+    clusters = _to_pandas(qs["dedup_clusters"](SF))
+    non_reps = set(clusters.loc[clusters["doc_id"] != clusters["rep"],
+                                "doc_id"])
+    assert not (kept & non_reps)
