@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_topk": analytics.segment_revenue_topk,
         "distinct_users_hll": analytics.distinct_users_hll,  # rows-only (sketch)
         "word_count_topk": textops.word_count_topk,
+        "sample_per_source": textops.sample_per_source,
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": analytics.VALUE_PERCENTILES_SQL,
         "segment_revenue_topk": analytics.SEGMENT_REVENUE_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
+        "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,

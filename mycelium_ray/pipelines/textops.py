@@ -289,6 +289,64 @@ FROM c ORDER BY n DESC, token ASC LIMIT {WORDCOUNT_TOPK}
 
 
 # --------------------------------------------------------------------------
+# sample_per_source: deterministic stratified sampling — k docs per source
+# group, chosen as the k smallest multiplicative-hash keys of doc_id (a
+# fixed uniform-ish permutation, reproducible across engines). The
+# distributed shape is partial top-k-smallest per batch → tiny groupby —
+# the per-group sample a training pipeline takes for eval/audit splits
+# without shuffling the corpus.
+# --------------------------------------------------------------------------
+SAMPLE_K = 10
+_KNUTH = 2654435761  # Knuth multiplicative hash constant (2^32 scale)
+
+
+def sample_per_source(sf_dir: str, k: int = SAMPLE_K):
+    """(source, doc_id) of the k-per-source deterministic sample: the k
+    docs with smallest (doc_id * 2654435761) mod 2^32, ties by doc_id.
+    Per-batch partial top-k caps the shuffle at k rows per source per
+    batch; the final per-source cut is a small groupby."""
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy().astype("uint64")
+        skey = ((d * np.uint64(_KNUTH)) % np.uint64(1 << 32)).astype("int64")
+        out = pd.DataFrame({"source": df["source"],
+                            "doc_id": df["doc_id"].astype("int64"),
+                            "skey": skey})
+        return out.sort_values(["source", "skey", "doc_id"]) \
+            .groupby("source", as_index=False).head(k)
+
+    def final_cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "skey", "doc_id"]) \
+            .groupby("source", as_index=False).head(k)
+        return g[["source", "doc_id"]]
+
+    out = _read(sf_dir, "documents", ["doc_id", "source"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .groupby("source").map_groups(final_cut, batch_format="pandas")
+    pdf = out.to_pandas().sort_values(["source", "doc_id"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "source": pa.array(pdf["source"], pa.string()),
+        "doc_id": pa.array(pdf["doc_id"].astype("int64")),
+    })
+
+
+SAMPLE_PER_SOURCE_SQL = f"""
+WITH keyed AS (
+  SELECT source, doc_id,
+         CAST((CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 AS BIGINT)
+           AS skey,
+         row_number() OVER (
+           PARTITION BY source ORDER BY
+           CAST((CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296 AS BIGINT),
+           doc_id) AS rn
+  FROM documents
+)
+SELECT source, doc_id FROM keyed WHERE rn <= {SAMPLE_K}
+ORDER BY source, doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # tfidf_top_terms: inverted-index term weighting — per-doc top-k terms by
 # tf/df (rarity-weighted frequency; the exact-rational stand-in for tf·idf
 # chosen so the score is ONE IEEE division of two ints and therefore
