@@ -62,11 +62,48 @@ def _batch_sims(df: pd.DataFrame, q: np.ndarray) -> tuple[np.ndarray, np.ndarray
     return df["vec_id"].to_numpy(), mn @ qn.T  # (rows, n_queries)
 
 
+def _merge_topk(parts_ds, k: int, with_stats: bool):
+    """Distributed final merge of per-batch partial top-k rows: groupby
+    query_id → per-query (sim desc, vec_id asc) cut with rank. The driver
+    collects k rows per query (plus one summed stats row when requested)
+    instead of k·queries·blocks partial rows — at 10^6 input blocks the
+    old driver-side merge would itself be a scale bottleneck. Returns
+    (table, stats|None)."""
+    def topk_of_query(g: pd.DataFrame) -> pd.DataFrame:
+        if (g["query_id"] < 0).all():  # stats rows: sum across batches
+            out = g.iloc[:1].copy()
+            if "n_cand" in g.columns:
+                out["n_cand"] = g["n_cand"].sum()
+                out["n_total"] = g["n_total"].sum()
+            out["rank"] = 0
+            return out
+        g = g.sort_values(["sim", "vec_id"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g
+
+    merged = parts_ds.groupby("query_id").map_groups(
+        topk_of_query, batch_format="pandas").to_pandas()
+    res = merged[merged["query_id"] >= 0] \
+        .sort_values(["query_id", "rank"])
+    table = pa.table({
+        "query_id": pa.array(res["query_id"].astype("int64")),
+        "rank": pa.array(res["rank"].astype("int64")),
+        "vec_id": pa.array(res["vec_id"].astype("int64")),
+    })
+    if not with_stats:
+        return table, None
+    srows = merged[merged["query_id"] < 0]
+    return table, {"n_candidates": int(srows["n_cand"].sum()),
+                   "n_rows_x_queries": int(srows["n_total"].sum())}
+
+
 def ann_topk(sf_dir: str, k: int = TOPK):
     """(query_id, rank, vec_id) — exact cosine top-k per query vector.
 
     Per-batch partial top-k (the combiner) keeps only k rows per query per
-    batch; the driver merges partials — no global sort, no shuffle.
+    batch; the final per-query cut is a tiny distributed groupby — no
+    global sort, and the driver only ever sees k rows per query.
     """
     qids, q = _query_matrix(sf_dir)
     q_ref = ray.put(q)
@@ -84,19 +121,9 @@ def ann_topk(sf_dir: str, k: int = TOPK):
         return pd.DataFrame(rows)
 
     parts = _read_emb(sf_dir).map_batches(partial_topk,
-                                          batch_format="pandas").to_pandas()
-    out = {"query_id": [], "rank": [], "vec_id": []}
-    for qid, g in parts.groupby("query_id"):
-        g = g.sort_values(["sim", "vec_id"],
-                          ascending=[False, True]).head(k)
-        out["query_id"].extend([qid] * len(g))
-        out["rank"].extend(range(1, len(g) + 1))
-        out["vec_id"].extend(g["vec_id"].tolist())
-    return pa.table({
-        "query_id": pa.array(out["query_id"], pa.int64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-        "vec_id": pa.array(out["vec_id"], pa.int64()),
-    })
+                                          batch_format="pandas")
+    table, _ = _merge_topk(parts, k, with_stats=False)
+    return table
 
 
 ANN_TOPK_SQL = f"""
@@ -193,25 +220,9 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
         return out
 
     parts = _read_emb(sf_dir).map_batches(bucket_and_score,
-                                          batch_format="pandas").to_pandas()
-    out = {"query_id": [], "rank": [], "vec_id": []}
-    for qid in qids:
-        g = parts[parts["query_id"] == qid]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        out["query_id"].extend([int(qid)] * len(g))
-        out["rank"].extend(range(1, len(g) + 1))
-        out["vec_id"].extend(g["vec_id"].astype(int).tolist())
-    table = pa.table({
-        "query_id": pa.array(out["query_id"], pa.int64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-        "vec_id": pa.array(out["vec_id"], pa.int64()),
-    })
-    if with_stats:
-        srows = parts[parts["query_id"] == -1]
-        stats = {"n_candidates": int(srows["n_cand"].sum()),
-                 "n_rows_x_queries": int(srows["n_total"].sum())}
-        return table, stats
-    return table
+                                          batch_format="pandas")
+    table, stats = _merge_topk(parts, k, with_stats)
+    return (table, stats) if with_stats else table
 
 
 # --------------------------------------------------------------------------
@@ -311,25 +322,9 @@ def ann_topk_ivf(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
         return out
 
     parts = _read_emb(sf_dir).map_batches(probe_and_score,
-                                          batch_format="pandas").to_pandas()
-    out = {"query_id": [], "rank": [], "vec_id": []}
-    for qid in qids:
-        g = parts[parts["query_id"] == qid]
-        g = g.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        out["query_id"].extend([int(qid)] * len(g))
-        out["rank"].extend(range(1, len(g) + 1))
-        out["vec_id"].extend(g["vec_id"].astype(int).tolist())
-    table = pa.table({
-        "query_id": pa.array(out["query_id"], pa.int64()),
-        "rank": pa.array(out["rank"], pa.int64()),
-        "vec_id": pa.array(out["vec_id"], pa.int64()),
-    })
-    if with_stats:
-        srows = parts[parts["query_id"] == -1]
-        stats = {"n_candidates": int(srows["n_cand"].sum()),
-                 "n_rows_x_queries": int(srows["n_total"].sum())}
-        return table, stats
-    return table
+                                          batch_format="pandas")
+    table, stats = _merge_topk(parts, k, with_stats)
+    return (table, stats) if with_stats else table
 
 
 # --------------------------------------------------------------------------
