@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,              # rows-only (approximate)
         "ann_topk_ivf": ann.ann_topk_ivf,              # rows-only (approximate)
+        "ann_topk_indexed": ann.ann_topk_indexed,      # rows-only (persisted
+                                                       # IVF index, read-pruned)
         "embedding_neardup": ann.embedding_neardup,
         # --- aggregations (events / lineitem / documents) ---
         "events_window_agg": analytics.events_window_agg,

@@ -328,6 +328,117 @@ def ann_topk_ivf(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
 
 
 # --------------------------------------------------------------------------
+# Persisted IVF index: build once (centroids + vectors hive-partitioned by
+# coarse cell), probe by reading ONLY the matching cell directories —
+# pruning at the READ, the durable-index scale path. ann_topk_ivf assigns
+# cells in-memory per run; at 10^10 vectors you build this once and every
+# query run opens nprobe/N_CENTROIDS of the bytes.
+# --------------------------------------------------------------------------
+def ann_index_build(sf_dir: str, index_dir: str) -> np.ndarray:
+    """Builds (idempotently) the on-disk IVF index under ``index_dir``:
+    ``centroids.npy`` plus ``cell=N/`` hive partitions of (vec_id,
+    embedding, label) rows. Assignment runs as one map_batches pass with
+    the centroids broadcast once; the partitioned write is Ray Data's
+    write_parquet(partition_cols) so rows never cross the driver.
+    Returns the centroid matrix."""
+    import os
+    import shutil
+    ok = os.path.join(index_dir, "_OK")
+    cpath = os.path.join(index_dir, "centroids.npy")
+    if os.path.exists(ok):
+        return np.load(cpath)
+    cent = _train_centroids(sf_dir)
+    shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(index_dir, exist_ok=True)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        ct = ray.get(cent_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in t["embedding"].to_pylist()])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = np.argmax(mn @ ct.T, axis=1).astype("int64")
+        return t.append_column("cell", pa.array(cells, pa.int64()))
+
+    _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["cell"])
+    np.save(cpath, cent)
+    with open(ok, "w") as f:
+        f.write("ok\n")
+    return cent
+
+
+def ann_topk_indexed(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
+                     index_dir: str | None = None, with_stats: bool = False):
+    """IVF top-k against the PERSISTED index: loads centroids, computes
+    each query's nprobe cells, and reads only those ``cell=N`` partition
+    directories — unneeded cells never leave storage. Scoring recomputes
+    the (deterministic) cell per row to mask candidates per query, so the
+    output is bit-identical to ann_topk_ivf at equal parameters (asserted
+    in tests). Rows-only oracle (approximate)."""
+    import os
+    if index_dir is None:
+        index_dir = os.path.join("/tmp/mycelium_ann_index",
+                                 os.path.basename(sf_dir.rstrip("/")))
+    import glob
+    cent = ann_index_build(sf_dir, index_dir)
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    qcells = np.argsort(-(qn @ cent.T), axis=1)[:, :nprobe]
+    needed = sorted({int(c) for c in qcells.ravel()})
+    dirs = [d for d in (os.path.join(index_dir, f"cell={c}")
+                        for c in needed) if os.path.isdir(d)]
+    files = [f for d in dirs
+             for f in sorted(glob.glob(os.path.join(d, "*.parquet")))]
+    cent_ref = ray.put(cent)
+    qn_ref = ray.put(qn)
+    qcells_ref = ray.put(qcells)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        ct = ray.get(cent_ref)
+        qnm = ray.get(qn_ref)
+        qc = ray.get(qcells_ref)
+        m = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in df["embedding"]])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        vids = df["vec_id"].to_numpy()
+        cells = np.argmax(mn @ ct.T, axis=1)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        n_cand_total = 0
+        for qi in range(qnm.shape[0]):
+            cand = np.isin(cells, qc[qi])
+            n_cand = int(cand.sum())
+            n_cand_total += n_cand
+            if n_cand == 0:
+                continue
+            sims_c = mn[cand] @ qnm[qi]
+            cvids = vids[cand]
+            idx = _topk_idx(sims_c, cvids, k)
+            rows["query_id"].extend([int(qids[qi])] * len(idx))
+            rows["vec_id"].extend(cvids[idx].tolist())
+            rows["sim"].extend(sims_c[idx].tolist())
+        out = pd.DataFrame(rows)
+        out["n_cand"] = 0
+        out["n_total"] = 0
+        if with_stats:
+            out = pd.concat([out, pd.DataFrame(
+                {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
+                 "n_cand": [n_cand_total],
+                 "n_total": [len(vids) * qnm.shape[0]]})],
+                ignore_index=True)
+        return out
+
+    parts = rd.read_parquet(files, columns=["vec_id", "embedding"]) \
+        .map_batches(probe, batch_format="pandas")
+    table, stats = _merge_topk(parts, k, with_stats)
+    if with_stats:
+        stats["n_cells_read"] = len(dirs)
+        stats["n_cells_total"] = N_CENTROIDS
+        return table, stats
+    return table
+
+
+# --------------------------------------------------------------------------
 # embedding cosine near-dup pairs
 # --------------------------------------------------------------------------
 NEARDUP_THRESHOLD = 0.25  # testdata embeddings are unclustered; 0.25 yields

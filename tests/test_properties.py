@@ -298,3 +298,31 @@ def test_simhash_blocking_complete_property():
                 if bin(int(hu[i] ^ hu[j])).count("1") <= d:
                     assert (i, j) in gpairs, (i, j)
     check()
+
+
+def test_ann_indexed_matches_in_memory_ivf(ray_session):
+    """The persisted-index probe must be bit-identical to the in-memory
+    IVF at equal parameters (same centroid training, same deterministic
+    assignment, same candidate sets) — the index changes WHERE bytes are
+    read, never WHAT is computed."""
+    import shutil
+
+    import pandas as pd
+
+    from mycelium_ray.pipelines.ann import ann_topk_indexed, ann_topk_ivf
+    shutil.rmtree("/tmp/mycelium_ann_index", ignore_errors=True)
+    sf = "/root/testdata/sf0.001"
+    mem = ann_topk_ivf(sf).to_pandas()
+    idx = ann_topk_indexed(sf).to_pandas()
+    pd.testing.assert_frame_equal(idx.reset_index(drop=True),
+                                  mem.reset_index(drop=True))
+
+
+def test_ann_indexed_prunes_reads(ray_session):
+    """With a small nprobe the probe must open strictly fewer cell
+    partitions than exist — unneeded cells never leave storage."""
+    from mycelium_ray.pipelines.ann import ann_topk_indexed
+    _, stats = ann_topk_indexed("/root/testdata/sf0.001", nprobe=2,
+                                with_stats=True)
+    assert stats["n_cells_read"] < stats["n_cells_total"]
+    assert stats["n_candidates"] <= stats["n_rows_x_queries"]
