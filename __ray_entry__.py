@@ -28,7 +28,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
     from mycelium_ray.pipelines.flagship import (
         image_phash_neardup as _image_phash_neardup,
-        image_resize as _image_resize)
+        image_resize as _image_resize,
+        multimodal_filter as _multimodal_filter)
 
     return {
         # --- text analysis (documents) ---
@@ -73,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
+        "multimodal_filter": _multimodal_filter,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -112,6 +114,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
+        "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

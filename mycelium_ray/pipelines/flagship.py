@@ -101,6 +101,102 @@ FROM documents
 """
 
 
+MM_MIN_CAPTION_CHARS = 100
+
+
+def multimodal_filter(sf_dir: str, min_caption_chars: int = MM_MIN_CAPTION_CHARS):
+    """(image_id, doc_id) of image+caption rows kept by the multimodal
+    cleaning pipeline — the corpus_filter analog on the graft payload:
+
+    1. gates: decode_ok (REAL decode of the image bytes) and cleaned
+       caption length ≥ ``min_caption_chars``;
+    2. exact-image dedup: the row is the min-doc_id representative of its
+       image-byte group (64-bit hash of the CONTENT BYTES, pre-aggregated
+       per batch as in dedup_exact).
+
+    Oracle-provability: images are text-hash-seeded (byte-identical iff
+    caption text identical) and the corpus text is entity/control-free
+    (caption cleaning is identity), so the SQL contract is exact — while
+    the Ray side decodes real bytes and hashes real payloads; a decode or
+    cleaning regression breaks the value-hash match. Verdict rows meet in
+    one bucketed groupby; the decoded corpus is materialized ONCE as the
+    natural stage boundary (at 100 TB this is the persisted decode
+    output both dedup and gating read)."""
+    from ray.data.aggregate import Min
+
+    from ..hashing import url_hash64
+    from .dedup import N_BUCKETS
+
+    rows = flagship(sf_dir).select_columns(
+        ["doc_id", "caption", "content", "decode_ok"]).materialize()
+
+    def gate_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        doc_id = t["doc_id"].to_numpy()
+        caplen = pc.utf8_length(pc.fill_null(t["caption"], "")).to_numpy()
+        ok = (t["decode_ok"].to_numpy(zero_copy_only=False)
+              & (caplen >= min_caption_chars)).astype("int64")
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "kind": pa.array(np.zeros(len(ok), dtype="int64")),
+            "flag": pa.array(ok, pa.int64()),
+            "bucket": pa.array((doc_id % N_BUCKETS).astype("int64")),
+        })
+
+    def hash_partial(t: pa.Table) -> pa.Table:
+        h = np.array([url_hash64(c) for c in t["content"].to_pylist()],
+                     dtype=np.uint64).astype("int64")
+        import pandas as pd
+        g = pd.DataFrame({"content_hash": h,
+                          "doc_id": t["doc_id"].to_numpy()})
+        g = g.groupby("content_hash", as_index=False)["doc_id"].min()
+        return pa.table({"content_hash": pa.array(g["content_hash"]),
+                         "doc_id": pa.array(g["doc_id"].astype("int64"))})
+
+    reps = rows.map_batches(hash_partial, batch_format="pyarrow") \
+        .groupby("content_hash") \
+        .aggregate(Min("doc_id", alias_name="doc_id")) \
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "kind": pa.array(np.ones(len(t), dtype="int64")),
+            "flag": pa.array(np.ones(len(t), dtype="int64")),
+            "bucket": pa.array((t["doc_id"].to_numpy() % N_BUCKETS)
+                               .astype("int64")),
+        }), batch_format="pyarrow")
+
+    def decide(g) -> pa.Table:
+        p = g.pivot_table(index="doc_id", columns="kind", values="flag",
+                          aggfunc="max", fill_value=0)
+        import pandas as pd
+        gate = p[0] if 0 in p.columns else pd.Series(0, index=p.index)
+        rep = p[1] if 1 in p.columns else pd.Series(0, index=p.index)
+        keep = p.index[(gate == 1) & (rep == 1)].to_numpy().astype("int64")
+        return pa.table({"doc_id": pa.array(keep)})
+
+    out = rows.map_batches(gate_rows, batch_format="pyarrow").union(reps) \
+        .groupby("bucket").map_groups(decide, batch_format="pandas")
+    ids = np.sort(out.to_pandas()["doc_id"].to_numpy().astype("int64"))
+    return pa.table({
+        "image_id": pa.array([f"http://img.test/d/{d}" for d in ids],
+                             pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+    })
+
+
+MULTIMODAL_FILTER_SQL = f"""
+WITH gated AS (
+  SELECT doc_id FROM documents
+  WHERE length(text) >= {MM_MIN_CAPTION_CHARS}
+), reps AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+)
+SELECT 'http://img.test/d/' || CAST(g.doc_id AS VARCHAR) AS image_id,
+       g.doc_id
+FROM gated g JOIN reps r ON r.doc_id = g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 IMAGE_PHASH_NEARDUP_SQL = """
 WITH ids AS (
   SELECT doc_id, text,
