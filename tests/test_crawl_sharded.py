@@ -101,3 +101,23 @@ def test_n_seen_counter_equals_union_with_aliases(ray_session):
     ref_stats, _ = run_crawl_sharded(site, seeds, parallel=8,
                                      collect_url_seen=True, n_shards=2)
     assert stats["n_seen"] == len(ref_stats["url_seen"]) == 8
+
+
+def test_planner_pool_reuse_and_self_heal(ray_session):
+    """The session-level planner pool is reused across crawl jobs (same
+    actors, same results), and recreates itself if a pooled actor dies."""
+    from mycelium_ray.pipelines import crawl_sharded as cs
+    _, site, seeds = generate_corpus(n_hosts=8, pages_per_host=4, seed=42)
+    stats1, _ = run_crawl_sharded(site, seeds, parallel=8,
+                                  collect_url_seen=True, n_shards=2)
+    pool1 = list(cs._POOL["actors"])
+    stats2, _ = run_crawl_sharded(site, seeds, parallel=8,
+                                  collect_url_seen=True, n_shards=2)
+    assert cs._POOL["actors"] == pool1  # reused, not respawned
+    assert stats2["url_seen"] == stats1["url_seen"]
+    # kill one pooled actor: the next job must self-heal and still agree
+    ray.kill(pool1[0])
+    stats3, _ = run_crawl_sharded(site, seeds, parallel=8,
+                                  collect_url_seen=True, n_shards=2)
+    assert cs._POOL["actors"] != pool1
+    assert stats3["url_seen"] == stats1["url_seen"]
