@@ -61,6 +61,33 @@ def corpus_cached():
     return site, seeds
 
 
+def _probe_work(n: int) -> float:
+    import hashlib
+    h = b"x" * 64
+    t0 = time.perf_counter()
+    for _ in range(n):
+        h = hashlib.sha1(h).digest()
+    return time.perf_counter() - t0
+
+
+def noise_probe() -> dict:
+    """~2 s CPU calibration embedded in every bench emission: single-core
+    and full-width sha1 throughput (Mh/s). The sandbox VM's throughput
+    swings up to ~9x between windows (BASELINE.md); these fields let a
+    reader normalize any recorded run against the quiet-window reference
+    values in BASELINE.md instead of guessing which window it hit."""
+    import multiprocessing as mp
+    t1 = _probe_work(1_000_000)
+    n = min(os.cpu_count() or 8, 32)
+    with mp.get_context("fork").Pool(n) as p:
+        t0 = time.perf_counter()
+        p.map(_probe_work, [500_000] * n)
+        tn = time.perf_counter() - t0
+    return {"sha1_1core_mhs": round(1.0 / t1, 2),
+            "sha1_fullwidth_mhs": round(n * 0.5 / tn, 2),
+            "fullwidth_procs": n}
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -166,6 +193,9 @@ def run_bench() -> dict:
                       "sec": round(timings["crawl_discovery"], 3)},
     }
     ray.shutdown()
+    # untimed same-window calibration; after shutdown so the forked
+    # probe pool never coexists with Ray's threads
+    out["noise_probe"] = noise_probe()
     return out
 
 
