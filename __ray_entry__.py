@@ -25,7 +25,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mycelium_ray.pipelines import analytics, ann, dedup, textops, urlops
+    from mycelium_ray.pipelines import (analytics, ann, dedup, graph,
+                                        textops, urlops)
     from mycelium_ray.pipelines.flagship import (
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
@@ -64,11 +65,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_value": analytics.top_users_by_value,
         "orders_by_nation": analytics.orders_by_nation,
         "revenue_by_priority": analytics.revenue_by_priority,
+        "shipping_priority_topk": analytics.shipping_priority_topk,
+        "returned_items_topk": analytics.returned_items_topk,
         "events_asof_join": analytics.events_asof_join,
         "events_error_burst": analytics.events_error_burst,
         "value_percentiles": analytics.value_percentiles,
         "segment_revenue_topk": analytics.segment_revenue_topk,
         "distinct_users_hll": analytics.distinct_users_hll,  # rows-only (sketch)
+        "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
         # --- multimodal: derive/decode image rows -> phash near-dup ---
@@ -85,7 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from mycelium_ray.pipelines import (analytics, ann, dedup, flagship,
-                                        textops, urlops)
+                                        graph, textops, urlops)
 
     return {
         "token_count": textops.TOKEN_COUNT_SQL,
@@ -106,10 +110,13 @@ def oracle_sql() -> dict[str, str]:
         "top_users_by_value": analytics.TOP_USERS_SQL,
         "orders_by_nation": analytics.ORDERS_BY_NATION_SQL,
         "revenue_by_priority": analytics.REVENUE_BY_PRIORITY_SQL,
+        "shipping_priority_topk": analytics.SHIPPING_PRIORITY_SQL,
+        "returned_items_topk": analytics.RETURNED_ITEMS_SQL,
         "events_asof_join": analytics.EVENTS_ASOF_SQL,
         "events_error_burst": analytics.EVENTS_ERROR_BURST_SQL,
         "value_percentiles": analytics.VALUE_PERCENTILES_SQL,
         "segment_revenue_topk": analytics.SEGMENT_REVENUE_SQL,
+        "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,

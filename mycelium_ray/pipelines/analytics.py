@@ -760,3 +760,239 @@ def distinct_users_hll(sf_dir: str):
     return pa.table({"n_users_approx":
                      pa.array([int(round(sketch.estimate(regs)))],
                               pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# Multi-way join queries (TPC-H Q3/Q10 shapes): one broadcast side + one
+# both-sides-large bucketed join, composed. These exercise the join
+# machinery beyond two tables; all money in integer cents and dates as
+# int64 epoch-us so value-hash parity with the DuckDB oracle is exact.
+# --------------------------------------------------------------------------
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1998-01-01"
+
+
+def shipping_priority_topk(sf_dir: str, k: int = 10):
+    """TPC-H Q3 shape: customer(filter segment) ⋈ orders(filter date) ⋈
+    lineitem(filter date), revenue per (orderkey, orderdate, priority),
+    top-k. Plan: customer is the small side (one mktsegment) → broadcast
+    custkey set via ray.put; orders ⋈ lineitem are both large → bucketed
+    partitioned hash join on orderkey with per-bucket partial top-k, so
+    the driver merges k×B rows, never the joined table. Date predicates
+    are pushed INTO the parquet scan (row-group pruning at the read).
+    Output: (l_orderkey, revenue_cents, o_orderdate_us, o_orderpriority).
+    """
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    n_buckets = _n_join_buckets()
+    cutoff = pd.Timestamp(Q3_CUTOFF).to_pydatetime()
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    keep = cust.filter(pa.compute.equal(cust["c_mktsegment"], Q3_SEGMENT))
+    cust_ref = ray.put(frozenset(keep["c_custkey"].to_pylist()))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+        filter=pads.field("o_orderdate") < cutoff)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > cutoff)
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"key": df["l_orderkey"].astype("int64"),
+                          "rev_c": price * (100 - disc)})
+        g = g.groupby("key", as_index=False).sum()  # per-batch pre-agg
+        g["bucket"] = (g["key"] % n_buckets).astype("int64")
+        g["side"] = 0
+        g["odate_us"] = np.int64(0)
+        g["prio"] = ""
+        return g
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        keep_keys = ray.get(cust_ref)
+        m = df["o_custkey"].isin(keep_keys)
+        df = df[m]
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "rev_c": np.int64(0),
+            "bucket": (df["o_orderkey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "odate_us": df["o_orderdate"].astype("int64") // 1000
+            if df["o_orderdate"].dtype == "datetime64[ns]"
+            else df["o_orderdate"].astype("int64"),
+            "prio": df["o_orderpriority"],
+        })
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "rev_c"]]
+        o = g[g["side"] == 1][["key", "odate_us", "prio"]]
+        m = l.merge(o, on="key")
+        if len(m) == 0:
+            return pd.DataFrame({
+                "l_orderkey": pd.Series([], dtype="int64"),
+                "revenue_cents": pd.Series([], dtype="int64"),
+                "o_orderdate_us": pd.Series([], dtype="int64"),
+                "o_orderpriority": pd.Series([], dtype="object")})
+        out = m.groupby(["key", "odate_us", "prio"], as_index=False).agg(
+            revenue_cents=("rev_c", "sum"))
+        out = out.rename(columns={"key": "l_orderkey",
+                                  "odate_us": "o_orderdate_us",
+                                  "prio": "o_orderpriority"})
+        # per-bucket partial top-k (deterministic tie-break)
+        return out.sort_values(["revenue_cents", "l_orderkey"],
+                               ascending=[False, True]).head(k)[
+            ["l_orderkey", "revenue_cents", "o_orderdate_us",
+             "o_orderpriority"]]
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "l_orderkey"],
+                              ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+
+    return both.groupby("bucket").map_groups(join_bucket,
+                                             batch_format="pandas") \
+        .repartition(1).map_batches(final_topk, batch_format="pandas")
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l.l_orderkey,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents,
+       epoch_us(o.o_orderdate) AS o_orderdate_us,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = '{Q3_SEGMENT}'
+  AND o.o_orderdate < TIMESTAMP '{Q3_CUTOFF}'
+  AND l.l_shipdate > TIMESTAMP '{Q3_CUTOFF}'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue_cents DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+def returned_items_topk(sf_dir: str, k: int = 20):
+    """TPC-H Q10 shape: lineitem(returnflag='R') ⋈ orders ⋈ customer ⋈
+    nation, revenue per customer, top-k. Plan: the returnflag predicate is
+    pushed into the scan; lineitem ⋈ orders is the bucketed large-large
+    join (per-batch revenue pre-agg first so the shuffle carries one row
+    per orderkey per batch); customer+nation are broadcast dicts applied
+    AFTER the per-custkey aggregate, i.e. to ≤|customers| rows, not to
+    the fact table.
+    Output: (c_custkey, c_name, revenue_cents, acctbal_cents, n_name).
+    """
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+    import ray
+
+    n_buckets = _n_join_buckets()
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_returnflag"],
+        filter=pads.field("l_returnflag") == "R")
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"key": df["l_orderkey"].astype("int64"),
+                          "rev_c": price * (100 - disc)})
+        g = g.groupby("key", as_index=False).sum()
+        g["bucket"] = (g["key"] % n_buckets).astype("int64")
+        g["side"] = 0
+        g["custkey"] = np.int64(0)
+        return g
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "rev_c": np.int64(0),
+            "bucket": (df["o_orderkey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "custkey": df["o_custkey"].astype("int64"),
+        })
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        orders.map_batches(tag_orders, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "rev_c"]]
+        o = g[g["side"] == 1][["key", "custkey"]]
+        m = l.merge(o, on="key")
+        out = m.groupby("custkey", as_index=False).agg(
+            revenue_cents=("rev_c", "sum"))
+        return out.rename(columns={"custkey": "c_custkey"})
+
+    per_cust = both.groupby("bucket").map_groups(join_bucket,
+                                                 batch_format="pandas") \
+        .groupby("c_custkey").aggregate(Sum("revenue_cents",
+                                            alias_name="revenue_cents"))
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_name", "c_acctbal",
+                                  "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_name"])
+    nat_names = dict(zip(nation["n_nationkey"].to_pylist(),
+                         nation["n_name"].to_pylist()))
+    cust_info = {ck: (nm, int(round(ab * 100)), nat_names[nk])
+                 for ck, nm, ab, nk in zip(cust["c_custkey"].to_pylist(),
+                                           cust["c_name"].to_pylist(),
+                                           cust["c_acctbal"].to_pylist(),
+                                           cust["c_nationkey"].to_pylist())}
+    info_ref = ray.put(cust_info)
+
+    def enrich_topk(df: pd.DataFrame) -> pd.DataFrame:
+        # partial top-k per block, then a k×n_blocks driver merge
+        df = df.sort_values(["revenue_cents", "c_custkey"],
+                            ascending=[False, True]).head(k)
+        info = ray.get(info_ref)
+        rows = [info[ck] for ck in df["c_custkey"]]
+        df = df.copy()
+        df["c_name"] = [r[0] for r in rows]
+        df["acctbal_cents"] = np.asarray([r[1] for r in rows], dtype="int64")
+        df["n_name"] = [r[2] for r in rows]
+        return df[["c_custkey", "c_name", "revenue_cents",
+                   "acctbal_cents", "n_name"]]
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["revenue_cents", "c_custkey"],
+                              ascending=[False, True]).head(k) \
+            .reset_index(drop=True)
+
+    return per_cust.map_batches(enrich_topk, batch_format="pandas") \
+        .repartition(1).map_batches(final_topk, batch_format="pandas")
+
+
+RETURNED_ITEMS_SQL = """
+SELECT c.c_custkey, c.c_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents,
+       CAST(round(c.c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+ORDER BY revenue_cents DESC, c.c_custkey ASC
+LIMIT 20
+"""

@@ -1,0 +1,176 @@
+"""Distributed link-graph analytics (PageRank) the Ray Data way.
+
+The link graph derives deterministically from the ``documents`` table so
+the operator is oracle-checkable: doc ``d`` links to
+``(d*31 + 17*j) % N`` for ``j`` in 1..3 (self-loops dropped), with
+``N = |documents|`` and contiguous doc_ids 0..N-1 (asserted). Every node
+keeps outdeg >= 2 (at most one of the three targets can be a self-loop
+for N > 51), so there is no dangling-mass term.
+
+PageRank runs in **int64 fixed-point** (SCALE = 1e12 units of total rank
+mass) with floor division everywhere — float summation order differs
+between engines and would break value-hash parity with the DuckDB
+oracle; integer arithmetic is bit-identical in both.
+
+Scale notes (the 100-TB story): each iteration is two bucketed
+shuffles — (1) ranks ⋈ edges on src (bucketed hash join, per-group
+pre-agg of contributions by dst), (2) contributions ∪ node-base rows
+grouped by dst bucket to apply damping — the standard BSP PageRank
+shape. Rank state (N rows of two int64s) is materialized per iteration
+so the lazy DAG doesn't re-execute prior iterations; edges are
+materialized once and reused across all iterations. Buckets scale with
+cluster CPUs (see ``_n_join_buckets``); a skewed in-degree key would be
+salted into sub-buckets, but this graph's in-degree is ~3 uniform.
+
+Reference analog: the crawl's host-graph analytics (A1/A5 family,
+doc/sphinx/source/crawler.rst) — rebuilt as an iterative Dataset loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .analytics import _n_join_buckets
+
+SCALE = 10**12
+DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
+N_ITERS = 5
+FANOUT = 3
+
+
+def _edges_ds(docs: rd.Dataset, n: int) -> rd.Dataset:
+    """(src, dst, outdeg) rows; outdeg computed per src inside the batch
+    (all of a src's edges are generated together, so no extra shuffle)."""
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["doc_id"].to_numpy(dtype="int64")
+        srcs = np.repeat(src, FANOUT)
+        js = np.tile(np.arange(1, FANOUT + 1, dtype="int64"), len(src))
+        dsts = (srcs * 31 + 17 * js) % n
+        keep = dsts != srcs
+        srcs, dsts = srcs[keep], dsts[keep]
+        out = pd.DataFrame({"src": srcs, "dst": dsts})
+        deg = out.groupby("src")["dst"].transform("size").astype("int64")
+        out["outdeg"] = deg
+        return out
+
+    return docs.map_batches(gen, batch_format="pandas")
+
+
+def pagerank(sf_dir: str, n_iters: int = N_ITERS):
+    """Fixed-point PageRank over the derived document link graph.
+
+    Output: (doc_id, rank_fp) — rank in SCALE=1e12 fixed-point units,
+    bit-identical to the unrolled-CTE DuckDB oracle.
+    """
+    n_buckets = _n_join_buckets()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+    base = (15 * SCALE) // (100 * n)
+
+    edges = _edges_ds(docs, n).materialize()
+
+    def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["doc_id"].astype("int64"),
+            "bucket": (df["doc_id"] % n_buckets).astype("int64"),
+            "side": 0, "rank": df["rank_fp"].astype("int64"),
+            "dst": np.int64(0), "outdeg": np.int64(1)})
+
+    def tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["src"].astype("int64"),
+            "bucket": (df["src"] % n_buckets).astype("int64"),
+            "side": 1, "rank": np.int64(0),
+            "dst": df["dst"].astype("int64"),
+            "outdeg": df["outdeg"].astype("int64")})
+
+    def contribs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        r = g[g["side"] == 0][["key", "rank"]]
+        e = g[g["side"] == 1][["key", "dst", "outdeg"]]
+        m = e.merge(r, on="key")
+        if len(m) == 0:
+            return pd.DataFrame({"dst": pd.Series([], dtype="int64"),
+                                 "c": pd.Series([], dtype="int64")})
+        m["c"] = m["rank"].to_numpy() // m["outdeg"].to_numpy()
+        return m.groupby("dst", as_index=False).agg(c=("c", "sum"))
+
+    def tag_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "dst": df["doc_id"].astype("int64"),
+            "bucket2": (df["doc_id"] % n_buckets).astype("int64"),
+            "c": np.int64(0)})
+
+    def tag_contrib(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["bucket2"] = (df["dst"] % n_buckets).astype("int64")
+        return df[["dst", "bucket2", "c"]]
+
+    def apply_damp(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("dst", as_index=False).agg(c=("c", "sum"))
+        rank = base + (DAMP_NUM * s["c"].to_numpy()) // DAMP_DEN
+        return pd.DataFrame({"doc_id": s["dst"].astype("int64"),
+                             "rank_fp": rank.astype("int64")})
+
+    def init_rank(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].astype("int64"),
+                             "rank_fp": np.full(len(df), SCALE // n,
+                                                dtype="int64")})
+
+    ranks = docs.map_batches(init_rank, batch_format="pandas").materialize()
+
+    for _ in range(n_iters):
+        both = ranks.map_batches(tag_rank, batch_format="pandas").union(
+            edges.map_batches(tag_edges, batch_format="pandas"))
+        contribs = both.groupby("bucket").map_groups(
+            contribs_bucket, batch_format="pandas")
+        # outer-apply over ALL nodes (a node with no in-links still gets
+        # the base term): contributions ∪ zero-rows, grouped by dst bucket
+        allc = contribs.map_batches(tag_contrib, batch_format="pandas") \
+            .union(docs.map_batches(tag_base, batch_format="pandas"))
+        ranks = allc.groupby("bucket2").map_groups(
+            apply_damp, batch_format="pandas").materialize()
+
+    return ranks
+
+
+def _pagerank_sql(n_iters: int = N_ITERS) -> str:
+    """Unrolled-CTE DuckDB oracle mirroring the fixed-point arithmetic
+    exactly (// is floor division on positive int64 in both engines)."""
+    nn = "(SELECT count(*) FROM documents)"
+    parts = [f"""
+WITH edges AS (
+  SELECT src, dst,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM (
+    SELECT d.doc_id AS src,
+           (d.doc_id * 31 + 17 * j.j) % {nn} AS dst
+    FROM documents d, (VALUES (1), (2), (3)) AS j(j)
+  ) WHERE dst <> src
+),
+r0 AS (
+  SELECT doc_id, CAST({SCALE} // {nn} AS BIGINT) AS rank_fp
+  FROM documents
+)"""]
+    for i in range(1, n_iters + 1):
+        parts.append(f""",
+r{i} AS (
+  SELECT d.doc_id,
+         CAST((15 * {SCALE}) // (100 * {nn})
+              + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank_fp
+  FROM documents d
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum(r.rank_fp // e.outdeg) AS s
+    FROM edges e JOIN r{i - 1} r ON e.src = r.doc_id
+    GROUP BY e.dst
+  ) s ON d.doc_id = s.doc_id
+)""")
+    parts.append(f"\nSELECT doc_id, rank_fp FROM r{n_iters}")
+    return "".join(parts)
+
+
+PAGERANK_SQL = _pagerank_sql()
