@@ -25,8 +25,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mycelium_ray.pipelines import (analytics, ann, dedup, graph,
-                                        textops, urlops)
+    from mycelium_ray.pipelines import (analytics, ann, cluster, dedup,
+                                        graph, textops, urlops)
     from mycelium_ray.pipelines.flagship import (
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_indexed": ann.ann_topk_indexed,      # rows-only (persisted
                                                        # IVF index, read-pruned)
         "embedding_neardup": ann.embedding_neardup,
+        "embedding_kmeans": cluster.embedding_kmeans,  # rows-only (iterative)
+        "semantic_dedup": cluster.semantic_dedup,      # rows-only (SemDeDup)
         # --- aggregations (events / lineitem / documents) ---
         "events_window_agg": analytics.events_window_agg,
         "events_user_stats": analytics.events_user_stats,
