@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
+        "train_test_split": textops.train_test_split,
+        "sequence_pack": textops.sequence_pack,
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
@@ -121,6 +123,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,
+        "train_test_split": textops.TRAIN_TEST_SPLIT_SQL,
+        "sequence_pack": textops.SEQUENCE_PACK_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

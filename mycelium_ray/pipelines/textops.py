@@ -594,3 +594,108 @@ JOIN kept_exact k ON k.doc_id = g.doc_id
 WHERE g.doc_id NOT IN (SELECT doc_id FROM drops)
 ORDER BY g.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# Training-set assembly ops: deterministic split + sequence packing.
+# --------------------------------------------------------------------------
+SPLIT_TEST_PCT = 10
+PACK_BUDGET = 1024  # tokens per packed training sequence
+
+
+def train_test_split(sf_dir: str, test_pct: int = SPLIT_TEST_PCT):
+    """(doc_id, split) deterministic holdout assignment: split='test' iff
+    (doc_id * KNUTH) mod 2^32, scaled to 0..99, falls below test_pct.
+    Pure per-batch map (no shuffle, no RNG state) — the split is stable
+    under re-runs, resharding, and resumed jobs, which is the property a
+    100-TB corpus split actually needs. Oracle-checked (same integer hash
+    in SQL)."""
+    def tag(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype("uint64")
+        pct = ((d * np.uint64(_KNUTH)) % np.uint64(1 << 32)) \
+            * np.uint64(100) >> np.uint64(32)
+        split = np.where(pct < test_pct, "test", "train")
+        return pa.table({"doc_id": t["doc_id"],
+                         "split": pa.array(split, pa.string())})
+
+    return _read(sf_dir, "documents", ["doc_id"]) \
+        .map_batches(tag, batch_format="pyarrow")
+
+
+TRAIN_TEST_SPLIT_SQL = f"""
+SELECT doc_id,
+       CASE WHEN (CAST(doc_id AS HUGEINT) * {_KNUTH}) % 4294967296
+                 * 100 // 4294967296 < {SPLIT_TEST_PCT}
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+def sequence_pack(sf_dir: str, budget: int = PACK_BUDGET):
+    """(doc_id, source, n_tokens, seq_id) — concat-and-chunk sequence
+    packing for LM training: docs are laid out per source in doc_id order
+    and cut into fixed token-budget sequences; a doc's seq_id is the chunk
+    its FIRST token lands in (floor(prefix_sum_before / budget)).
+
+    Distributed shape: token counts are the Arrow-native per-batch map
+    (no shuffle), then ONE groupby over hash(source) buckets — the prefix
+    sum within a (source-sorted, doc_id-sorted) group is a vectorized
+    cumsum, never a per-row loop. Sources are the natural packing unit
+    (training shards stay source-contiguous); a single hot source is
+    still one group, which matches the sequential-prefix-sum semantics —
+    the parallelism unit at scale is the source count, not doc count.
+    Oracle: SQL window prefix-sum, integer-exact."""
+    import pyarrow.compute as pc
+
+    def counts(t: pa.Table) -> pa.Table:
+        import zlib
+        text = pc.fill_null(t["text"], "")
+        n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        src_np = t["source"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(src_np, return_inverse=True)
+        bmap = np.array([zlib.crc32(s.encode()) & 63 for s in uniq],
+                        dtype=np.int64)  # loop over UNIQUE sources only
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "n_tokens": n,
+                         "bucket": pa.array(bmap[inv], pa.int64())})
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"])
+        tok = g["n_tokens"].to_numpy()
+        cum = np.cumsum(tok)
+        start = cum - tok  # prefix sum BEFORE each doc
+        # reset the prefix at each source boundary within the bucket
+        src = g["source"].to_numpy()
+        boundary = np.r_[True, src[1:] != src[:-1]]
+        base = np.where(boundary, start, 0)
+        np.maximum.accumulate(base, out=base)
+        start = start - base
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": src,
+            "n_tokens": tok.astype("int64"),
+            "seq_id": (start // budget).astype("int64")})
+
+    return _read(sf_dir, "documents", ["doc_id", "source", "text"]) \
+        .map_batches(counts, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+SEQUENCE_PACK_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), cums AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS seq_id
+FROM cums
+"""
