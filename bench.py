@@ -71,11 +71,15 @@ def _probe_work(n: int) -> float:
 
 
 def noise_probe() -> dict:
-    """~2 s CPU calibration embedded in every bench emission: single-core
-    and full-width sha1 throughput (Mh/s). The sandbox VM's throughput
-    swings up to ~9x between windows (BASELINE.md); these fields let a
-    reader normalize any recorded run against the quiet-window reference
-    values in BASELINE.md instead of guessing which window it hit."""
+    """~3 s calibration embedded in every bench emission: single-core and
+    full-width sha1 throughput (Mh/s) plus a /tmp write+fsync+read disk
+    probe. The sandbox VM's throughput swings up to ~9x between windows
+    (BASELINE.md), and the WORST windows are I/O-side: runs were observed
+    where sha1 stayed flat while parquet writes and shuffles ran 3x slow,
+    so a CPU-only probe can't flag them — the disk fields can. Together
+    these let a reader normalize any recorded run against the
+    quiet-window reference values in BASELINE.md instead of guessing
+    which window it hit."""
     import multiprocessing as mp
     t1 = _probe_work(1_000_000)
     n = min(os.cpu_count() or 8, 32)
@@ -83,9 +87,30 @@ def noise_probe() -> dict:
         t0 = time.perf_counter()
         p.map(_probe_work, [500_000] * n)
         tn = time.perf_counter() - t0
+    # disk probe: 16 MiB sequential write+fsync then re-read on the same
+    # filesystem the bench's parquet/shuffle outputs use (16 MiB keeps the
+    # probe <1 s in quiet windows and bounded ~5 s even in the worst
+    # observed ~3 MB/s windows)
+    blob = os.urandom(1 << 20) * 16
+    path = os.path.join(CACHE_ROOT, f"ioprobe.{os.getpid()}")
+    os.makedirs(CACHE_ROOT, exist_ok=True)
+    t0 = time.perf_counter()
+    with open(path, "wb") as f:
+        f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    t_w = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    with open(path, "rb") as f:
+        while f.read(1 << 22):
+            pass
+    t_r = time.perf_counter() - t0
+    os.unlink(path)
     return {"sha1_1core_mhs": round(1.0 / t1, 2),
             "sha1_fullwidth_mhs": round(n * 0.5 / tn, 2),
-            "fullwidth_procs": n}
+            "fullwidth_procs": n,
+            "disk_write_mbs": round(16 / t_w, 1),
+            "disk_read_mbs": round(16 / t_r, 1)}
 
 
 def run_bench() -> dict:
@@ -171,6 +196,15 @@ def run_bench() -> dict:
     timed("events_window_agg", analytics.events_window_agg)
     timed("lineitem_pricing", analytics.lineitem_pricing)
 
+    # untimed in-window Ray health probe: a trivial Dataset round trip —
+    # its wall time is pure scheduling/object-store cost, none of it this
+    # engine's code, so it calibrates the per-stage fixed overhead the
+    # window is imposing (1M rows, one map stage)
+    t0 = time.perf_counter()
+    rd.range(1_000_000, override_num_blocks=32) \
+        .map_batches(lambda b: b, batch_format="pyarrow").count()
+    ray_roundtrip = time.perf_counter() - t0
+
     total = sum(timings.values())
     sustained = stats["sustained_sec"]
     out = {
@@ -192,6 +226,7 @@ def run_bench() -> dict:
                       "n_rounds": n_rounds,
                       "sec": round(timings["crawl_discovery"], 3)},
     }
+    out["ray_roundtrip_sec"] = round(ray_roundtrip, 3)
     ray.shutdown()
     # untimed same-window calibration; after shutdown so the forked
     # probe pool never coexists with Ray's threads
