@@ -25,8 +25,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mycelium_ray.pipelines import (analytics, ann, cluster, dedup,
-                                        graph, textops, urlops)
+    from mycelium_ray.pipelines import (analytics, ann, cleaning, cluster,
+                                        dedup, graph, textops, urlops)
     from mycelium_ray.pipelines.flagship import (
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
@@ -40,6 +40,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": textops.fingerprint,          # rows-only (rolling hash)
         "stem_stats": textops.stem_stats,            # rows-only (M26 Porter;
                                                      # no offline DuckDB fts)
+        # --- corpus cleaning / safety gates ---
+        "pii_redact": cleaning.pii_redact,
+        "repetition_filter": cleaning.repetition_filter,
+        "decontaminate": cleaning.decontaminate,
+        "boilerplate_lines": cleaning.boilerplate_lines,
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
@@ -92,10 +97,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mycelium_ray.pipelines import (analytics, ann, dedup, flagship,
-                                        graph, textops, urlops)
+    from mycelium_ray.pipelines import (analytics, ann, cleaning, dedup,
+                                        flagship, graph, textops, urlops)
 
     return {
+        "pii_redact": cleaning.PII_REDACT_SQL,
+        "repetition_filter": cleaning.REPETITION_FILTER_SQL,
+        "decontaminate": cleaning.DECONTAMINATE_SQL,
+        "boilerplate_lines": cleaning.BOILERPLATE_LINES_SQL,
         "token_count": textops.TOKEN_COUNT_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
