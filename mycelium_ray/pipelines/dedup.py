@@ -29,6 +29,7 @@ from ..hashing import splitmix64, url_hash64_many
 
 _U64 = np.uint64
 N_BUCKETS = 256  # coarse shuffle buckets; scale ∝ cluster size at 100 TB
+SMALL_GRAPH_EDGES = 1 << 22  # ≤4M edges: one-task union-find beats rounds
 
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)],
                          dtype="uint8")
@@ -519,7 +520,7 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
 # --------------------------------------------------------------------------
 # near-dup cluster resolution: pair graph → connected components
 # --------------------------------------------------------------------------
-def connected_components(pairs_ds):
+def connected_components(pairs_ds, n_buckets: int | None = None):
     """(doc_id, rep) for every node of a (doc_id_a, doc_id_b) pair Dataset,
     where rep = min doc_id in the node's connected component — the dedup
     DECISION step that turns near-dup pairs into keep/drop clusters.
@@ -527,12 +528,18 @@ def connected_components(pairs_ds):
     Distributed iterative min-label propagation: each round, every node's
     label and its incident edges meet in a bucketed groupby keyed on the
     node; labels flow across edges; a second bucketed groupby takes the
-    min per node. Converges in O(component diameter) rounds — near-dup
-    clusters are shallow (dup chains are short), so this is 2-4 rounds in
-    practice; the path-doubling variant (Hash-to-Min, Rastogi et al. 2013)
-    drops it to O(log d) at the cost of label-set blowup and isn't needed
-    at these diameters. Per round the driver sees ONE counter (number of
+    min per node. Converges in O(component diameter) rounds; the
+    path-doubling variant (Hash-to-Min, Rastogi et al. 2013) drops it to
+    O(log d) at the cost of label-set blowup and isn't warranted at
+    near-dup diameters. Per round the driver sees ONE counter (number of
     labels that changed); labels/edges stay in the object store.
+
+    ``n_buckets`` (the shuffle width of both per-round groupbys) defaults
+    to edge-count-proportional: every round pays ~n_buckets fixed task
+    cost, so a toy graph must not shuffle at 100-TB width — and a 100-TB
+    graph gets a bucket per ~64k edges, which is the right grain for a
+    multi-node shuffle. The static edge messages are materialized once
+    (not re-derived every round).
     """
     edges = pairs_ds.map_batches(
         lambda df: pd.DataFrame({
@@ -541,11 +548,50 @@ def connected_components(pairs_ds):
             "v": np.concatenate([df["doc_id_b"].to_numpy(),
                                  df["doc_id_a"].to_numpy()]).astype("int64"),
         }), batch_format="pandas").materialize()
+    n_edges = edges.count()
+    if n_edges <= SMALL_GRAPH_EDGES:
+        # Small-graph fast path: the whole edge list fits one worker's
+        # heap (~16 B/edge), so O(diameter) shuffle rounds are pure
+        # overhead — run ONE union-find task off-driver instead. The
+        # iterative path below is the >4M-edge / multi-node shape.
+        def whole_graph_cc(df: pd.DataFrame) -> pd.DataFrame:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != r:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for u, v in zip(df["u"].to_numpy(), df["v"].to_numpy()):
+                ru, rv = find(int(u)), find(int(v))
+                if ru != rv:
+                    # union by min so the root IS the min label
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+            nodes = np.unique(df["u"].to_numpy())
+            return pd.DataFrame({
+                "node": nodes.astype("int64"),
+                "label": np.array([find(int(n)) for n in nodes],
+                                  dtype="int64"),
+            })
+
+        return edges.map_batches(
+            lambda df: df.assign(one=np.int64(0)), batch_format="pandas") \
+            .groupby("one").map_groups(
+                lambda g: whole_graph_cc(g), batch_format="pandas") \
+            .materialize()
+
+    if n_buckets is None:
+        n_buckets = int(min(N_BUCKETS, max(8, n_edges // 65536)))
+    N_BUCKETS_CC = np.int64(n_buckets)
 
     def init_labels(df: pd.DataFrame) -> pd.DataFrame:
         u = np.unique(df["u"].to_numpy())
         return pd.DataFrame({"node": u, "label": u,
-                             "bucket": (u % N_BUCKETS).astype("int64")})
+                             "bucket": (u % N_BUCKETS_CC).astype("int64")})
 
     def dedup_nodes(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates("node")
@@ -560,7 +606,7 @@ def connected_components(pairs_ds):
         return pd.DataFrame({
             "key": key, "val": df["v"].to_numpy(),
             "kind": np.ones(len(df), dtype="int64"),
-            "bucket": (key % N_BUCKETS).astype("int64"),
+            "bucket": (key % N_BUCKETS_CC).astype("int64"),
         })
 
     def label_rows(df: pd.DataFrame) -> pd.DataFrame:
@@ -568,7 +614,7 @@ def connected_components(pairs_ds):
         return pd.DataFrame({
             "key": key, "val": df["label"].to_numpy(),
             "kind": np.zeros(len(df), dtype="int64"),
-            "bucket": (key % N_BUCKETS).astype("int64"),
+            "bucket": (key % N_BUCKETS_CC).astype("int64"),
         })
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
@@ -584,7 +630,7 @@ def connected_components(pairs_ds):
         return pd.DataFrame({
             "node": node.astype("int64"), "label": label.astype("int64"),
             "old": old,
-            "nbucket": (node % N_BUCKETS).astype("int64"),
+            "nbucket": (node % N_BUCKETS_CC).astype("int64"),
         })
 
     def reduce_min(g: pd.DataFrame) -> pd.DataFrame:
@@ -596,7 +642,8 @@ def connected_components(pairs_ds):
             "changed": (agg["label"] != agg["old"]).astype("int64"),
         })
 
-    edge_msgs = edges.map_batches(edge_rows, batch_format="pandas")
+    edge_msgs = edges.map_batches(edge_rows, batch_format="pandas") \
+        .materialize()  # static across rounds — derive once
     while True:
         lab_msgs = labels.map_batches(label_rows, batch_format="pandas")
         new_labels = lab_msgs.union(edge_msgs) \

@@ -35,6 +35,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from .analytics import _n_join_buckets
+from .dedup import SMALL_GRAPH_EDGES
 
 SCALE = 10**12
 DAMP_NUM, DAMP_DEN = 85, 100  # d = 0.85
@@ -73,6 +74,29 @@ def pagerank(sf_dir: str, n_iters: int = N_ITERS):
     base = (15 * SCALE) // (100 * n)
 
     edges = _edges_ds(docs, n).materialize()
+
+    if edges.count() <= SMALL_GRAPH_EDGES:
+        # Small-graph fast path (mirrors dedup.connected_components): the
+        # edge list fits one worker, so 2 shuffles x n_iters are pure
+        # overhead — run every iteration in ONE task with the identical
+        # int64 fixed-point arithmetic (per-edge floor-div, exact int64
+        # sums, same damping), bit-equal to the BSP path and the oracle.
+        def whole_graph_pr(g: pd.DataFrame) -> pd.DataFrame:
+            src = g["src"].to_numpy(dtype="int64")
+            dst = g["dst"].to_numpy(dtype="int64")
+            outdeg = g["outdeg"].to_numpy(dtype="int64")
+            rank = np.full(n, SCALE // n, dtype=np.int64)
+            for _ in range(n_iters):
+                s = np.zeros(n, dtype=np.int64)
+                np.add.at(s, dst, rank[src] // outdeg)
+                rank = base + (DAMP_NUM * s) // DAMP_DEN
+            return pd.DataFrame({"doc_id": np.arange(n, dtype="int64"),
+                                 "rank_fp": rank})
+
+        return edges.map_batches(
+            lambda df: df.assign(one=np.int64(0)), batch_format="pandas") \
+            .groupby("one").map_groups(
+                lambda g: whole_graph_pr(g), batch_format="pandas")
 
     def tag_rank(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({

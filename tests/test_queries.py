@@ -116,6 +116,36 @@ def test_connected_components_transitive(ray_session):
                       10: 10, 11: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_iterative_path_parity(ray_session, monkeypatch):
+    """Force the >4M-edge iterative label-propagation path on the same
+    graph the fast union-find path resolves, and require identical
+    labels — this keeps the 100-TB shape exercised even though small
+    graphs route to the single-task path."""
+    import ray.data as rd
+
+    import mycelium_ray.pipelines.dedup as dd
+    pairs = rd.from_pandas(pd.DataFrame(
+        {"doc_id_a": [1, 2, 3, 4, 10, 20],
+         "doc_id_b": [2, 3, 4, 5, 11, 21]}))
+    monkeypatch.setattr(dd, "SMALL_GRAPH_EDGES", 0)
+    got = _to_pandas(dd.connected_components(pairs, n_buckets=4))
+    labels = dict(zip(got["node"], got["label"]))
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                      10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_pagerank_bsp_path_parity(ray_session, monkeypatch):
+    """Force the >4M-edge BSP shuffle path and require bit-identical
+    fixed-point ranks to the small-graph single-task path."""
+    import mycelium_ray.pipelines.graph as gr
+    fast = _to_pandas(gr.pagerank(SF)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    monkeypatch.setattr(gr, "SMALL_GRAPH_EDGES", 0)
+    bsp = _to_pandas(gr.pagerank(SF)).sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(fast, bsp, check_dtype=False)
+
+
 def test_corpus_filter_subset_semantics(ray_session, qs):
     """corpus_filter output ⊆ gates; every near-dup cluster non-rep is
     excluded."""
