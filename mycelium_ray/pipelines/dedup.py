@@ -31,6 +31,22 @@ _U64 = np.uint64
 N_BUCKETS = 256  # coarse shuffle buckets; scale ∝ cluster size at 100 TB
 SMALL_GRAPH_EDGES = 1 << 22  # ≤4M edges: one-task union-find beats rounds
 
+
+def _adaptive_buckets(n_rows: int) -> np.int64:
+    """Shuffle width proportional to stage input size: every bucketed
+    groupby pays ~n_buckets fixed task cost per pass, so toy inputs must
+    not shuffle at 100-TB width. One bucket per ~20k rows, floor 16
+    (keeps multi-core spread at test scale), cap N_BUCKETS (the
+    documented 100-TB grain)."""
+    return np.int64(min(N_BUCKETS, max(16, n_rows // 20_000)))
+
+
+def _doc_count(sf_dir: str) -> int:
+    """Row count of the documents table from parquet footer metadata —
+    free (no scan), used to size shuffle widths before the pipeline runs."""
+    import pyarrow.parquet as pq
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
 _POPCOUNT_LUT = np.array([bin(i).count("1") for i in range(256)],
                          dtype="uint8")
 
@@ -110,6 +126,9 @@ def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
     counts, so value-hash comparison vs the oracle is exact.
     """
     docs = _read_docs(sf_dir)
+    # exploded row count ≈ ndocs × shingles/doc (~64 for web text); the
+    # pair-key reduce is narrower, but one width for both passes is fine
+    nb = _U64(_adaptive_buckets(_doc_count(sf_dir) * 64))
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         hs = _doc_shingle_hashes(df["text"].tolist())
@@ -125,7 +144,7 @@ def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
         # n_shingles tiny Ray groups; 256 hash buckets keep the shuffle
         # coarse with vectorized per-shingle pairing inside each bucket
         out["bucket"] = (out["sh"].to_numpy().astype("uint64")
-                         % _U64(N_BUCKETS)).astype("int64")
+                         % nb).astype("int64")
         return out
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -143,7 +162,7 @@ def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
             n_inter=("key", "size"), na=("n_sh_x", "first"),
             nb=("n_sh_y", "first"))
         out["kb"] = (out["key"].to_numpy().astype("uint64")
-                     % _U64(N_BUCKETS)).astype("int64")
+                     % nb).astype("int64")
         return out
 
     def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -277,12 +296,13 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
 
     signed = _read_docs(sf_dir).map_batches(
         sign, batch_format="pandas").materialize()
+    nb = _U64(_adaptive_buckets(signed.count()))
 
     # ---- stage 2: candidate pairs from band-hash buckets ----
     def band_bucket(t: pa.Table) -> pd.DataFrame:
         df = t.select(["doc_id", "band_id", "band_hash"]).to_pandas()
         df["bucket"] = (df["band_hash"].to_numpy().astype("uint64")
-                        % _U64(N_BUCKETS)).astype("int64")
+                        % nb).astype("int64")
         return df
 
     def pairs_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -309,7 +329,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
                 np.zeros(len(pk), dtype="int64"),
                 np.ones(len(pk), dtype="int64")]), pa.int64()),
             "shingles": pa.array([b""] * (2 * len(pk)), pa.binary()),
-            "jbucket": pa.array((jk.astype("uint64") % _U64(N_BUCKETS))
+            "jbucket": pa.array((jk.astype("uint64") % nb)
                                 .astype("int64"), pa.int64()),
         })
 
@@ -323,7 +343,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
             "pk": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
             "side": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
             "shingles": t["shingles"],
-            "jbucket": pa.array((jk.astype("uint64") % _U64(N_BUCKETS))
+            "jbucket": pa.array((jk.astype("uint64") % nb)
                                 .astype("int64"), pa.int64()),
         })
 
@@ -343,7 +363,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
                             "side": refs["side"].to_numpy(),
                             "shingles": sh})
         out["pbucket"] = (out["pk"].to_numpy().astype("uint64")
-                          % _U64(N_BUCKETS)).astype("int64")
+                          % nb).astype("int64")
         return out
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
@@ -431,7 +451,8 @@ def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
     return spans
 
 
-def simhash_neardup_pairs(sims_ds, max_hamming: int = 3):
+def simhash_neardup_pairs(sims_ds, max_hamming: int = 3,
+                          n_rows: int | None = None):
     """Distributed hamming-≤d pairs over a (doc_id, simhash) dataset.
 
     Blocking: d+1 disjoint pigeonhole segments (see _simhash_segments) —
@@ -445,6 +466,10 @@ def simhash_neardup_pairs(sims_ds, max_hamming: int = 3):
     d≤3 (4×16-bit segments) is the standard web-dedup operating point.
     """
     spans = _simhash_segments(max_hamming)
+    # shuffle width ∝ exploded (d+1 segment rows per doc) input when the
+    # caller can tell us the row count; else the 100-TB default
+    nb = (np.int64(N_BUCKETS) if n_rows is None
+          else _adaptive_buckets(n_rows * len(spans)))
 
     def explode_segments(df: pd.DataFrame) -> pd.DataFrame:
         h = df["simhash"].to_numpy().astype("uint64")
@@ -462,7 +487,7 @@ def simhash_neardup_pairs(sims_ds, max_hamming: int = 3):
         out = pd.concat(segs, ignore_index=True)
         # bucket on (seg, key) so one Ray group holds many segment cells
         out["bucket"] = ((out["seg"].to_numpy() * 65599 + out["key"].to_numpy())
-                         % N_BUCKETS).astype("int64")
+                         % nb).astype("int64")
         return out
 
     def seg_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -482,7 +507,7 @@ def simhash_neardup_pairs(sims_ds, max_hamming: int = 3):
         return pd.DataFrame({
             "pk": pk,
             "hamming": ham[keep],
-            "pbucket": (pk.astype("uint64") % _U64(N_BUCKETS)).astype("int64"),
+            "pbucket": (pk.astype("uint64") % _U64(nb)).astype("int64"),
         })
 
     def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
@@ -514,7 +539,8 @@ def simhash_neardup(sf_dir: str, max_hamming: int = 3):
     """Pairs with simhash hamming distance ≤ max_hamming. The blocking is
     pigeonhole-complete for whatever contract is requested (d+1 segments);
     the default d≤3 matches standard web-scale simhash dedup practice."""
-    return simhash_neardup_pairs(simhash(sf_dir), max_hamming=max_hamming)
+    return simhash_neardup_pairs(simhash(sf_dir), max_hamming=max_hamming,
+                                 n_rows=_doc_count(sf_dir))
 
 
 # --------------------------------------------------------------------------
