@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "corpus_filter": textops.corpus_filter,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "substring_dedup": dedup.substring_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # rows-only (probabilistic)
         "simhash": dedup.simhash,                      # rows-only (bit tricks)
         "simhash_neardup": dedup.simhash_neardup,      # rows-only
@@ -111,6 +112,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
+        "substring_dedup": dedup.SUBSTRING_DEDUP_SQL,
         "corpus_filter": textops.CORPUS_FILTER_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,

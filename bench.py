@@ -127,8 +127,18 @@ def run_bench() -> dict:
 
     site, seeds = corpus_cached()
     timings: dict[str, float] = {}
-    out_dir = f"/tmp/mycelium_bench_out_{NUM_CPUS}"
+    # Scratch sink: tmpfs when present. The pipeline's sink at target scale
+    # is a distributed object store; on this VM the virtio disk's write
+    # throughput swings 133 MB/s – 2.6 GB/s between noise windows (the
+    # probe records it either way), which would otherwise dominate the
+    # write-heavy stages with pure hypervisor noise.
+    scratch_root = os.environ.get(
+        "GRAFT_BENCH_OUT",
+        "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp")
+    out_dir = f"{scratch_root}/mycelium_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + ".raw", ignore_errors=True)
+    shutil.rmtree(out_dir + ".disc_raw", ignore_errors=True)
 
     # warm page cache / workers with an untimed small read
     rd.read_parquet(f"{SF_DIR}/documents.parquet").count()
@@ -228,6 +238,9 @@ def run_bench() -> dict:
     }
     out["ray_roundtrip_sec"] = round(ray_roundtrip, 3)
     ray.shutdown()
+    # free the tmpfs scratch so repeated runs can't squeeze page cache
+    for d in (out_dir, out_dir + ".raw", out_dir + ".disc_raw"):
+        shutil.rmtree(d, ignore_errors=True)
     # untimed same-window calibration; after shutdown so the forked
     # probe pool never coexists with Ray's threads
     out["noise_probe"] = noise_probe()

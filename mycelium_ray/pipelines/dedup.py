@@ -730,3 +730,166 @@ WITH RECURSIVE toks AS (
 )
 SELECT node AS doc_id, min(lab) AS rep FROM reach GROUP BY node
 """
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (duplicated-span removal)
+# --------------------------------------------------------------------------
+SUBSTR_W = 8  # window width in whitespace tokens
+
+
+def _window_keys(tokens: list[str], mult: np.ndarray) -> np.ndarray:
+    """64-bit key per w-token window: per-token hash once, then a
+    position-weighted linear combine over a sliding view (the vectorized
+    stand-in for re-hashing every window string; order-sensitive)."""
+    w = len(mult)
+    th = url_hash64_many(tokens)
+    if len(th) < w:
+        return np.empty(0, dtype=_U64)
+    wv = np.lib.stride_tricks.sliding_window_view(th, w)
+    return splitmix64((wv * mult[None, :]).sum(axis=1, dtype=_U64))
+
+
+def substring_dedup(sf_dir: str, w: int = SUBSTR_W):
+    """ExactSubstr-style duplicated-span removal (the windowed form of
+    Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): a w-token window is *duplicated* when its exact token
+    sequence occurs in ≥2 distinct documents; every token covered by any
+    duplicated window is removed from every document. Output one row per
+    document: (doc_id, n_tokens, n_removed, clean_text).
+
+    Distributed shape (nothing row-shaped on the driver):
+      1. map_batches: tokenize, hash each w-token window (vectorized
+         sliding combine over per-token hashes — the batch analog of a
+         suffix-array scan), emit (wkey, doc_id, pos) rows bucketed by
+         wkey. At 100 TB this is the one token-width shuffle; stride>1
+         plus a first-pass bloom on wkey are the documented thinning
+         knobs, full fidelity here.
+      2. groupby wkey-bucket: all rows of one window key land together,
+         so dup detection (≥2 distinct docs) AND the semi-join back to
+         (doc_id, pos) happen inside one map_groups — no second join.
+      3. union with the docs table, groupby doc-bucket: per doc, expand
+         start positions to a coverage mask (difference-array cumsum)
+         and rebuild the cleaned text.
+
+    Window equality is by 64-bit hash (collision odds ~n²/2⁶⁵); the SQL
+    oracle compares exact window strings — identical semantics modulo
+    that negligible collision risk.
+    """
+    mult = splitmix64(np.arange(1, w + 1, dtype=_U64)
+                      * _U64(0x9E3779B97F4A7C15))
+    n_docs = _doc_count(sf_dir)
+    # window rows ≈ docs × tokens/doc (~60 for the corpus shape)
+    nb = _U64(_adaptive_buckets(n_docs * 64))
+    nd = _U64(_adaptive_buckets(n_docs))
+
+    def wins_of(df: pd.DataFrame) -> pa.Table:
+        ids, poss, keys = [], [], []
+        for doc_id, text in zip(df["doc_id"], df["text"]):
+            wk = _window_keys((text or "").split(), mult)
+            if len(wk) == 0:
+                continue
+            ids.append(np.full(len(wk), doc_id, dtype="int64"))
+            poss.append(np.arange(len(wk), dtype="int64"))
+            keys.append(wk)
+        if not ids:
+            return pa.table({"wkey": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "wbucket": pa.array([], pa.int64())})
+        wk = np.concatenate(keys)
+        return pa.table({
+            "wkey": pa.array(wk.astype("int64"), pa.int64()),
+            "doc_id": pa.array(np.concatenate(ids), pa.int64()),
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+            "wbucket": pa.array((wk % nb).astype("int64"), pa.int64()),
+        })
+
+    def dup_starts(g: pd.DataFrame) -> pd.DataFrame:
+        ndist = g.groupby("wkey")["doc_id"].transform("nunique")
+        hit = g[ndist.to_numpy() > 1]
+        ids = hit["doc_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "doc_id": ids,
+            "pos": hit["pos"].to_numpy().astype("int64"),
+            "text": pd.Series([""] * len(hit), dtype="object"),
+            "dbucket": (ids.astype("uint64") % nd).astype("int64"),
+        })
+
+    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "pos": np.full(len(df), -1, dtype="int64"),
+            "text": df["text"].fillna("").astype("object"),
+            "dbucket": (df["doc_id"].to_numpy().astype("uint64")
+                        % nd).astype("int64"),
+        })
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        texts = g[g["pos"] < 0]
+        starts = g[g["pos"] >= 0].groupby("doc_id")["pos"].apply(np.asarray)
+        out = {"doc_id": [], "n_tokens": [], "n_removed": [],
+               "clean_text": []}
+        for doc_id, text in zip(texts["doc_id"], texts["text"]):
+            toks = text.split()
+            n = len(toks)
+            s = starts.get(doc_id)
+            if s is None or n == 0:
+                out["doc_id"].append(doc_id)
+                out["n_tokens"].append(n)
+                out["n_removed"].append(0)
+                out["clean_text"].append(" ".join(toks))
+                continue
+            diff = np.zeros(n + 1, dtype="int64")
+            diff[s] += 1
+            diff[np.minimum(s + w, n)] -= 1
+            covered = np.cumsum(diff[:n]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out["doc_id"].append(doc_id)
+            out["n_tokens"].append(n)
+            out["n_removed"].append(int(covered.sum()))
+            out["clean_text"].append(" ".join(kept))
+        return pd.DataFrame({
+            "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+            "n_tokens": pd.Series(out["n_tokens"], dtype="int64"),
+            "n_removed": pd.Series(out["n_removed"], dtype="int64"),
+            "clean_text": pd.Series(out["clean_text"], dtype="object"),
+        })
+
+    docs = _read_docs(sf_dir)
+    dup = docs.map_batches(wins_of, batch_format="pandas") \
+        .groupby("wbucket").map_groups(dup_starts, batch_format="pandas")
+    sides = docs.map_batches(doc_side, batch_format="pandas")
+    return sides.union(dup) \
+        .groupby("dbucket").map_groups(rebuild, batch_format="pandas")
+
+
+SUBSTRING_DEDUP_SQL = """
+WITH arrs AS (
+  SELECT doc_id, list_filter(regexp_split_to_array(text, '\\s+'),
+                             x -> x <> '') AS tl
+  FROM documents
+),
+wins AS (
+  SELECT doc_id, i AS pos, array_to_string(tl[i:i+7], ' ') AS win
+  FROM arrs, unnest(range(1, len(tl) - 8 + 2)) AS t(i)
+),
+dupstarts AS (
+  SELECT doc_id, list(pos) AS starts
+  FROM wins
+  WHERE win IN (SELECT win FROM wins
+                GROUP BY win HAVING count(DISTINCT doc_id) > 1)
+  GROUP BY doc_id
+)
+SELECT a.doc_id,
+       len(a.tl) AS n_tokens,
+       coalesce(len(list_filter(range(1, len(a.tl) + 1),
+         i -> len(list_filter(coalesce(d.starts, []),
+                  s -> s BETWEEN i - 7 AND i)) > 0)), 0) AS n_removed,
+       coalesce(array_to_string(list_transform(
+         list_filter(range(1, len(a.tl) + 1),
+           i -> len(list_filter(coalesce(d.starts, []),
+                    s -> s BETWEEN i - 7 AND i)) = 0),
+         i -> a.tl[i]), ' '), '') AS clean_text
+FROM arrs a LEFT JOIN dupstarts d USING (doc_id)
+"""

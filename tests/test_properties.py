@@ -326,3 +326,29 @@ def test_ann_indexed_prunes_reads(ray_session):
                                 with_stats=True)
     assert stats["n_cells_read"] < stats["n_cells_total"]
     assert stats["n_candidates"] <= stats["n_rows_x_queries"]
+
+
+def test_substring_dedup_planted_span(ray_session, tmp_path):
+    """A w-token span shared by two docs (and only that span) is removed
+    from BOTH docs; surrounding unique tokens survive; a third doc with
+    no cross-doc window is untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mycelium_ray.pipelines.dedup import substring_dedup
+
+    span = " ".join(f"dup{i}" for i in range(8))        # exactly w=8 tokens
+    a = "alpha beta " + span + " gamma delta"
+    b = "one two three " + span + " four"
+    c = "totally unique words that never repeat anywhere else at all"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([a, b, c], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+    out = substring_dedup(str(tmp_path)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == [1, 2, 3]
+    assert out["n_removed"].tolist() == [8, 8, 0]
+    assert out["clean_text"].tolist() == [
+        "alpha beta gamma delta", "one two three four", c]
