@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.token_count,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
+        "token_freq_score": textops.token_freq_score,
         "fingerprint": textops.fingerprint,          # rows-only (rolling hash)
         "stem_stats": textops.stem_stats,            # rows-only (M26 Porter;
                                                      # no offline DuckDB fts)
@@ -109,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": textops.TOKEN_COUNT_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
+        "token_freq_score": textops.TOKEN_FREQ_SCORE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,

@@ -699,3 +699,106 @@ SELECT doc_id, source, n_tokens,
        CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS seq_id
 FROM cums
 """
+
+
+# --------------------------------------------------------------------------
+# token_freq_score: corpus-frequency quality signal (doc_id, freq_sum,
+# n_tokens, mean_freq) — mean over a doc's token occurrences of each
+# token's GLOBAL corpus occurrence count. Low mean = rare vocabulary
+# (specialist/noisy text), high mean = stopword-heavy boilerplate; the
+# integer-exact cousin of a unigram-LM perplexity gate (CCNet-style).
+# --------------------------------------------------------------------------
+def token_freq_score(sf_dir: str):
+    """Distributed shape: explode (token_hash, doc_id) occurrence rows
+    bucketed by token hash — every occurrence of one token lands in one
+    bucket, so a single map_groups computes GLOBAL per-token counts
+    (transform 'size') and per-doc partial numerators in the same pass;
+    a second narrow groupby sums partials per doc. The driver sees one
+    row per document.
+
+    freq_sum and n_tokens are exact int64 both sides; mean_freq is one
+    IEEE division of the two, so the value-hash comparison vs the SQL
+    oracle is exact. Token equality is by 64-bit hash in Ray vs string
+    in SQL — identical modulo ~n²/2⁶⁵ collision odds.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    from .dedup import _adaptive_buckets, _doc_count
+    n_docs = _doc_count(sf_dir)
+    nb = np.uint64(_adaptive_buckets(n_docs * 64))
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _tokens(df["text"])
+        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
+        flat = [t for ts in toks for t in ts]
+        th = url_hash64_many(flat)
+        return pd.DataFrame({
+            "th": th.astype("int64"),
+            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
+            "bucket": (th % nb).astype("int64"),
+        })
+
+    def partial_numerators(g: pd.DataFrame) -> pd.DataFrame:
+        cnt = g.groupby("th")["th"].transform("size").to_numpy()
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                            "c": cnt.astype("int64")})
+        agg = out.groupby("doc_id", as_index=False).agg(
+            freq_sum=("c", "sum"), n_tok=("c", "size"))
+        return agg
+
+    per_doc = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pandas") \
+        .groupby("bucket").map_groups(partial_numerators,
+                                      batch_format="pandas") \
+        .groupby("doc_id").aggregate(Sum("freq_sum", alias_name="freq_sum"),
+                                     Sum("n_tok", alias_name="n_tokens"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        fs = t["freq_sum"].to_numpy().astype("int64")
+        nt = t["n_tokens"].to_numpy().astype("int64")
+        mean = np.divide(fs, nt, out=np.zeros(len(fs), dtype="float64"),
+                         where=nt > 0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "freq_sum": pa.array(fs, pa.int64()),
+            "n_tokens": pa.array(nt, pa.int64()),
+            "mean_freq": pa.array(mean, pa.float64()),
+        })
+
+    # docs with zero tokens never appear in the explode; re-attach them
+    def empty_side(df: pd.DataFrame) -> pd.DataFrame:
+        n = _tokens(df["text"]).str.len().fillna(0).astype("int64")
+        z = df[n.to_numpy() == 0]
+        return pd.DataFrame({
+            "doc_id": z["doc_id"].to_numpy().astype("int64"),
+            "freq_sum": np.zeros(len(z), dtype="int64"),
+            "n_tokens": np.zeros(len(z), dtype="int64"),
+            "mean_freq": np.zeros(len(z), dtype="float64"),
+        })
+
+    empties = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(empty_side, batch_format="pandas")
+    return per_doc.map_batches(finish, batch_format="pyarrow").union(empties)
+
+
+TOKEN_FREQ_SCORE_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS tok
+  FROM documents
+),
+cnt AS (
+  SELECT tok, count(*) AS c FROM toks GROUP BY tok
+),
+per AS (
+  SELECT t.doc_id, sum(c.c) AS freq_sum, count(*) AS n_tokens
+  FROM toks t JOIN cnt c USING (tok) GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.freq_sum, 0) AS BIGINT) AS freq_sum,
+       CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CASE WHEN p.n_tokens > 0
+            THEN CAST(p.freq_sum AS DOUBLE) / p.n_tokens
+            ELSE 0.0 END AS mean_freq
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
