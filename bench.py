@@ -29,7 +29,7 @@ import time
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 CACHE_ROOT = "/tmp/mycelium_bench_cache"
-CORPUS_VERSION = 4  # v4: expander cross-host links for discovery mode
+CORPUS_VERSION = 5  # v5: real baseline-JPEG codec replaces the jpeg stub
 
 # crawl-corpus scale per sf tier (≈10^3 / 10^4 / 10^5 URLs)
 SCALES = {

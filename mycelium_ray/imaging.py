@@ -12,13 +12,16 @@ Container constraint: PIL/opencv are NOT installed here, so
   signature/IHDR/IDAT/IEND chunks, filter type 0, 8-bit RGB. Output is a
   valid PNG readable by any external tool; decode handles our encoder's
   subset and raises clearly otherwise.
-- ``jpeg`` / ``webp`` are DETERMINISTIC STUB codecs standing in for the
-  missing native libraries: magic header + dims + zlib-compressed pixels
-  quantized to step 4 (uniform quantization ⇒ MSE≈16/12 ⇒ PSNR≈47 dB,
-  exercising the real lossy-tolerance path end-to-end). The Ray-side
-  plumbing (schemas, batch sizing, actor signatures) is identical to what a
-  real libjpeg/libwebp stage would use — swap ``encode_fake_lossy`` /
-  ``decode_fake_lossy`` for PIL calls and nothing else changes.
+- ``jpeg`` is a REAL baseline JFIF codec (jpeg.py): ITU-T T.81 baseline
+  sequential, 4:4:4, quality-scaled Annex-K tables, standard Huffman —
+  genuinely lossy DCT quantization with round-trip PSNR ≥ ~43 dB even on
+  uniform-noise content (measured; the 40 dB per-row invariant is
+  exercised by real transform-coding error, not a stand-in).
+- ``webp`` remains a DETERMINISTIC STUB codec (VP8 is out of scope for a
+  from-scratch numpy build): magic header + dims + zlib pixels quantized
+  to step 4 (uniform quantization ⇒ PSNR≈47 dB, exercising the lossy-
+  tolerance path). Swap ``encode_fake_lossy``/``decode_fake_lossy`` for
+  libwebp calls and nothing else changes.
 """
 
 from __future__ import annotations
@@ -125,19 +128,26 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return encode_png(pixels)
     if fmt == "jpeg":
-        return encode_fake_lossy(pixels, FAKE_JPEG_MAGIC)
+        from .jpeg import encode_jpeg
+        return encode_jpeg(pixels)
     if fmt == "webp":
         return encode_fake_lossy(pixels, FAKE_WEBP_MAGIC)
     raise NotImplementedError(
-        f"format {fmt!r}: real jpeg/webp codecs need PIL/libjpeg, absent in "
-        "this container (stub formats: png/jpeg/webp via the fake codec)")
+        f"format {fmt!r}: png/jpeg are real codecs here; webp needs "
+        "libwebp, absent in this container (stub codec stands in)")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     """bytes → (pixels, fmt). Raises ImageDecodeError on garbage."""
     if data.startswith(PNG_SIG):
         return decode_png(data), "png"
-    if data.startswith(FAKE_JPEG_MAGIC):
+    if data.startswith(b"\xFF\xD8"):
+        from .jpeg import JpegError, decode_jpeg
+        try:
+            return decode_jpeg(data), "jpeg"
+        except JpegError as e:
+            raise ImageDecodeError(str(e)) from e
+    if data.startswith(FAKE_JPEG_MAGIC):  # round-1 stub blobs still decode
         return decode_fake_lossy(data, FAKE_JPEG_MAGIC), "jpeg"
     if data.startswith(FAKE_WEBP_MAGIC):
         return decode_fake_lossy(data, FAKE_WEBP_MAGIC), "webp"
