@@ -996,3 +996,143 @@ GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
 ORDER BY revenue_cents DESC, c.c_custkey ASC
 LIMIT 20
 """
+
+
+# --------------------------------------------------------------------------
+# events_rolling_avg: per-user trailing-K rolling average over the event
+# stream (ordered by ts, event_id). The reference analog is the windowed
+# stats tick (A2) generalized to per-key order-sensitive windows.
+# --------------------------------------------------------------------------
+ROLLING_K = 5
+
+
+def events_rolling_avg(sf_dir: str, k: int = ROLLING_K):
+    """(event_id, user_id, win_sum_cents, win_n, rolling_avg) — trailing
+    k-row window per user. Window sums are int64 cents (exact under any
+    accumulation order, matching the module-wide convention); the average
+    is one IEEE division, so the oracle hash-compares exactly.
+
+    Ray shape: hash-bucket by user → one vectorized pass per bucket
+    (sort, per-user int cumsum, subtract the k-shifted cumsum). The
+    rolling window never crosses buckets because a user is wholly inside
+    one bucket — the documented partitioning assumption.
+    """
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "us": us,
+            "cents": cents,
+            "bucket": (df["user_id"].to_numpy().astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("user_id")
+        cum = grp["cents"].cumsum()
+        cum_k = cum.groupby(g["user_id"]).shift(k).fillna(0).astype("int64")
+        win_sum = (cum - cum_k).to_numpy()
+        pos = grp.cumcount().to_numpy()
+        win_n = np.minimum(pos + 1, k)
+        return pd.DataFrame({
+            "event_id": g["event_id"],
+            "user_id": g["user_id"],
+            "win_sum_cents": win_sum.astype("int64"),
+            "win_n": win_n.astype("int64"),
+            "rolling_avg": win_sum / (100.0 * win_n),
+        })
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(roll_bucket, batch_format="pandas")
+
+
+EVENTS_ROLLING_AVG_SQL = f"""
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       sum(cents) OVER w AS win_sum_cents,
+       count(*) OVER w AS win_n,
+       CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * (count(*) OVER w))
+         AS rolling_avg
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN {ROLLING_K - 1} PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
+# customers_no_urgent_orders: distributed ANTI-join (the missing join
+# flavor; semi-joins appear inside the near-dup verifies, equi-joins in
+# the multi-way query suite). The right side is predicate-filtered at the
+# read (priority = 1-URGENT) so the result is non-trivial on the testdata
+# corpus, and the filter is pushed before the shuffle.
+# --------------------------------------------------------------------------
+def customers_no_urgent_orders(sf_dir: str):
+    """(c_custkey, c_name) of customers with zero 1-URGENT orders.
+
+    Both sides hash-bucket on custkey, union, one groupby: inside each
+    bucket group the order-side keys form the exclusion set — a per-
+    bucket vectorized isin, never a driver-side set. Scales as the
+    partitioned join: B buckets ∝ cluster CPUs, each bucket holds
+    ~|customer|/B + ~|orders|/B rows.
+    """
+    n_buckets = _n_join_buckets()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    import pyarrow.compute as pc
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"],
+                             filter=pc.field("o_orderpriority")
+                             == "1-URGENT")
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key, "name": df["c_name"].astype("object"),
+            "side": np.zeros(len(df), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        # pre-dedup per batch: the anti-join only needs key presence
+        key = np.unique(df["o_custkey"].to_numpy().astype("int64"))
+        return pd.DataFrame({
+            "key": key, "name": pd.Series([""] * len(key), dtype="object"),
+            "side": np.ones(len(key), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == 1, "key"].to_numpy()
+        c = g[g["side"] == 0]
+        keep = c[~c["key"].isin(have)]
+        return pd.DataFrame({
+            "c_custkey": keep["key"].to_numpy().astype("int64"),
+            "c_name": keep["name"].to_numpy(),
+        })
+
+    return cust.map_batches(tag_cust, batch_format="pandas") \
+        .union(orders.map_batches(tag_orders, batch_format="pandas")) \
+        .groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
+CUSTOMERS_NO_URGENT_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
