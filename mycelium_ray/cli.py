@@ -1,0 +1,248 @@
+"""Command-line entry point — the rebuild's analog of the reference's
+``build/release/crawler/crawler`` binary (crawler.cc main, :1390-1440):
+seeds in (file / stdin / live TCP port, S1), crawl with robots +
+politeness + URL-seen dedup, image rows out (parquet), one JSON stats
+line to stdout. This module OWNS its Ray session (guarded init) — the
+library never calls ray.init().
+
+Usage (see ``--help``):
+
+    # deterministic synthetic corpus, sharded in-process crawl
+    python -m mycelium_ray.cli crawl --corpus sf0.001 --out /tmp/out
+
+    # the same corpus served over REAL TCP (http.client fetch path)
+    python -m mycelium_ray.cli crawl --corpus sf0.001 --serve --out /tmp/out
+
+    # seeds from a file / stdin, discovery mode, resumable checkpoints
+    python -m mycelium_ray.cli crawl --corpus sf0.01 --seeds seeds.txt \
+        --follow-links --dedup cuckoo --store-root /tmp/ckpt \
+        --checkpoint-every 2 [--resume]
+
+    # live TCP seed ingest (reference S1): clients write URL lines
+    python -m mycelium_ray.cli crawl --corpus sf0.001 \
+        --listen-port 0 --listen-seconds 5
+
+    # run any queries() operator over a testdata dir
+    python -m mycelium_ray.cli query token_count --sf-dir /root/testdata/sf0.001
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+# crawl-corpus scale tiers (the bench protocol's sizes)
+_SCALES = {
+    "sf0.001": dict(n_hosts=48, pages_per_host=18),
+    "sf0.01": dict(n_hosts=160, pages_per_host=55),
+    "sf0.1": dict(n_hosts=512, pages_per_host=170),
+}
+
+
+def _ray_init(num_cpus: int | None) -> bool:
+    """Guarded init; returns True when THIS call started the session (the
+    CLI only shuts down a session it owns — embedding in a larger program
+    or the test fixture leaves the outer session alone)."""
+    import ray
+    if ray.is_initialized():
+        return False
+    kwargs = dict(address="local", include_dashboard=False,
+                  logging_level="ERROR")
+    if num_cpus:
+        kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
+    return True
+
+
+def _read_seed_file(path: str) -> list[str]:
+    fh = sys.stdin if path == "-" else open(path)
+    try:
+        return [ln.strip() for ln in fh if ln.strip()]
+    finally:
+        if fh is not sys.stdin:
+            fh.close()
+
+
+def _listen_seeds(port: int, seconds: float) -> list[str]:
+    """Reference-S1 live ingest: accept URL lines over TCP for a window."""
+    from .sources.tcpseed import TcpSeedListener
+    src = TcpSeedListener(port=port)
+    print(json.dumps({"listening": {"host": src.host, "port": src.port,
+                                    "seconds": seconds}}),
+          file=sys.stderr, flush=True)
+    time.sleep(seconds)
+    src.close()
+    return [u.normalize().get() for u in src.urls()]
+
+
+def cmd_crawl(args) -> int:
+    from .corpus import generate_corpus
+
+    scale = _SCALES.get(args.corpus, _SCALES["sf0.001"])
+    _images, site, corpus_seeds = generate_corpus(seed=42,
+                                                  hot_host_factor=8, **scale)
+    seeds: list[str] = []
+    if args.seeds:
+        seeds.extend(_read_seed_file(args.seeds))
+    if args.listen_port is not None:
+        seeds.extend(_listen_seeds(args.listen_port, args.listen_seconds))
+    if not seeds:
+        seeds = corpus_seeds
+    if args.follow_links:
+        # discovery mode wants sparse entry points, not the full list
+        seeds = seeds[:: args.seed_stride] if args.seed_stride > 1 else seeds
+
+    owns_ray = _ray_init(args.num_cpus)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray
+
+    t0 = time.perf_counter()
+    server = None
+    try:
+        if args.serve:
+            # real-TCP path: serve the corpus and fetch over http.client
+            from .httpfixture import FixtureHTTPServer
+            from .pipelines import crawl as crawl_mod
+            server = FixtureHTTPServer(site).__enter__()
+            crawler = crawl_mod.RayCrawler(
+                site, parallel=args.parallel,
+                n_fetchers=max(2, args.shards), dedup=args.dedup,
+                checkpoint_every=args.checkpoint_every,
+                follow_links=args.follow_links,
+                transport_addr=server.addr)
+            crawler.feed(seeds)
+            result = crawler.run()
+            ds = crawler.fetched_dataset()
+            from .stages.decode import DecodeValidate
+            ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
+                                batch_size=256)
+            if args.out:
+                ds.write_parquet(args.out)
+            else:
+                ds.count()
+            stats = {"mode": "socket", "addr": list(server.addr),
+                     "n_seen": len(result.url_seen),
+                     "n_saved": len(result.saved),
+                     "n_rounds": None}
+        else:
+            from .pipelines.crawl_sharded import run_crawl_sharded
+            sstats, ds = run_crawl_sharded(
+                site, seeds, parallel=args.parallel,
+                n_shards=args.shards, dedup=args.dedup,
+                out_dir=args.out, follow_links=args.follow_links,
+                store_root=args.store_root,
+                checkpoint_every=args.checkpoint_every,
+                resume=args.resume)
+            stats = {"mode": "sharded", "n_seen": sstats["n_seen"],
+                     "n_saved": sstats["n_saved"],
+                     "n_rounds": sstats["n_rounds"]}
+        sec = time.perf_counter() - t0
+        stats.update({"corpus": args.corpus, "n_seeds": len(seeds),
+                      "sec": round(sec, 3),
+                      "urls_per_sec": round(stats["n_seen"] / sec, 1),
+                      "out": args.out})
+        print(json.dumps(stats), flush=True)
+        return 0
+    finally:
+        if server is not None:
+            server.__exit__()
+        if owns_ray:
+            ray.shutdown()
+
+
+def cmd_query(args) -> int:
+    owns_ray = _ray_init(args.num_cpus)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray
+    sys.path.insert(0, ".")
+    try:
+        import __ray_entry__ as entrymod
+        qs = entrymod.queries()
+    except ModuleNotFoundError:
+        print("run from the repo root (needs __ray_entry__.py)",
+              file=sys.stderr)
+        return 2
+    if args.name not in qs:
+        print(f"unknown query {args.name!r}; available: "
+              + " ".join(sorted(qs)), file=sys.stderr)
+        return 2
+    t0 = time.perf_counter()
+    res = qs[args.name](args.sf_dir)
+    if args.out:
+        if hasattr(res, "write_parquet"):
+            res.write_parquet(args.out)
+            n = None
+        else:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+            pq.write_table(tbl, args.out)
+            n = tbl.num_rows
+    else:
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        n = len(df)
+        with __import__("pandas").option_context("display.max_rows", 20):
+            print(df)
+    print(json.dumps({"query": args.name, "sf_dir": args.sf_dir,
+                      "rows": n, "sec": round(time.perf_counter() - t0, 3),
+                      "out": args.out}), flush=True)
+    if owns_ray:
+        ray.shutdown()
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="mycelium_ray",
+                                description=__doc__.split("\n\n")[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run the crawl pipeline")
+    c.add_argument("--corpus", default="sf0.001", choices=sorted(_SCALES),
+                   help="deterministic synthetic corpus tier")
+    c.add_argument("--seeds", help="seed URL file ('-' = stdin); "
+                                   "default: the corpus seed list")
+    c.add_argument("--listen-port", type=int, default=None,
+                   help="ALSO accept seed lines over TCP on this port "
+                        "(0 = OS-assigned; reference S1 ingest)")
+    c.add_argument("--listen-seconds", type=float, default=5.0)
+    c.add_argument("--serve", action="store_true",
+                   help="serve the corpus over real TCP and fetch via "
+                        "http.client (production transport shape)")
+    c.add_argument("--follow-links", action="store_true",
+                   help="discovery mode: frontier grows through outlinks")
+    c.add_argument("--seed-stride", type=int, default=16,
+                   help="discovery mode keeps every Nth seed")
+    c.add_argument("--dedup", default="cuckoo",
+                   choices=["reference", "cuckoo"])
+    c.add_argument("--shards", type=int, default=4)
+    c.add_argument("--parallel", type=int, default=64)
+    c.add_argument("--out", help="decoded image-row parquet directory")
+    c.add_argument("--store-root", help="checkpoint/lineage store root "
+                                        "(enables resume)")
+    c.add_argument("--checkpoint-every", type=int, default=0)
+    c.add_argument("--resume", action="store_true",
+                   help="resume from --store-root checkpoints")
+    c.add_argument("--num-cpus", type=int, default=None)
+    c.set_defaults(fn=cmd_crawl)
+
+    q = sub.add_parser("query", help="run a queries() operator")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--out", help="write result parquet here instead of "
+                                 "printing")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
