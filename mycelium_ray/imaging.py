@@ -17,11 +17,11 @@ Container constraint: PIL/opencv are NOT installed here, so
   genuinely lossy DCT quantization with round-trip PSNR ≥ ~43 dB even on
   uniform-noise content (measured; the 40 dB per-row invariant is
   exercised by real transform-coding error, not a stand-in).
-- ``webp`` remains a DETERMINISTIC STUB codec (VP8 is out of scope for a
-  from-scratch numpy build): magic header + dims + zlib pixels quantized
-  to step 4 (uniform quantization ⇒ PSNR≈47 dB, exercising the lossy-
-  tolerance path). Swap ``encode_fake_lossy``/``decode_fake_lossy`` for
-  libwebp calls and nothing else changes.
+- ``webp`` is a REAL VP8L (WebP LOSSLESS) codec (webp.py): RIFF/WEBP
+  container, spec-compliant VP8L bitstream (RFC 9649) with canonical
+  Huffman literal codes — bit-exact round trip, so webp joins png on the
+  lossless invariant path. (Lossy VP8 is out of scope for a from-scratch
+  numpy build; the old FAKEWEBP stub blobs still decode for back-compat.)
 """
 
 from __future__ import annotations
@@ -131,10 +131,11 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
         from .jpeg import encode_jpeg
         return encode_jpeg(pixels)
     if fmt == "webp":
-        return encode_fake_lossy(pixels, FAKE_WEBP_MAGIC)
+        from .webp import encode_webp_lossless
+        return encode_webp_lossless(pixels)
     raise NotImplementedError(
-        f"format {fmt!r}: png/jpeg are real codecs here; webp needs "
-        "libwebp, absent in this container (stub codec stands in)")
+        f"format {fmt!r}: png/jpeg/webp(VP8L) are real codecs here; other "
+        "formats need native libraries absent in this container")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
@@ -147,6 +148,12 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             return decode_jpeg(data), "jpeg"
         except JpegError as e:
             raise ImageDecodeError(str(e)) from e
+    if data.startswith(b"RIFF") and data[8:12] == b"WEBP":
+        from .webp import WebpError, decode_webp_lossless
+        try:
+            return decode_webp_lossless(data), "webp"
+        except WebpError as e:
+            raise ImageDecodeError(str(e)) from e
     if data.startswith(FAKE_JPEG_MAGIC):  # round-1 stub blobs still decode
         return decode_fake_lossy(data, FAKE_JPEG_MAGIC), "jpeg"
     if data.startswith(FAKE_WEBP_MAGIC):
@@ -154,7 +161,7 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     raise ImageDecodeError("unrecognized image format")
 
 
-LOSSLESS_FMTS = {"png"}
+LOSSLESS_FMTS = {"png", "webp"}  # webp here is VP8L (lossless mode)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,379 @@
+"""WebP lossless (VP8L) codec in pure numpy — a REAL spec bitstream.
+
+Replaces the round-1 fake-webp stub with a compliant VP8L stream built
+from the published format (RFC 9649 / the WebP lossless bitstream spec):
+RIFF/WEBP container, VP8L signature + 14-bit dims, no transforms, no
+color cache, one Huffman code group. The encoder uses fixed 8-bit-long
+literal codes for G/R/B (a complete canonical code — 256 × 2⁻⁸ = 1),
+a 1-symbol code for constant alpha 0xFF, and a 1-symbol distance code;
+code lengths are carried by a 2-symbol code-length code, exactly the
+normal (non-simple) Huffman-code path a general decoder exercises.
+Output is genuinely LOSSLESS (webp joins png in LOSSLESS_FMTS).
+
+The decoder reads back the subset this encoder covers — and any VP8L
+stream without transforms/color-cache/meta-Huffman whose codes decode
+canonically — and rejects other feature bits with a clear error. Bit
+order follows the spec: LSB-first bit packing, Huffman codes read one
+bit at a time MSB-of-code-first (DEFLATE-style reversed codes when
+written).
+
+No code from libwebp; constants (code-length order, prefix alphabets)
+are the published spec values.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WebpError(ValueError):
+    pass
+
+
+# spec order in which code-length-code lengths are transmitted
+_CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
+              14, 15]
+
+
+# --------------------------------------------------------------------------
+# LSB-first bit I/O (VP8L convention)
+# --------------------------------------------------------------------------
+class _LsbWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, nbits: int):
+        """value's LOW nbits, LSB-first into the stream."""
+        self.acc |= (value & ((1 << nbits) - 1)) << self.nbits
+        self.nbits += nbits
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, length: int):
+        """Huffman code: MSB of the code goes first → reverse the bits."""
+        rev = 0
+        for _ in range(length):
+            rev = (rev << 1) | (code & 1)
+            code >>= 1
+        self.put(rev, length)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+class _LsbReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise WebpError("truncated VP8L stream")
+            self.acc |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.acc & ((1 << n) - 1)
+        self.acc >>= n
+        self.nbits -= n
+        return v
+
+    def bit(self) -> int:
+        return self.bits(1)
+
+
+# --------------------------------------------------------------------------
+# canonical Huffman (spec: shorter codes first, then by symbol order)
+# --------------------------------------------------------------------------
+def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) for nonzero lengths."""
+    pairs = sorted((ln, sym) for sym, ln in enumerate(lengths) if ln > 0)
+    codes = {}
+    code = 0
+    prev_len = 0
+    for ln, sym in pairs:
+        code <<= (ln - prev_len)
+        codes[sym] = (code, ln)
+        code += 1
+        prev_len = ln
+    return codes
+
+
+class _CanonDecoder:
+    """Bit-at-a-time canonical decoder (codes arrive MSB-first)."""
+
+    def __init__(self, lengths: list[int]):
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 1:
+            # 1-symbol code: zero bits per symbol (spec: simple code)
+            self.single = nz[0][1]
+            return
+        self.single = None
+        codes = _canonical_codes(lengths)
+        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
+        self.maxlen = max(ln for ln, _ in self.table)
+
+    def decode(self, br: _LsbReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        for ln in range(1, self.maxlen + 1):
+            code = (code << 1) | br.bit()
+            sym = self.table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise WebpError("bad Huffman code in VP8L stream")
+
+
+# --------------------------------------------------------------------------
+# encoder
+# --------------------------------------------------------------------------
+def _write_code_lengths(bw: _LsbWriter, lengths: list[int]):
+    """Normal (non-simple) Huffman-code header for a literal code whose
+    lengths use only the values {0, L}: a 2-symbol code-length code, then
+    one bit per entry."""
+    used = sorted({ln for ln in lengths if ln > 0})
+    if len(used) != 1:
+        raise ValueError("encoder writes single-length codes only")
+    lit = used[0]
+    bw.put(0, 1)                      # not a simple code
+    # code-length-code lengths: num_code_lengths = 19 (all transmitted;
+    # entries for symbols other than {0, lit} are 0)
+    bw.put(19 - 4, 4)
+    clc_len = {0: 1, lit: 1}
+    for sym in _CLC_ORDER:
+        bw.put(clc_len.get(sym, 0), 3)
+    # no max_symbol shortcut
+    bw.put(0, 1)
+    clc_codes = _canonical_codes(
+        [clc_len.get(s, 0) for s in range(19)])
+    for ln in lengths:
+        code, cl = clc_codes[ln]
+        bw.put_code(code, cl)
+
+
+def _write_single_symbol_code(bw: _LsbWriter, symbol: int):
+    """Simple-code header: one symbol, zero bits per occurrence."""
+    bw.put(1, 1)                      # simple
+    bw.put(0, 1)                      # num_symbols - 1 = 0
+    if symbol < 2:
+        bw.put(0, 1)                  # first_symbol in 1 bit
+        bw.put(symbol, 1)
+    else:
+        bw.put(1, 1)                  # first_symbol in 8 bits
+        bw.put(symbol, 8)
+
+
+def encode_webp_lossless(pixels: np.ndarray) -> bytes:
+    """RGB8 (h, w, 3) uint8 → lossless WebP (VP8L) bytes."""
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError("expected (h, w, 3) uint8")
+    h, w, _ = px.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("bad dimensions for VP8L (14-bit fields)")
+
+    bw = _LsbWriter()
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(0, 1)                      # alpha hint: none
+    bw.put(0, 3)                      # version 0
+    bw.put(0, 1)                      # no transforms
+    bw.put(0, 1)                      # no color cache
+    bw.put(0, 1)                      # no meta-Huffman image
+
+    # 5 codes: green(256+24 prefix), red(256), blue(256), alpha(256),
+    # distance(40)
+    green_lengths = [8] * 256 + [0] * 24
+    byte_lengths = [8] * 256
+    _write_code_lengths(bw, green_lengths)          # green + lengths
+    _write_code_lengths(bw, byte_lengths)           # red
+    _write_code_lengths(bw, byte_lengths)           # blue
+    _write_single_symbol_code(bw, 0xFF)             # alpha: constant 255
+    _write_single_symbol_code(bw, 0)                # distance: unused
+
+    # literal pixels: G, R, B per pixel (alpha/distance cost 0 bits).
+    # all-8-bit canonical code over 0..255 assigns code == symbol, so the
+    # bit-reversed byte stream is a pure table lookup — vectorized.
+    rev8 = np.zeros(256, dtype=np.uint8)
+    for v in range(256):
+        rev8[v] = int(f"{v:08b}"[::-1], 2)
+    interleaved = np.empty((h * w, 3), dtype=np.uint8)
+    flat = px.reshape(-1, 3)
+    interleaved[:, 0] = rev8[flat[:, 1]]            # green first
+    interleaved[:, 1] = rev8[flat[:, 0]]            # then red
+    interleaved[:, 2] = rev8[flat[:, 2]]            # then blue
+    if bw.nbits == 0:
+        bw.buf += interleaved.tobytes()
+    else:
+        # unaligned bulk append: header tail bits + pixel bytes → one
+        # little-endian bit array → repacked bytes (vectorized)
+        head = np.array([(bw.acc >> i) & 1 for i in range(bw.nbits)],
+                        dtype=np.uint8)
+        body = np.unpackbits(interleaved.reshape(-1), bitorder="little")
+        allbits = np.concatenate([head, body])
+        bw.acc = 0
+        bw.nbits = int(len(allbits) & 7)
+        whole = len(allbits) - bw.nbits
+        bw.buf += np.packbits(allbits[:whole], bitorder="little").tobytes()
+        for i, b in enumerate(allbits[whole:]):
+            bw.acc |= int(b) << i
+    payload = bw.finish()
+
+    vp8l = b"\x2f" + payload
+    chunk = b"VP8L" + struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"              # RIFF even-size padding
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    return riff
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+def _read_code_lengths(br: _LsbReader, alphabet_size: int) -> list[int]:
+    if br.bit():                      # simple code
+        n = br.bits(1) + 1
+        if br.bit():
+            first = br.bits(8)
+        else:
+            first = br.bits(1)
+        lengths = [0] * alphabet_size
+        if n == 1:
+            lengths[first] = 1        # marker; _CanonDecoder treats as 0-bit
+        else:
+            second = br.bits(8)
+            lengths[first] = 1
+            lengths[second] = 1
+        return lengths
+    num_clc = br.bits(4) + 4
+    clc_len = [0] * 19
+    for i in range(num_clc):
+        clc_len[_CLC_ORDER[i]] = br.bits(3)
+    if br.bit():                      # max_symbol shortcut
+        length_nbits = 2 + 2 * br.bits(3)
+        max_symbol = 2 + br.bits(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    clc = _CanonDecoder(clc_len)
+    lengths = [0] * alphabet_size
+    prev = 8
+    i = 0
+    while i < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        sym = clc.decode(br)
+        if sym < 16:
+            lengths[i] = sym
+            i += 1
+            if sym:
+                prev = sym
+        elif sym == 16:
+            rep = 3 + br.bits(2)
+            for _ in range(rep):
+                if i < alphabet_size:
+                    lengths[i] = prev
+                    i += 1
+        elif sym == 17:
+            i += 3 + br.bits(3)
+        else:                         # 18
+            i += 11 + br.bits(7)
+    return lengths
+
+
+def decode_webp_lossless(data: bytes) -> np.ndarray:
+    """Lossless WebP (VP8L, this encoder's feature subset) → RGB8."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpError("not a WebP (RIFF/WEBP header)")
+    pos = 12
+    vp8l = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"VP8L":
+            vp8l = body
+            break
+        if tag in (b"VP8 ", b"VP8X"):
+            raise WebpError(f"unsupported WebP chunk {tag!r} "
+                            "(this codec is lossless VP8L only)")
+        pos += 8 + size + (size & 1)
+    if vp8l is None or len(vp8l) < 5:
+        raise WebpError("missing VP8L chunk")
+    if vp8l[0] != 0x2F:
+        raise WebpError("bad VP8L signature")
+    br = _LsbReader(vp8l[1:])
+    w = br.bits(14) + 1
+    h = br.bits(14) + 1
+    br.bit()                          # alpha hint
+    if br.bits(3) != 0:
+        raise WebpError("unknown VP8L version")
+    if br.bit():
+        raise WebpError("VP8L transforms unsupported by this decoder")
+    if br.bit():
+        raise WebpError("VP8L color cache unsupported by this decoder")
+    if br.bit():
+        raise WebpError("VP8L meta-Huffman unsupported by this decoder")
+
+    green = _CanonDecoder(_read_code_lengths(br, 256 + 24))
+    red = _CanonDecoder(_read_code_lengths(br, 256))
+    blue = _CanonDecoder(_read_code_lengths(br, 256))
+    alpha = _CanonDecoder(_read_code_lengths(br, 256))
+    _dist = _CanonDecoder(_read_code_lengths(br, 40))
+
+    n = h * w
+
+    def _uniform8(dec: _CanonDecoder) -> bool:
+        # the all-8-bit code over 0..255: canonical code == symbol
+        return (dec.single is None and dec.maxlen == 8
+                and len(dec.table) == 256)
+
+    if (_uniform8(green) and _uniform8(red) and _uniform8(blue)
+            and alpha.single is not None and _dist.single is not None):
+        # FAST PATH (this encoder's layout): every pixel is exactly three
+        # 8-bit codes; lift the remaining bitstream into a little-endian
+        # bit array and decode all pixels in one vectorized pass.
+        tail_bits = np.array([(br.acc >> i) & 1 for i in range(br.nbits)],
+                             dtype=np.uint8)
+        rest = np.frombuffer(br.data, dtype=np.uint8)[br.pos:]
+        bits = np.concatenate([tail_bits,
+                               np.unpackbits(rest, bitorder="little")])
+        need = n * 24
+        if len(bits) < need:
+            raise WebpError("truncated VP8L pixel stream")
+        # codes are written MSB-first into an LSB-first stream: each
+        # byte-sized code arrives bit-reversed → weight bits accordingly
+        w8 = (1 << np.arange(7, -1, -1)).astype(np.uint16)
+        sym = (bits[:need].reshape(n * 3, 8).astype(np.uint16)
+               @ w8).astype(np.uint8)
+        grb = sym.reshape(n, 3)
+        out = np.empty((n, 3), dtype=np.uint8)
+        out[:, 1] = grb[:, 0]
+        out[:, 0] = grb[:, 1]
+        out[:, 2] = grb[:, 2]
+        return out.reshape(h, w, 3)
+
+    out = np.empty((n, 3), dtype=np.uint8)
+    for i in range(n):
+        g = green.decode(br)
+        if g >= 256:
+            raise WebpError("LZ77 backward reference unsupported "
+                            "by this decoder")
+        out[i, 1] = g
+        out[i, 0] = red.decode(br)
+        out[i, 2] = blue.decode(br)
+        alpha.decode(br)
+    return out.reshape(h, w, 3)

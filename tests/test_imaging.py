@@ -37,16 +37,27 @@ def test_png_rejects_corruption():
         decode_png(bytes(data))
 
 
-@pytest.mark.parametrize("fmt", ["jpeg", "webp"])
-def test_lossy_psnr_over_40(fmt):
+def test_lossy_psnr_over_40():
+    """jpeg is the (real) lossy format: >= 40 dB but not exact."""
     px = _img(4)
-    data = encode_image(px, fmt)
+    data = encode_image(px, "jpeg")
     out, got_fmt = decode_image(data)
-    assert got_fmt == fmt
-    assert sniff_format(data) == fmt
+    assert got_fmt == "jpeg"
+    assert sniff_format(data) == "jpeg"
     p = psnr(px, out)
     assert p >= 40.0, f"PSNR {p} < 40 dB"
     assert p != float("inf")  # genuinely lossy
+
+
+def test_webp_vp8l_roundtrip_exact():
+    """webp is the real VP8L LOSSLESS codec: bit-exact round trip."""
+    px = _img(4)
+    data = encode_image(px, "webp")
+    out, got_fmt = decode_image(data)
+    assert got_fmt == "webp"
+    assert sniff_format(data) == "webp"
+    assert (out == px).all()
+    assert data[:4] == b"RIFF" and data[8:16] == b"WEBPVP8L"
 
 
 def test_decode_garbage():
