@@ -130,6 +130,26 @@ class PlannerShard:
         self._peers = None
         self._host_to_shard = {}
 
+    def set_nice(self, value: int) -> int:
+        """Set this actor process's OS scheduling priority. Idle Ray
+        worker processes on this box measurably busy-poll (~20-35% of a
+        core EACH — environment-level, not this code), so a parked
+        30-actor pool silently taxes every subsequent pipeline stage by
+        ~10 cores (measured: decode+write 30 s with the pool at nice 0
+        vs 8.8 s without it). Parking the pool at nice 19 keeps the warm
+        processes (instant next-job start) while losing every scheduling
+        contest against real work; the pool is restored to nice 0 when a
+        job reclaims it. Linux nice is per-THREAD and the busy-poll lives
+        in the worker's C++ io threads, so every thread in the process is
+        reniced, not just the Python main thread."""
+        import os
+        for tid in os.listdir("/proc/self/task"):
+            try:
+                os.setpriority(os.PRIO_PROCESS, int(tid), value)
+            except OSError:
+                pass  # thread exited between listdir and setpriority
+        return os.getpriority(os.PRIO_PROCESS, 0)
+
     def _warmup(self) -> None:
         """Trigger the lazy imports and plasma-client init that otherwise
         land inside the first measured run (~0.6 s cold per actor): run a
@@ -281,6 +301,8 @@ def _planner_pool(n_shards: int, per_shard: int, dedup: str,
     if _POOL["actors"] is not None and _POOL["n"] == n_shards:
         try:  # liveness ping — a died/OOM-killed actor poisons the pool
             ray.get([a.__ray_ready__.remote() for a in _POOL["actors"]])
+            # un-park: restore full scheduling priority for the new job
+            ray.get([a.set_nice.remote(0) for a in _POOL["actors"]])
             return _POOL["actors"], True
         except Exception:
             pass
@@ -495,6 +517,10 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     # have consumed the prestarted workers, and a fixed-size cluster's
     # executors are long-lived anyway.
     ray.get([s.clear.remote() for s in shards])
+    # park the pool at lowest priority: idle Ray workers busy-poll on this
+    # box (see PlannerShard.set_nice), and an unparked pool measurably
+    # triples the following decode+write stage's wall time
+    ray.get([s.set_nice.remote(19) for s in shards])
     del slice_refs
     # shard-level counters are cumulative; take the final round's values
     n_saved = sum(r["n_saved"] for r in results)

@@ -57,9 +57,16 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         .sum(axis=1).astype("int64")
 
 
-def _read_docs(sf_dir: str, n_blocks: int = 32):
+def _read_docs(sf_dir: str, n_blocks: int | None = None):
     # the table is one parquet file → one block → ONE map task; split
-    # so per-doc CPU work (shingling, hashing) actually parallelizes
+    # so per-doc CPU work (shingling, hashing) actually parallelizes.
+    # Width scales with row count (footer metadata, free): every block
+    # costs fixed scheduling overhead in EVERY downstream shuffle stage,
+    # so toy inputs must not fan out to full-cluster width (32 blocks →
+    # 8 measured 6.7s → 2.3s on the minhash pipeline at sf0.1). At real
+    # scale the read itself produces many blocks and the cap is moot.
+    if n_blocks is None:
+        n_blocks = min(32, max(8, _doc_count(sf_dir) // 1000))
     return rd.read_parquet(f"{sf_dir}/documents.parquet",
                            columns=["doc_id", "text"]).repartition(n_blocks)
 
@@ -296,7 +303,9 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
 
     signed = _read_docs(sf_dir).map_batches(
         sign, batch_format="pandas").materialize()
-    nb = _U64(_adaptive_buckets(signed.count()))
+    # signed rows = docs × N_BANDS exactly; parquet footer metadata gives
+    # the doc count for free (no count() pass over the materialized set)
+    nb = _U64(_adaptive_buckets(_doc_count(sf_dir) * N_BANDS))
 
     # ---- stage 2: candidate pairs from band-hash buckets ----
     def band_bucket(t: pa.Table) -> pd.DataFrame:
