@@ -130,7 +130,7 @@ class PlannerShard:
         self._peers = None
         self._host_to_shard = {}
 
-    def set_nice(self, value: int) -> int:
+    def set_nice(self, value: int | None) -> int:
         """Set this actor process's OS scheduling priority. Idle Ray
         worker processes on this box measurably busy-poll (~20-35% of a
         core EACH — environment-level, not this code), so a parked
@@ -141,8 +141,11 @@ class PlannerShard:
         contest against real work; the pool is restored to nice 0 when a
         job reclaims it. Linux nice is per-THREAD and the busy-poll lives
         in the worker's C++ io threads, so every thread in the process is
-        reniced, not just the Python main thread."""
+        reniced, not just the Python main thread. ``value=None`` reads
+        the current priority without changing it."""
         import os
+        if value is None:
+            return os.getpriority(os.PRIO_PROCESS, 0)
         for tid in os.listdir("/proc/self/task"):
             try:
                 os.setpriority(os.PRIO_PROCESS, int(tid), value)

@@ -121,3 +121,23 @@ def test_planner_pool_reuse_and_self_heal(ray_session):
                                   collect_url_seen=True, n_shards=2)
     assert cs._POOL["actors"] != pool1
     assert stats3["url_seen"] == stats1["url_seen"]
+
+
+def test_planner_pool_parks_between_jobs(ray_session):
+    """Idle pooled actors park at nice 19 when a job ends (idle Ray
+    workers busy-poll on some hosts — a live 30-actor pool taxes every
+    later stage), and un-park to nice 0 when the pool is reused."""
+    import ray as _ray
+
+    from mycelium_ray.pipelines import crawl_sharded as cs
+    _, site, seeds = generate_corpus(n_hosts=8, pages_per_host=4, seed=42)
+    run_crawl_sharded(site, seeds, parallel=8, n_shards=2)
+    assert _ray.get([a.set_nice.remote(None)  # read-only probe
+                     for a in cs._POOL["actors"]]) == [19, 19]
+    # the reuse path restores priority before the job runs, then the job
+    # parks the pool again at completion — probe both by un-parking one
+    # actor manually and letting a job re-run
+    _ray.get(cs._POOL["actors"][0].set_nice.remote(0))
+    run_crawl_sharded(site, seeds, parallel=8, n_shards=2)
+    assert _ray.get([a.set_nice.remote(None)
+                     for a in cs._POOL["actors"]]) == [19, 19]
