@@ -22,6 +22,9 @@ Usage (see ``--help``):
     python -m mycelium_ray.cli crawl --corpus sf0.001 \
         --listen-port 0 --listen-seconds 5
 
+    # interactive control (reference S7): qlen/status/dumpq/quit on stdin
+    python -m mycelium_ray.cli crawl --corpus sf0.01 --control
+
     # run any queries() operator over a testdata dir
     python -m mycelium_ray.cli query token_count --sf-dir /root/testdata/sf0.001
 """
@@ -135,7 +138,10 @@ def cmd_crawl(args) -> int:
                 out_dir=args.out, follow_links=args.follow_links,
                 store_root=args.store_root,
                 checkpoint_every=args.checkpoint_every,
-                resume=args.resume)
+                resume=args.resume,
+                # S7 interactive control: qlen/status/dumpq/quit on stdin,
+                # JSON replies on stderr (stdout carries the stats line)
+                control_stream=sys.stdin if args.control else None)
             stats = {"mode": "sharded", "n_seen": sstats["n_seen"],
                      "n_saved": sstats["n_saved"],
                      "n_rounds": sstats["n_rounds"]}
@@ -226,6 +232,10 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--checkpoint-every", type=int, default=0)
     c.add_argument("--resume", action="store_true",
                    help="resume from --store-root checkpoints")
+    c.add_argument("--control", action="store_true",
+                   help="serve qlen/status/dumpq/reschedule/quit commands "
+                        "from stdin during the crawl (reference S7); "
+                        "JSON replies go to stderr")
     c.add_argument("--num-cpus", type=int, default=None)
     c.set_defaults(fn=cmd_crawl)
 

@@ -27,7 +27,7 @@ from ..stages.decode import DecodeValidate
 from ..urlcanon import Url, UrlParseError
 
 
-@ray.remote
+@ray.remote(concurrency_groups={"control": 1})
 class PlannerShard:
     def __init__(self, shard_id: int, parallel: int,
                  user_agent: str = USER_AGENT, dedup: str = "reference",
@@ -186,25 +186,40 @@ class PlannerShard:
 
     enqueue_links = feed_canonical  # peer-facing alias (seen-filter at owner)
 
+    @ray.method(concurrency_group="control")
     def status(self) -> dict:
-        """S7 control-channel analog (the reference's stdin qlen/status
-        commands, crawler.cc:604-625 / 1375-1395): live introspection of
-        this shard — queue depths, backlog, counters — queryable at any
-        point between rounds without touching row data."""
-        c = self.crawler.classifier
-        return {
-            "shard": self.shard_id,
-            "frontier_size": c.size(),
-            "qlen_top": c.q_len_top(),
-            "qlens": [c.q_len(n) for n in range(c.n_queues)],
-            "metrics": dict(self.crawler.metrics),
-            "n_saved": len(self.crawler.result.saved),
-        }
+        """S7 control channel (the reference's stdin qlen/status commands,
+        crawler.cc:604-625 / 1375-1395): live introspection of this shard
+        — queue depths, backlog, counters. Runs in its own concurrency
+        group so it answers WHILE a round is crawling (the reference's
+        event loop interleaves stdin with transfers the same way); the
+        read is approximate-by-design against the running crawl and
+        reports ``busy`` if the structures mutate mid-read."""
+        if self.crawler is None:
+            return {"shard": self.shard_id, "idle": True}
+        try:
+            c = self.crawler.classifier
+            return {
+                "shard": self.shard_id,
+                "frontier_size": c.size(),
+                "qlen_top": c.q_len_top(),
+                "qlens": [c.q_len(n) for n in range(c.n_queues)],
+                "metrics": dict(self.crawler.metrics),
+                "n_saved": len(self.crawler.result.saved),
+            }
+        except RuntimeError:  # dict resized during concurrent iteration
+            return {"shard": self.shard_id, "busy": True}
 
+    @ray.method(concurrency_group="control")
     def dump_frontier(self, limit: int = 1000) -> list[dict]:
         """dumpq analog (crawler.cc:1375-1395): frontier contents as
         (kind, queue_n, host, ord, payload) rows, truncated to ``limit``."""
-        return self.crawler.classifier.to_records()[:limit]
+        if self.crawler is None:
+            return []
+        try:
+            return self.crawler.classifier.to_records()[:limit]
+        except RuntimeError:
+            return [{"shard": self.shard_id, "busy": True}]
 
     def run(self, raw_dir: str | None = None, round_no: int = 1,
             stop_after_waves: int = 0, collect_url_seen: bool = False) -> dict:
@@ -420,11 +435,15 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                       store_root: str | None = None,
                       checkpoint_every: int = 0,
                       resume: bool = False,
-                      collect_url_seen: bool = False):
+                      collect_url_seen: bool = False,
+                      control_stream=None, control_out=None):
     """Returns (stats: dict, decoded ray.data.Dataset).
 
     When ``store`` (a TableStore) is given, per-shard metrics and
-    per-partition lineage rows are published as versioned tables."""
+    per-partition lineage rows are published as versioned tables.
+    ``control_stream``/``control_out`` (line streams) attach an S7
+    interactive control channel (qlen/status/dumpq/quit) for the run —
+    ``quit`` stops the crawl gracefully at the next round barrier."""
     import os
     import pickle
     import sys
@@ -463,6 +482,13 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
                   for hs in shard_hosts]
     t0 = _t("slice+put", t0)
     shards, _reused = _planner_pool(n_shards, per_shard, dedup, follow_links)
+    control = None
+    if control_stream is not None:
+        import sys as _sys
+
+        from ..control import ControlChannel
+        control = ControlChannel(shards, control_stream,
+                                 control_out or _sys.stderr)
     resumed = ray.get([s.load_site.remote(ref, host_to_shard,
                                           store_root, checkpoint_every,
                                           resume, parallel=per_shard,
@@ -511,6 +537,8 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         fed = sum(ray.get(enqueue_refs)) if enqueue_refs else 0
         if fed == 0 and pending_local == 0:
             break
+        if control is not None and control.stop.is_set():
+            break  # S7 quit: graceful stop at the round barrier
     t0 = _t("run+rounds", t0)
     # shards are done (row data is on disk / in driver-held tables): drop
     # their job state NOW so the idle pool holds ~no memory for the rest
@@ -519,6 +547,8 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     # fresh 30-worker pool mid-session costs 5-31 s once Ray Data tasks
     # have consumed the prestarted workers, and a fixed-size cluster's
     # executors are long-lived anyway.
+    if control is not None:
+        control.close()
     ray.get([s.clear.remote() for s in shards])
     # park the pool at lowest priority: idle Ray workers busy-poll on this
     # box (see PlannerShard.set_nice), and an unparked pool measurably
