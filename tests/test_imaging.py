@@ -120,3 +120,28 @@ def test_fake_lossy_codec_contract():
     out, _ = decode_image(encode_image(noisy, "jpeg"))
     assert not np.array_equal(noisy, out)
     assert psnr(noisy, out) != float("inf")
+
+
+def test_webp_vp8l_shape_sweep_and_error_paths():
+    """VP8L round-trips bit-exactly across degenerate and odd shapes;
+    lossy-VP8 chunks and truncated streams are rejected with WebpError
+    (surfaced as ImageDecodeError through decode_image)."""
+    import numpy as np
+    import pytest
+
+    from mycelium_ray.webp import (WebpError, decode_webp_lossless,
+                                   encode_webp_lossless)
+    rng = np.random.default_rng(7)
+    for shape in [(1, 1, 3), (1, 64, 3), (64, 1, 3), (3, 5, 3),
+                  (48, 33, 3), (129, 17, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        out = decode_webp_lossless(encode_webp_lossless(px))
+        assert (out == px).all(), shape
+    with pytest.raises(WebpError):  # lossy VP8 chunk
+        decode_webp_lossless(b"RIFF\x00\x00\x00\x00WEBPVP8 \x04\x00\x00\x00....")
+    blob = encode_webp_lossless(
+        rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8))
+    with pytest.raises(WebpError):  # truncated entropy stream
+        decode_webp_lossless(blob[:30])
+    with pytest.raises(ImageDecodeError):  # surfaced through the dispatcher
+        decode_image(blob[:30])
