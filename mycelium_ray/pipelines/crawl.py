@@ -291,6 +291,10 @@ class RayCrawler(ReferenceSimulator):
         self._maybe_flush(force=True)
         snap = self._snapshot()
         self.store.write_blob("crawl_ckpt", version, snap)
+        # snapshots are cumulative (restore reads only the newest blob);
+        # bound checkpoint growth over long crawls. fetched_raw versions
+        # are DELTAS and are never vacuumed — resume replays all of them.
+        self.store.vacuum_blobs("crawl_ckpt", keep_last=2)
 
     @classmethod
     def restore(cls, site: SiteGraph, store: TableStore,

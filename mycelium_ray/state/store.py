@@ -119,6 +119,42 @@ class TableStore:
             return bool(self.versions(name))
         return os.path.exists(os.path.join(self._vdir(name, version), "_OK"))
 
+    # ---- maintenance ----
+    def vacuum(self, name: str, keep_last: int = 2) -> list[int]:
+        """Delete all but the newest ``keep_last`` published versions of a
+        table (and their filter-checkpoint blobs). Checkpoint stores grow
+        one version per round — at 10^5 rounds over 100 TB that growth
+        must be bounded; resume only ever reads the latest published
+        version, so older snapshots are dead weight once a newer one has
+        its ``_OK`` marker. Unpublished/tmp directories are never touched
+        (a writer may be mid-publish). Returns the versions removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions(name)
+        drop = vs[:-keep_last] if len(vs) > keep_last else []
+        for v in drop:
+            shutil.rmtree(self._vdir(name, v), ignore_errors=True)
+            blob = os.path.join(self._tdir(name), "_blobs", f"v{v:06d}.pkl")
+            if os.path.exists(blob):
+                os.remove(blob)
+        return drop
+
+    def vacuum_blobs(self, name: str, keep_last: int = 2) -> list[int]:
+        """Same growth bound for blob-only checkpoint streams (e.g. the
+        crawl's ``crawl_ckpt`` snapshots, which have no table versions):
+        resume always restores the newest blob, so older ones are dead
+        weight. Keeps ≥1; returns the versions removed."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.blob_versions(name)
+        drop = vs[:-keep_last] if len(vs) > keep_last else []
+        bdir = os.path.join(self._tdir(name), "_blobs")
+        for v in drop:
+            path = os.path.join(bdir, f"v{v:06d}.pkl")
+            if os.path.exists(path):
+                os.remove(path)
+        return drop
+
     # ---- binary blobs (filter checkpoints) ----
     def write_blob(self, name: str, version: int, obj) -> str:
         bdir = os.path.join(self._tdir(name), "_blobs")

@@ -184,3 +184,40 @@ def test_lance_format_requires_module(tmp_path):
     import pytest as _pytest
     with _pytest.raises(RuntimeError):
         store_mod.TableStore(str(tmp_path), format="lance")
+
+
+def test_store_vacuum_keeps_latest_and_blobs(tmp_path):
+    """vacuum drops old published versions + their blobs, keeps the
+    newest keep_last, never touches a mid-publish tmp dir, and the
+    resume path (read latest) still works."""
+    import os
+
+    import pyarrow as pa
+    import pytest
+
+    from mycelium_ray.state.store import TableStore
+    st = TableStore(str(tmp_path / "store"))
+    for v in range(1, 6):
+        st.write("frontier", pa.table({"v": [v]}), v)
+        st.write_blob("frontier", v, {"v": v})
+    # a writer mid-publish: unpublished tmp dir must survive
+    os.makedirs(st._vdir("frontier", 6) + ".tmp")
+    dropped = st.vacuum("frontier", keep_last=2)
+    assert dropped == [1, 2, 3]
+    assert st.versions("frontier") == [4, 5]
+    assert st.read("frontier")["v"].to_pylist() == [5]
+    assert st.blob_versions("frontier") == [4, 5]
+    assert os.path.isdir(st._vdir("frontier", 6) + ".tmp")
+    assert st.vacuum("frontier", keep_last=2) == []  # idempotent
+    with pytest.raises(ValueError):
+        st.vacuum("frontier", keep_last=0)
+
+
+def test_store_vacuum_blobs(tmp_path):
+    from mycelium_ray.state.store import TableStore
+    st = TableStore(str(tmp_path / "store"))
+    for v in range(1, 5):
+        st.write_blob("crawl_ckpt", v, {"v": v})
+    assert st.vacuum_blobs("crawl_ckpt", keep_last=2) == [1, 2]
+    assert st.blob_versions("crawl_ckpt") == [3, 4]
+    assert st.read_blob("crawl_ckpt", 4) == {"v": 4}
