@@ -164,7 +164,10 @@ def run_bench() -> dict:
     # --- stage 1: ingest + canonicalize (Ray Data over seed lines) ---
     import pyarrow as pa
     t0 = time.perf_counter()
-    seeds_ds = rd.from_arrow(pa.table({"url": seeds}))
+    # from_arrow yields ONE block → one map task; split so the per-URL
+    # parse work actually uses the cluster
+    seeds_ds = rd.from_arrow(pa.table({"url": seeds})) \
+        .repartition(max(2, NUM_CPUS - 2))
     n_ok = canonicalize_dataset(seeds_ds).count()
     timings["ingest_canonicalize"] = time.perf_counter() - t0
 
