@@ -86,6 +86,10 @@ def cmd_crawl(args) -> int:
     scale = _SCALES.get(args.corpus, _SCALES["sf0.001"])
     _images, site, corpus_seeds = generate_corpus(seed=42,
                                                   hot_host_factor=8, **scale)
+    if getattr(args, "control", False) and args.seeds == "-":
+        print("--control and --seeds - both read stdin; pass seeds as a "
+              "file to use the control channel", file=sys.stderr)
+        return 2
     seeds: list[str] = []
     if args.seeds:
         seeds.extend(_read_seed_file(args.seeds))

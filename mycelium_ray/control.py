@@ -48,7 +48,11 @@ class ControlChannel:
 
     # -- lifecycle ---------------------------------------------------------
     def close(self) -> None:
-        """Stop serving (the stream itself is owned by the caller)."""
+        """Signal end-of-interest. Commands already submitted on the
+        stream are still DRAINED and answered (dropping them mid-queue
+        made replies racy against crawl completion); the serving thread
+        is a daemon, so a blocking stdin stream simply dies with the
+        process. A closed channel stops nothing that was already asked."""
         self._closed.set()
 
     def join(self, timeout: float = 5.0) -> None:
@@ -66,8 +70,6 @@ class ControlChannel:
 
     def _loop(self) -> None:
         for line in self.stream:
-            if self._closed.is_set():
-                break
             parts = line.strip().split()
             if not parts:
                 continue

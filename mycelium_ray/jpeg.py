@@ -237,48 +237,6 @@ class _BitWriter:
         return bytes(self.buf).replace(b"\xFF", b"\xFF\x00")
 
 
-class _BitReader:
-    """Entropy-segment reader; the segment is unstuffed ONCE up front and
-    zero-padded so the per-symbol path has no conditionals."""
-
-    def __init__(self, data: bytes, pos: int):
-        # entropy data ends at the first marker that isn't a stuffed 0xFF00
-        end = pos
-        n = len(data)
-        while end < n:
-            if data[end] == 0xFF and end + 1 < n and data[end + 1] != 0x00:
-                break
-            end += 1
-        self.buf = data[pos:end].replace(b"\xFF\x00", b"\xFF") + b"\x00" * 8
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill16(self):
-        b = self.buf
-        p = self.pos
-        if p + 2 > len(b):
-            raise JpegError("truncated entropy data")
-        self.acc = ((self.acc << 16) | (b[p] << 8) | b[p + 1]) \
-            & 0xFFFFFFFFFFFF  # keep the int small (nbits ≤ 32 after fill)
-        self.pos = p + 2
-        self.nbits += 16
-
-    def peek16(self) -> int:
-        if self.nbits < 16:
-            self._fill16()
-        return (self.acc >> (self.nbits - 16)) & 0xFFFF
-
-    def skip(self, n: int):
-        self.nbits -= n
-
-    def bits(self, n: int) -> int:
-        if self.nbits < n:
-            self._fill16()
-        self.nbits -= n
-        return (self.acc >> self.nbits) & ((1 << n) - 1)
-
-
 # --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
@@ -420,22 +378,13 @@ class _HuffDecoder:
                 k += 1
             code <<= 1
         # plain Python list: int indexing beats numpy scalar boxing in the
-        # per-symbol scan loop
+        # per-symbol scan loop. The cache is small (each entry is a 64 Ki
+        # list of boxed ints, ~2.5 MB): 8 slots cover the 4 Annex-K
+        # standard tables twice over without letting an adversarial
+        # corpus of per-image custom DHTs pin unbounded worker heap.
         self.lut = lut.tolist()
-        if len(self._cache) < 64:
+        if len(self._cache) < 8:
             self._cache[key] = self.lut
-
-    def decode(self, br: _BitReader) -> int:
-        e = self.lut[br.peek16()]
-        length = e >> 8
-        if length == 0:
-            raise JpegError("bad Huffman code")
-        br.skip(length)
-        return e & 0xFF
-
-
-def _extend(v: int, s: int) -> int:
-    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:

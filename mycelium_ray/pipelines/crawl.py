@@ -290,6 +290,16 @@ class RayCrawler(ReferenceSimulator):
             raise RuntimeError("no store configured")
         self._maybe_flush(force=True)
         snap = self._snapshot()
+        # Version numbers must be MONOTONIC for restore (newest blob wins)
+        # and for vacuum (oldest dropped): the flush_version*1000+waves
+        # scheme resets ``waves`` after a resume, so a fresh post-resume
+        # snapshot could otherwise sort BELOW stale pre-crash blobs —
+        # vacuum would delete the new one and restore the old. Bump past
+        # the newest existing blob instead (a redundant snapshot on exact
+        # replays is harmless; snapshots are cumulative and vacuumed).
+        vs = self.store.blob_versions("crawl_ckpt")
+        if vs and version <= vs[-1]:
+            version = vs[-1] + 1
         self.store.write_blob("crawl_ckpt", version, snap)
         # snapshots are cumulative (restore reads only the newest blob);
         # bound checkpoint growth over long crawls. fetched_raw versions

@@ -142,10 +142,26 @@ class PlannerShard:
         job reclaims it. Linux nice is per-THREAD and the busy-poll lives
         in the worker's C++ io threads, so every thread in the process is
         reniced, not just the Python main thread. ``value=None`` reads
-        the current priority without changing it."""
+        the current priority without changing it.
+
+        Raising priority back (nice 19 → 0) needs CAP_SYS_NICE or an
+        RLIMIT_NICE allowance — without it, parking would be a one-way
+        trap that leaves every later crawl's actors at nice 19. So a
+        request to LOWER priority is refused (no-op) unless the process
+        can provably restore it."""
         import os
+        cur = os.getpriority(os.PRIO_PROCESS, 0)
         if value is None:
-            return os.getpriority(os.PRIO_PROCESS, 0)
+            return cur
+        if value > cur:  # lowering priority: only if we can come back
+            if os.geteuid() != 0:
+                import resource
+                soft, _ = resource.getrlimit(resource.RLIMIT_NICE)
+                # a process may re-lower its nice only to 20 - rlimit
+                if soft == resource.RLIM_INFINITY:
+                    pass
+                elif 20 - soft > cur:
+                    return cur  # cannot restore → refuse to park
         for tid in os.listdir("/proc/self/task"):
             try:
                 os.setpriority(os.PRIO_PROCESS, int(tid), value)

@@ -116,6 +116,8 @@ class _CanonDecoder:
 
     def __init__(self, lengths: list[int]):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if len(nz) == 0:
+            raise WebpError("empty Huffman code in VP8L stream")
         if len(nz) == 1:
             # 1-symbol code: zero bits per symbol (spec: simple code)
             self.single = nz[0][1]
@@ -251,10 +253,14 @@ def _read_code_lengths(br: _LsbReader, alphabet_size: int) -> list[int]:
         else:
             first = br.bits(1)
         lengths = [0] * alphabet_size
+        if first >= alphabet_size:
+            raise WebpError("simple-code symbol out of range")
         if n == 1:
             lengths[first] = 1        # marker; _CanonDecoder treats as 0-bit
         else:
             second = br.bits(8)
+            if second >= alphabet_size:
+                raise WebpError("simple-code symbol out of range")
             lengths[first] = 1
             lengths[second] = 1
         return lengths
@@ -295,7 +301,20 @@ def _read_code_lengths(br: _LsbReader, alphabet_size: int) -> list[int]:
 
 
 def decode_webp_lossless(data: bytes) -> np.ndarray:
-    """Lossless WebP (VP8L, this encoder's feature subset) → RGB8."""
+    """Lossless WebP (VP8L, this encoder's feature subset) → RGB8.
+
+    Every malformed-input failure surfaces as WebpError: a fuzzed blob in
+    a crawl must become a decode_ok=False row, not kill the map task
+    (decode_image translates only WebpError into ImageDecodeError)."""
+    try:
+        return _decode_webp_lossless(data)
+    except WebpError:
+        raise
+    except (ValueError, IndexError, struct.error) as e:
+        raise WebpError(f"malformed VP8L stream: {e}") from e
+
+
+def _decode_webp_lossless(data: bytes) -> np.ndarray:
     if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise WebpError("not a WebP (RIFF/WEBP header)")
     pos = 12
@@ -337,9 +356,15 @@ def decode_webp_lossless(data: bytes) -> np.ndarray:
     n = h * w
 
     def _uniform8(dec: _CanonDecoder) -> bool:
-        # the all-8-bit code over 0..255: canonical code == symbol
+        # fast-path eligibility: the canonical code must map code i →
+        # symbol i for ALL 256 values. For the red/blue 256-symbol
+        # alphabets any 256×8-bit code is the identity, but the green
+        # alphabet has 280 symbols, so a 256-entry 8-bit code over e.g.
+        # symbols 1..256 is spec-valid yet NOT the identity — check
+        # explicitly instead of assuming.
         return (dec.single is None and dec.maxlen == 8
-                and len(dec.table) == 256)
+                and len(dec.table) == 256
+                and all(dec.table.get((8, i)) == i for i in range(256)))
 
     if (_uniform8(green) and _uniform8(red) and _uniform8(blue)
             and alpha.single is not None and _dist.single is not None):
