@@ -41,19 +41,16 @@ class ControlChannel:
         self.stream = stream
         self.out = out
         self.stop = threading.Event()
-        self._closed = threading.Event()
         self.thread = threading.Thread(
             target=self._loop, name="crawl-control", daemon=True)
         self.thread.start()
 
     # -- lifecycle ---------------------------------------------------------
-    def close(self) -> None:
-        """Signal end-of-interest. Commands already submitted on the
-        stream are still DRAINED and answered (dropping them mid-queue
-        made replies racy against crawl completion); the serving thread
-        is a daemon, so a blocking stdin stream simply dies with the
-        process. A closed channel stops nothing that was already asked."""
-        self._closed.set()
+    # There is deliberately no close(): commands already submitted on the
+    # stream are always drained and answered (dropping them mid-queue made
+    # replies racy against crawl completion), and the serving thread is a
+    # daemon — it ends at stream EOF, on ``quit``, or with the process.
+    # Post-crawl queries against a cleared/parked pool answer idle=True.
 
     def join(self, timeout: float = 5.0) -> None:
         self.thread.join(timeout)

@@ -388,7 +388,20 @@ class _HuffDecoder:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF 4:4:4 JPEG bytes → RGB8 (h, w, 3)."""
+    """Baseline JFIF 4:4:4 JPEG bytes → RGB8 (h, w, 3).
+
+    Every malformed-input failure surfaces as JpegError (truncated
+    segments otherwise leak struct.error/IndexError), so one fuzzed blob
+    in a crawl becomes a decode_ok=False row, not a dead map task."""
+    try:
+        return _decode_jpeg(data)
+    except JpegError:
+        raise
+    except (ValueError, IndexError, struct.error) as e:
+        raise JpegError(f"malformed JPEG stream: {e}") from e
+
+
+def _decode_jpeg(data: bytes) -> np.ndarray:
     if not data.startswith(b"\xFF\xD8"):
         raise JpegError("not a JPEG (missing SOI)")
     pos = 2

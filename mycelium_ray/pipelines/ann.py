@@ -55,6 +55,41 @@ def _topk_idx(sims: np.ndarray, vids: np.ndarray, k: int) -> np.ndarray:
     return order[:take]                # wide, and batches are small
 
 
+def _score_candidates(mn: np.ndarray, vids: np.ndarray, qids: np.ndarray,
+                      qnm: np.ndarray, k: int, cand_mask_fn,
+                      with_stats: bool) -> pd.DataFrame:
+    """Shared exact-ranking tail of every bucketed ANN scorer (LSH, IVF,
+    persisted-index probe): per query, ``cand_mask_fn(qi)`` masks this
+    batch's candidate rows, exact sims run on candidates only, and a
+    per-batch partial top-k caps the shuffle at k rows/query/batch.
+    ``with_stats`` appends one query_id=-1 stats row with the batch's
+    candidate count. One copy keeps the three callers bit-identical."""
+    rows = {"query_id": [], "vec_id": [], "sim": []}
+    n_cand_total = 0
+    for qi in range(qnm.shape[0]):
+        cand = cand_mask_fn(qi)
+        n_cand = int(cand.sum())
+        n_cand_total += n_cand
+        if n_cand == 0:
+            continue
+        sims_c = mn[cand] @ qnm[qi]
+        cvids = vids[cand]
+        idx = _topk_idx(sims_c, cvids, k)
+        rows["query_id"].extend([int(qids[qi])] * len(idx))
+        rows["vec_id"].extend(cvids[idx].tolist())
+        rows["sim"].extend(sims_c[idx].tolist())
+    out = pd.DataFrame(rows)
+    out["n_cand"] = 0
+    out["n_total"] = 0
+    if with_stats:
+        out = pd.concat([out, pd.DataFrame(
+            {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
+             "n_cand": [n_cand_total],
+             "n_total": [len(vids) * qnm.shape[0]]})],
+            ignore_index=True)
+    return out
+
+
 def _batch_sims(df: pd.DataFrame, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
@@ -84,6 +119,13 @@ def _merge_topk(parts_ds, k: int, with_stats: bool):
 
     merged = parts_ds.groupby("query_id").map_groups(
         topk_of_query, batch_format="pandas").to_pandas()
+    if "query_id" not in merged.columns:  # zero partial rows anywhere →
+        # empty groupby yields a column-less frame, not an empty schema
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "rank": pa.array([], pa.int64()),
+                          "vec_id": pa.array([], pa.int64())})
+        return (empty, None) if not with_stats else \
+            (empty, {"n_candidates": 0, "n_rows_x_queries": 0})
     res = merged[merged["query_id"] >= 0] \
         .sort_values(["query_id", "rank"])
     table = pa.table({
@@ -193,31 +235,10 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         vids = df["vec_id"].to_numpy()
         sigs = _signatures(mn, pl)  # (rows, N_TABLES)
-        rows = {"query_id": [], "vec_id": [], "sim": []}
-        n_rows = len(vids)
-        for qi in range(qs.shape[0]):
-            cand = (sigs == qs[qi][None, :]).any(axis=1)
-            n_cand = int(cand.sum())
-            if n_cand == 0:
-                continue
-            # exact sims for the CANDIDATES only — the pruned matmul
-            sims_c = mn[cand] @ qnm[qi]
-            cvids = vids[cand]
-            idx = _topk_idx(sims_c, cvids, k)
-            rows["query_id"].extend([int(qids[qi])] * len(idx))
-            rows["vec_id"].extend(cvids[idx].tolist())
-            rows["sim"].extend(sims_c[idx].tolist())
-        out = pd.DataFrame(rows)
-        out["n_cand"] = 0
-        out["n_total"] = 0
-        if with_stats:
-            # one stats row per batch (query_id=-1 marks it)
-            nc = int((sigs[:, None, :] == qs[None, :, :]).any(axis=2).sum())
-            out = pd.concat([out, pd.DataFrame(
-                {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
-                 "n_cand": [nc], "n_total": [n_rows * qs.shape[0]]})],
-                ignore_index=True)
-        return out
+        # exact sims for the CANDIDATES only — the pruned matmul
+        return _score_candidates(
+            mn, vids, qids, qnm, k,
+            lambda qi: (sigs == qs[qi][None, :]).any(axis=1), with_stats)
 
     parts = _read_emb(sf_dir).map_batches(bucket_and_score,
                                           batch_format="pandas")
@@ -296,30 +317,9 @@ def ann_topk_ivf(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         vids = df["vec_id"].to_numpy()
         cells = np.argmax(mn @ ct.T, axis=1)  # (rows,)
-        rows = {"query_id": [], "vec_id": [], "sim": []}
-        n_cand_total = 0
-        for qi in range(qnm.shape[0]):
-            cand = np.isin(cells, qc[qi])
-            n_cand = int(cand.sum())
-            n_cand_total += n_cand
-            if n_cand == 0:
-                continue
-            sims_c = mn[cand] @ qnm[qi]
-            cvids = vids[cand]
-            idx = _topk_idx(sims_c, cvids, k)
-            rows["query_id"].extend([int(qids[qi])] * len(idx))
-            rows["vec_id"].extend(cvids[idx].tolist())
-            rows["sim"].extend(sims_c[idx].tolist())
-        out = pd.DataFrame(rows)
-        out["n_cand"] = 0
-        out["n_total"] = 0
-        if with_stats:
-            out = pd.concat([out, pd.DataFrame(
-                {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
-                 "n_cand": [n_cand_total],
-                 "n_total": [len(vids) * qnm.shape[0]]})],
-                ignore_index=True)
-        return out
+        return _score_candidates(mn, vids, qids, qnm, k,
+                                 lambda qi: np.isin(cells, qc[qi]),
+                                 with_stats)
 
     parts = _read_emb(sf_dir).map_batches(probe_and_score,
                                           batch_format="pandas")
@@ -378,8 +378,15 @@ def ann_topk_indexed(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
     in tests). Rows-only oracle (approximate)."""
     import os
     if index_dir is None:
-        index_dir = os.path.join("/tmp/mycelium_ann_index",
-                                 os.path.basename(sf_dir.rstrip("/")))
+        # key by corpus identity, not basename: /a/sf0.001 and /b/sf0.001
+        # (or a regenerated corpus at the same path) must not share an
+        # _OK-marked index, or the probe silently serves stale results
+        src = os.path.abspath(f"{sf_dir}/embeddings.parquet")
+        st = os.stat(src)
+        import hashlib
+        key = hashlib.sha1(
+            f"{src}|{st.st_size}|{st.st_mtime_ns}".encode()).hexdigest()[:16]
+        index_dir = os.path.join("/tmp/mycelium_ann_index", key)
     import glob
     cent = ann_index_build(sf_dir, index_dir)
     qids, q = _query_matrix(sf_dir)
@@ -403,30 +410,9 @@ def ann_topk_indexed(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         vids = df["vec_id"].to_numpy()
         cells = np.argmax(mn @ ct.T, axis=1)
-        rows = {"query_id": [], "vec_id": [], "sim": []}
-        n_cand_total = 0
-        for qi in range(qnm.shape[0]):
-            cand = np.isin(cells, qc[qi])
-            n_cand = int(cand.sum())
-            n_cand_total += n_cand
-            if n_cand == 0:
-                continue
-            sims_c = mn[cand] @ qnm[qi]
-            cvids = vids[cand]
-            idx = _topk_idx(sims_c, cvids, k)
-            rows["query_id"].extend([int(qids[qi])] * len(idx))
-            rows["vec_id"].extend(cvids[idx].tolist())
-            rows["sim"].extend(sims_c[idx].tolist())
-        out = pd.DataFrame(rows)
-        out["n_cand"] = 0
-        out["n_total"] = 0
-        if with_stats:
-            out = pd.concat([out, pd.DataFrame(
-                {"query_id": [-1], "vec_id": [-1], "sim": [0.0],
-                 "n_cand": [n_cand_total],
-                 "n_total": [len(vids) * qnm.shape[0]]})],
-                ignore_index=True)
-        return out
+        return _score_candidates(mn, vids, qids, qnm, k,
+                                 lambda qi: np.isin(cells, qc[qi]),
+                                 with_stats)
 
     parts = rd.read_parquet(files, columns=["vec_id", "embedding"]) \
         .map_batches(probe, batch_format="pandas")

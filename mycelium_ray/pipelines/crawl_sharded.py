@@ -582,8 +582,6 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
     # fresh 30-worker pool mid-session costs 5-31 s once Ray Data tasks
     # have consumed the prestarted workers, and a fixed-size cluster's
     # executors are long-lived anyway.
-    if control is not None:
-        control.close()
     # Drop job state and park the pool at lowest priority (idle Ray
     # workers busy-poll on this box — see PlannerShard.set_nice; an
     # unparked pool measurably triples the following decode+write stage).

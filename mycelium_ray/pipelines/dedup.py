@@ -699,7 +699,11 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
     that appear in ≥1 pair are emitted — singletons are trivially their
     own rep and would dominate the output without informing dedup."""
     labels = connected_components(_jaccard_pairs_ds(sf_dir, threshold))
-    pdf = labels.to_pandas().sort_values("node").reset_index(drop=True)
+    pdf = labels.to_pandas()
+    if "node" not in pdf.columns:  # zero pairs → empty groupby, no schema
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "rep": pa.array([], pa.int64())})
+    pdf = pdf.sort_values("node").reset_index(drop=True)
     return pa.table({
         "doc_id": pa.array(pdf["node"].astype("int64")),
         "rep": pa.array(pdf["label"].astype("int64")),

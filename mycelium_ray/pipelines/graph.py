@@ -32,7 +32,7 @@ import numpy as np
 import pandas as pd
 
 import ray.data as rd
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Max, Min, Sum
 
 from .analytics import _n_join_buckets
 from .dedup import SMALL_GRAPH_EDGES
@@ -71,6 +71,14 @@ def pagerank(sf_dir: str, n_iters: int = N_ITERS):
     n_buckets = _n_join_buckets()
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n = docs.count()
+    # the derived edge mapping and rank indexing require doc_ids exactly
+    # 0..N-1 (the testdata contract); fail loudly instead of a cryptic
+    # IndexError or a silent oracle divergence on a filtered table
+    bounds = docs.aggregate(Min("doc_id"), Max("doc_id"))
+    if bounds["min(doc_id)"] != 0 or bounds["max(doc_id)"] != n - 1:
+        raise ValueError(
+            f"pagerank requires contiguous doc_ids 0..N-1; got "
+            f"[{bounds['min(doc_id)']}, {bounds['max(doc_id)']}] with N={n}")
     base = (15 * SCALE) // (100 * n)
 
     edges = _edges_ds(docs, n).materialize()

@@ -36,6 +36,11 @@ class WebpError(ValueError):
 _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13,
               14, 15]
 
+# bit-reversal LUT for 8-bit values (codes are written MSB-first into the
+# LSB-first stream) — module constant, shared by every encode call
+_REV8 = np.array([int(f"{v:08b}"[::-1], 2) for v in range(256)],
+                 dtype=np.uint8)
+
 
 # --------------------------------------------------------------------------
 # LSB-first bit I/O (VP8L convention)
@@ -209,9 +214,7 @@ def encode_webp_lossless(pixels: np.ndarray) -> bytes:
     # literal pixels: G, R, B per pixel (alpha/distance cost 0 bits).
     # all-8-bit canonical code over 0..255 assigns code == symbol, so the
     # bit-reversed byte stream is a pure table lookup — vectorized.
-    rev8 = np.zeros(256, dtype=np.uint8)
-    for v in range(256):
-        rev8[v] = int(f"{v:08b}"[::-1], 2)
+    rev8 = _REV8
     interleaved = np.empty((h * w, 3), dtype=np.uint8)
     flat = px.reshape(-1, 3)
     interleaved[:, 0] = rev8[flat[:, 1]]            # green first
@@ -245,25 +248,36 @@ def encode_webp_lossless(pixels: np.ndarray) -> bytes:
 # --------------------------------------------------------------------------
 # decoder
 # --------------------------------------------------------------------------
-def _read_code_lengths(br: _LsbReader, alphabet_size: int) -> list[int]:
+def _read_code(br: _LsbReader, alphabet_size: int) -> "_CanonDecoder":
+    """One Huffman code from the stream → decoder. Simple codes keep the
+    spec's TRANSMISSION order (RFC 9649: code 0 is the first transmitted
+    symbol, code 1 the second) — canonicalizing them by symbol value
+    would silently swap the two values whenever first > second."""
     if br.bit():                      # simple code
         n = br.bits(1) + 1
         if br.bit():
             first = br.bits(8)
         else:
             first = br.bits(1)
-        lengths = [0] * alphabet_size
         if first >= alphabet_size:
             raise WebpError("simple-code symbol out of range")
         if n == 1:
+            lengths = [0] * alphabet_size
             lengths[first] = 1        # marker; _CanonDecoder treats as 0-bit
-        else:
-            second = br.bits(8)
-            if second >= alphabet_size:
-                raise WebpError("simple-code symbol out of range")
-            lengths[first] = 1
-            lengths[second] = 1
-        return lengths
+            return _CanonDecoder(lengths)
+        second = br.bits(8)
+        if second >= alphabet_size:
+            raise WebpError("simple-code symbol out of range")
+        dec = _CanonDecoder.__new__(_CanonDecoder)
+        dec.single = None
+        dec.table = {(1, 0): first, (1, 1): second}
+        dec.maxlen = 1
+        return dec
+    return _CanonDecoder(_read_code_lengths_normal(br, alphabet_size))
+
+
+def _read_code_lengths_normal(br: _LsbReader,
+                              alphabet_size: int) -> list[int]:
     num_clc = br.bits(4) + 4
     clc_len = [0] * 19
     for i in range(num_clc):
@@ -347,11 +361,11 @@ def _decode_webp_lossless(data: bytes) -> np.ndarray:
     if br.bit():
         raise WebpError("VP8L meta-Huffman unsupported by this decoder")
 
-    green = _CanonDecoder(_read_code_lengths(br, 256 + 24))
-    red = _CanonDecoder(_read_code_lengths(br, 256))
-    blue = _CanonDecoder(_read_code_lengths(br, 256))
-    alpha = _CanonDecoder(_read_code_lengths(br, 256))
-    _dist = _CanonDecoder(_read_code_lengths(br, 40))
+    green = _read_code(br, 256 + 24)
+    red = _read_code(br, 256)
+    blue = _read_code(br, 256)
+    alpha = _read_code(br, 256)
+    _dist = _read_code(br, 40)
 
     n = h * w
 

@@ -111,3 +111,95 @@ def test_set_nice_refuses_one_way_park(monkeypatch):
     before = os.getpriority(os.PRIO_PROCESS, 0)
     assert shard.set_nice(19) == before
     assert os.getpriority(os.PRIO_PROCESS, 0) == before
+
+
+def test_jpeg_malformed_raises_jpegerror_only():
+    """Truncated/corrupt JPEG segments must surface as JpegError (→
+    ImageDecodeError), never struct.error/IndexError (review reproducers)."""
+    from mycelium_ray.jpeg import JpegError, decode_jpeg
+    for blob in (b"\xff\xd8\xff\xc0\x00\x05\x08\x00\x00\xff\xd9",
+                 b"\xff\xd8\xff\xda\x00\x02\xff\xd9"):
+        with pytest.raises(JpegError):
+            decode_jpeg(blob)
+        with pytest.raises(ImageDecodeError):
+            decode_image(blob)
+    # fuzz sweep like the webp one
+    from mycelium_ray.imaging import encode_image
+    rng = np.random.default_rng(13)
+    good = encode_image(rng.integers(0, 256, (8, 9, 3), dtype=np.uint8),
+                        "jpeg")
+    for _ in range(150):
+        cut = int(rng.integers(4, len(good)))
+        blob = bytearray(good[:cut])
+        for _ in range(int(rng.integers(1, 5))):
+            i = int(rng.integers(2, len(blob)))
+            blob[i] ^= int(rng.integers(1, 256))
+        try:
+            decode_image(bytes(blob))
+        except ImageDecodeError:
+            pass
+
+
+def test_webp_two_symbol_simple_code_transmission_order():
+    """RFC 9649: simple-code code 0 is the FIRST transmitted symbol even
+    when numerically greater than the second — decoding canonically by
+    symbol value would swap the two green values."""
+    import struct as _struct
+
+    from mycelium_ray.webp import _LsbWriter, _write_code_lengths, \
+        _write_single_symbol_code
+    first, second = 200, 100          # transmission order: 200 then 100
+    greens = [first, second, second, first, first, second]
+    h, w = 2, 3
+    bw = _LsbWriter()
+    bw.put(w - 1, 14); bw.put(h - 1, 14)
+    bw.put(0, 1); bw.put(0, 3); bw.put(0, 1); bw.put(0, 1); bw.put(0, 1)
+    # green: simple 2-symbol code, first > second
+    bw.put(1, 1)                      # simple
+    bw.put(1, 1)                      # num_symbols - 1 = 1
+    bw.put(1, 1)                      # first symbol in 8 bits
+    bw.put(first, 8)
+    bw.put(second, 8)
+    _write_code_lengths(bw, [8] * 256)             # red identity
+    _write_code_lengths(bw, [8] * 256)             # blue identity
+    _write_single_symbol_code(bw, 0xFF)            # alpha
+    _write_single_symbol_code(bw, 0)               # distance
+    from mycelium_ray.webp import _REV8
+    for g in greens:
+        bw.put(0 if g == first else 1, 1)          # green: 1-bit code
+        bw.put(int(_REV8[7]), 8)                   # red = 7
+        bw.put(int(_REV8[9]), 8)                   # blue = 9
+    payload = bw.finish()
+    vp8l = b"\x2f" + payload
+    chunk = b"VP8L" + _struct.pack("<I", len(vp8l)) + vp8l
+    if len(vp8l) & 1:
+        chunk += b"\x00"
+    data = b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    out = decode_webp_lossless(data)
+    assert out[:, :, 1].reshape(-1).tolist() == greens
+    assert (out[:, :, 0] == 7).all() and (out[:, :, 2] == 9).all()
+
+
+def test_dedup_clusters_empty_pair_graph(ray_session):
+    """Zero near-dup pairs (a clean corpus) must yield an empty result,
+    not KeyError 'node' (confirmed review crash)."""
+    from mycelium_ray.pipelines.dedup import dedup_clusters
+    t = dedup_clusters("/root/testdata/sf0.001", threshold=1.5)
+    assert t.num_rows == 0
+    assert t.schema.names == ["doc_id", "rep"]
+
+
+def test_merge_topk_zero_partials(ray_session):
+    """No partial rows anywhere → empty result table, not KeyError."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from mycelium_ray.pipelines.ann import _merge_topk
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64()),
+                      "n_cand": pa.array([], pa.int64()),
+                      "n_total": pa.array([], pa.int64())})
+    table, stats = _merge_topk(rd.from_arrow(empty), k=5, with_stats=True)
+    assert table.num_rows == 0
+    assert stats == {"n_candidates": 0, "n_rows_x_queries": 0}
