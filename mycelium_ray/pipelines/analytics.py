@@ -47,8 +47,14 @@ def events_window_agg(sf_dir: str):
     # are tiny, and a repartition(1) combine beats the groupby all-to-all's
     # fixed cost ~8×. (groupby().aggregate() is the general form for group
     # cardinalities that don't fit one task — see events_user_stats.)
-    return ds.repartition(16) \
-        .map_batches(partial, batch_format="pandas") \
+    # The partial fan-out scales with input rows capped ∝ cluster CPUs
+    # (a constant 16 would bound the stage at 16 tasks on a big cluster);
+    # wide inputs skip the repartition — the scan is already many blocks.
+    import pyarrow.parquet as pq
+    n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
+    if n_rows <= 2_000_000:
+        ds = ds.repartition(min(_n_join_buckets(), max(8, n_rows // 5000)))
+    return ds.map_batches(partial, batch_format="pandas") \
         .repartition(1).map_batches(combine, batch_format="pandas")
 
 
@@ -1061,8 +1067,8 @@ WITH e AS (
   FROM events
 )
 SELECT event_id, user_id,
-       sum(cents) OVER w AS win_sum_cents,
-       count(*) OVER w AS win_n,
+       CAST(sum(cents) OVER w AS BIGINT) AS win_sum_cents,
+       CAST(count(*) OVER w AS BIGINT) AS win_n,
        CAST(sum(cents) OVER w AS DOUBLE) / (100.0 * (count(*) OVER w))
          AS rolling_avg
 FROM e

@@ -28,17 +28,29 @@ import ray.data as rd
 from ..hashing import splitmix64, url_hash64_many
 
 _U64 = np.uint64
-N_BUCKETS = 256  # coarse shuffle buckets; scale ∝ cluster size at 100 TB
+N_BUCKETS = 256  # coarse-bucket floor; the cap scales ∝ cluster CPUs below
 SMALL_GRAPH_EDGES = 1 << 22  # ≤4M edges: one-task union-find beats rounds
+_TOY_ROWS = 2_000_000  # above this a parquet scan is already many blocks
+
+
+def _cluster_cpus() -> int:
+    """Total cluster CPUs (falls back to 8 when Ray isn't up yet)."""
+    try:
+        import ray
+        return max(1, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        return 8
 
 
 def _adaptive_buckets(n_rows: int) -> np.int64:
     """Shuffle width proportional to stage input size: every bucketed
     groupby pays ~n_buckets fixed task cost per pass, so toy inputs must
     not shuffle at 100-TB width. One bucket per ~20k rows, floor 16
-    (keeps multi-core spread at test scale), cap N_BUCKETS (the
-    documented 100-TB grain)."""
-    return np.int64(min(N_BUCKETS, max(16, n_rows // 20_000)))
+    (keeps multi-core spread at test scale). The cap is N_BUCKETS or
+    8×cluster CPUs, whichever is larger — a constant cap would bound
+    shuffle parallelism at 256 tasks on a 256-node cluster."""
+    cap = max(N_BUCKETS, 8 * _cluster_cpus())
+    return np.int64(min(cap, max(16, n_rows // 20_000)))
 
 
 def _doc_count(sf_dir: str) -> int:
@@ -58,17 +70,25 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def _read_docs(sf_dir: str, n_blocks: int | None = None):
-    # the table is one parquet file → one block → ONE map task; split
-    # so per-doc CPU work (shingling, hashing) actually parallelizes.
-    # Width scales with row count (footer metadata, free): every block
-    # costs fixed scheduling overhead in EVERY downstream shuffle stage,
-    # so toy inputs must not fan out to full-cluster width (32 blocks →
-    # 8 measured 6.7s → 2.3s on the minhash pipeline at sf0.1). At real
-    # scale the read itself produces many blocks and the cap is moot.
+    # the testdata table is one parquet file → one block → ONE map task;
+    # split so per-doc CPU work (shingling, hashing) actually
+    # parallelizes. Width scales with row count (footer metadata, free):
+    # every block costs fixed scheduling overhead in EVERY downstream
+    # shuffle stage, so toy inputs must not fan out to full-cluster width
+    # (32 blocks → 8 measured 6.7s → 2.3s on the minhash pipeline at
+    # sf0.1). Above _TOY_ROWS the scan itself yields many blocks and a
+    # repartition here would only COALESCE a wide read and serialize the
+    # per-doc CPU work — so it is skipped entirely; the explicit cap
+    # scales with cluster CPUs, never a constant.
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
     if n_blocks is None:
-        n_blocks = min(32, max(8, _doc_count(sf_dir) // 1000))
-    return rd.read_parquet(f"{sf_dir}/documents.parquet",
-                           columns=["doc_id", "text"]).repartition(n_blocks)
+        n_rows = _doc_count(sf_dir)
+        if n_rows > _TOY_ROWS:
+            return ds
+        n_blocks = min(max(32, 4 * _cluster_cpus()),
+                       max(8, n_rows // 1000))
+    return ds.repartition(n_blocks)
 
 
 def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -86,12 +106,16 @@ def dedup_exact(sf_dir: str):
     doc_id per hash within batch) so the groupby shuffles one row per
     distinct hash per batch, not one per document.
     """
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = url_hash64_many(df["text"].fillna("").tolist()).astype("int64")
-        g = pd.DataFrame({"content_hash": h, "doc_id": df["doc_id"]})
-        return g.groupby("content_hash", as_index=False)["doc_id"].min()
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        h = url_hash64_many(
+            pc.fill_null(t["text"], "").to_pylist()).astype("int64")
+        g = pa.table({"content_hash": pa.array(h), "doc_id": t["doc_id"]}) \
+            .group_by("content_hash").aggregate([("doc_id", "min")])
+        return pa.table({"content_hash": g["content_hash"],
+                         "doc_id": g["doc_id_min"]})
 
-    ds = _read_docs(sf_dir).map_batches(partial, batch_format="pandas")
+    ds = _read_docs(sf_dir).map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Min
     out = ds.groupby("content_hash").aggregate(Min("doc_id", alias_name="doc_id"))
     return out.select_columns(["doc_id"])
@@ -376,24 +400,43 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
         return out
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # cross-band duplicate pair references collapse here
+        # cross-band duplicate pair references collapse here. Exact
+        # Jaccard for ALL pairs of the bucket in one vectorized pass:
+        # concatenate both sides' shingle blobs tagged with a pair index,
+        # lexsort by (pair, hash) — a hash appears at most once per side
+        # (shingles are a set), so every adjacent duplicate is exactly
+        # one a∩b intersection element; bincount yields per-pair |a∩b|.
         g = g.drop_duplicates(["pk", "side"])
         piv = g.pivot(index="pk", columns="side", values="shingles")
-        rows = {"doc_id_a": [], "doc_id_b": [], "jaccard": []}
-        for pk, blob_a, blob_b in piv.itertuples(index=True):
-            sa = np.frombuffer(blob_a, dtype=_U64)
-            sb = np.frombuffer(blob_b, dtype=_U64)
-            inter = len(np.intersect1d(sa, sb))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= threshold:
-                rows["doc_id_a"].append(int(pk) >> 32)
-                rows["doc_id_b"].append(int(pk) & 0xFFFFFFFF)
-                rows["jaccard"].append(j)
+        n = len(piv)
+        if n == 0:
+            return pd.DataFrame({
+                "doc_id_a": pd.Series([], dtype="int64"),
+                "doc_id_b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")})
+        blobs_a, blobs_b = piv[0].to_numpy(), piv[1].to_numpy()
+        la = np.fromiter((len(b) for b in blobs_a), dtype="int64",
+                         count=n) // 8
+        lb = np.fromiter((len(b) for b in blobs_b), dtype="int64",
+                         count=n) // 8
+        allh = np.frombuffer(b"".join(blobs_a) + b"".join(blobs_b),
+                             dtype=_U64)
+        gid = np.concatenate([np.repeat(np.arange(n), la),
+                              np.repeat(np.arange(n), lb)])
+        order = np.lexsort((allh, gid))
+        g2, h2 = gid[order], allh[order]
+        dup = (g2[1:] == g2[:-1]) & (h2[1:] == h2[:-1])
+        inter = np.bincount(g2[1:][dup], minlength=n)
+        union = la + lb - inter
+        jac = np.divide(inter, union,
+                        out=np.zeros(n, dtype="float64"),
+                        where=union > 0)
+        keep = jac >= threshold
+        pk = piv.index.to_numpy()[keep].astype("int64")
         return pd.DataFrame({
-            "doc_id_a": pd.Series(rows["doc_id_a"], dtype="int64"),
-            "doc_id_b": pd.Series(rows["doc_id_b"], dtype="int64"),
-            "jaccard": pd.Series(rows["jaccard"], dtype="float64"),
+            "doc_id_a": (pk >> 32).astype("int64"),
+            "doc_id_b": (pk & 0xFFFFFFFF).astype("int64"),
+            "jaccard": jac[keep].astype("float64"),
         })
 
     out = sides.union(docs) \

@@ -21,14 +21,28 @@ from ..stages.decode import DecodeValidate, clean_caption_batch
 
 _FMTS = ["png", "jpeg", "webp"]
 
+# a deterministic fraction of docs reuse pixels across a coarse group so
+# the near-dup pair set is NON-EMPTY at every sf (the testdata corpus has
+# no exact-text duplicates below sf0.1, which made the driver's phash
+# check vacuous — 0 rows both sides proves nothing)
+DUP_EVERY = 50   # docs with doc_id % 50 == 0 join a shared-pixel group
+DUP_GROUPS = 150  # ... keyed by doc_id % 150 (3 groups over any 500 docs)
 
-def synth_image_row(text: str) -> tuple[bytes, int, int, str]:
-    """Deterministic image for a doc row, seeded by the TEXT content hash:
-    exact-duplicate documents therefore carry byte-identical images (same
-    pixels AND same format), which makes the image near-dup pipeline's
-    output provable against a SQL oracle — phash-hamming-0 pairs are
-    exactly the exact-text-duplicate pairs."""
-    seed = url_hash64(text or "")
+
+def _seed_key(doc_id: int, text: str) -> str:
+    if doc_id % DUP_EVERY == 0:
+        return f"dup:{doc_id % DUP_GROUPS}"
+    return "txt:" + (text or "")
+
+
+def synth_image_row(doc_id: int, text: str) -> tuple[bytes, int, int, str]:
+    """Deterministic image for a doc row, seeded by the TEXT content hash
+    (exact-duplicate documents carry byte-identical images — same pixels
+    AND format), except for the planted dup-group fraction (_seed_key),
+    which shares pixels across a coarsened doc_id key. Both rules are
+    mirrored in the SQL oracles, so phash-hamming-0 pairs are exactly the
+    same-seed-key pairs — non-vacuously provable at every sf."""
+    seed = url_hash64(_seed_key(doc_id, text))
     rng = np.random.default_rng(seed)
     w = int(rng.integers(16, 41))
     h = int(rng.integers(16, 41))
@@ -40,7 +54,7 @@ def synth_image_row(text: str) -> tuple[bytes, int, int, str]:
 def derive_images_batch(batch: pa.Table) -> pa.Table:
     ids = batch["doc_id"].to_pylist()
     texts = batch["text"].to_pylist()
-    payloads = [synth_image_row(t) for t in texts]
+    payloads = [synth_image_row(d, t) for d, t in zip(ids, texts)]
     return pa.table({
         "image_id": pa.array([f"http://img.test/d/{d}" for d in ids]),
         "doc_id": pa.array(ids, pa.int64()),
@@ -146,12 +160,10 @@ def multimodal_filter(sf_dir: str, min_caption_chars: int = MM_MIN_CAPTION_CHARS
     def hash_partial(t: pa.Table) -> pa.Table:
         h = np.array([url_hash64(c) for c in t["content"].to_pylist()],
                      dtype=np.uint64).astype("int64")
-        import pandas as pd
-        g = pd.DataFrame({"content_hash": h,
-                          "doc_id": t["doc_id"].to_numpy()})
-        g = g.groupby("content_hash", as_index=False)["doc_id"].min()
-        return pa.table({"content_hash": pa.array(g["content_hash"]),
-                         "doc_id": pa.array(g["doc_id"].astype("int64"))})
+        g = pa.table({"content_hash": pa.array(h), "doc_id": t["doc_id"]}) \
+            .group_by("content_hash").aggregate([("doc_id", "min")])
+        return pa.table({"content_hash": g["content_hash"],
+                         "doc_id": g["doc_id_min"]})
 
     reps = rows.map_batches(hash_partial, batch_format="pyarrow") \
         .groupby("content_hash") \
@@ -188,7 +200,10 @@ WITH gated AS (
   SELECT doc_id FROM documents
   WHERE length(text) >= {MM_MIN_CAPTION_CHARS}
 ), reps AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+  SELECT min(doc_id) AS doc_id FROM documents
+  GROUP BY CASE WHEN doc_id % {DUP_EVERY} = 0
+                THEN 'dup:' || CAST(doc_id % {DUP_GROUPS} AS VARCHAR)
+                ELSE 'txt:' || text END
 )
 SELECT 'http://img.test/d/' || CAST(g.doc_id AS VARCHAR) AS image_id,
        g.doc_id
@@ -197,12 +212,15 @@ ORDER BY g.doc_id
 """
 
 
-IMAGE_PHASH_NEARDUP_SQL = """
+IMAGE_PHASH_NEARDUP_SQL = f"""
 WITH ids AS (
-  SELECT doc_id, text,
+  SELECT doc_id,
+         CASE WHEN doc_id % {DUP_EVERY} = 0
+              THEN 'dup:' || CAST(doc_id % {DUP_GROUPS} AS VARCHAR)
+              ELSE 'txt:' || text END AS seedkey,
          'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS iid
   FROM documents
 )
 SELECT a.iid AS id_a, b.iid AS id_b, CAST(0 AS BIGINT) AS hamming
-FROM ids a JOIN ids b ON a.text = b.text AND a.iid < b.iid
+FROM ids a JOIN ids b ON a.seedkey = b.seedkey AND a.iid < b.iid
 """

@@ -498,22 +498,25 @@ def corpus_filter(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
     gates = docs.map_batches(gate_rows, batch_format="pyarrow")
 
     # branch 2: exact-dedup representatives (hash pre-agg → groupby min)
-    def hash_partial(df: pd.DataFrame) -> pd.DataFrame:
-        h = url_hash64_many(df["text"].fillna("").tolist()).astype("int64")
-        g = pd.DataFrame({"content_hash": h, "doc_id": df["doc_id"]})
-        return g.groupby("content_hash", as_index=False)["doc_id"].min()
+    def hash_partial(t: pa.Table) -> pa.Table:
+        h = url_hash64_many(
+            pc.fill_null(t["text"], "").to_pylist()).astype("int64")
+        g = pa.table({"content_hash": pa.array(h), "doc_id": t["doc_id"]}) \
+            .group_by("content_hash").aggregate([("doc_id", "min")])
+        return pa.table({"content_hash": g["content_hash"],
+                         "doc_id": g["doc_id_min"]})
 
     from ray.data.aggregate import Min
-    kept_exact = docs.map_batches(hash_partial, batch_format="pandas") \
+    kept_exact = docs.map_batches(hash_partial, batch_format="pyarrow") \
         .groupby("content_hash") \
         .aggregate(Min("doc_id", alias_name="doc_id")) \
-        .map_batches(lambda df: pa.table({
-            "doc_id": pa.array(df["doc_id"].astype("int64")),
-            "kind": pa.array(np.ones(len(df), dtype="int64")),
-            "flag": pa.array(np.ones(len(df), dtype="int64")),
-            "bucket": pa.array((df["doc_id"].to_numpy() % N_BUCKETS)
+        .map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "kind": pa.array(np.ones(len(t), dtype="int64")),
+            "flag": pa.array(np.ones(len(t), dtype="int64")),
+            "bucket": pa.array((t["doc_id"].to_numpy() % N_BUCKETS)
                                .astype("int64")),
-        }), batch_format="pandas")
+        }), batch_format="pyarrow")
 
     # branch 3: near-dup cluster drops (node that is not its cluster rep)
     def drop_rows(df: pd.DataFrame) -> pa.Table:

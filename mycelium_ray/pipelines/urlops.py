@@ -136,7 +136,20 @@ def frontier_order(sf_dir: str, n_queues: int = 4):
     """(pos, doc_id) — global drain order of the reference frontier
     (Url_classifier semantics) over the derived URLs fed in doc_id order,
     drained round-robin over n_queues. Stateful by nature → rows-only
-    oracle; exact semantics are pinned by tests/test_frontier.py."""
+    oracle; exact semantics are pinned by tests/test_frontier.py.
+
+    The replay is inherently sequential (one classifier, global order),
+    so it runs in ONE remote task — the driver never materializes the
+    input table, only the (pos, doc_id) result it is asked for."""
+    import ray
+    return ray.get(_frontier_order_task.remote(sf_dir, n_queues))
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _frontier_order_task(sf_dir: str, n_queues: int) -> pa.Table:
     import pyarrow.parquet as pq
     t = pq.read_table(f"{sf_dir}/documents.parquet",
                       columns=["doc_id", "source"]).sort_by("doc_id")

@@ -20,11 +20,12 @@ import pyarrow as pa
 
 import ray.data as rd
 
+from ..functions.pdftext import PdfError, pdf_to_text
 from ..hashing import url_hash64_many
 from ..imaging import ImageDecodeError, decode_image, phash64
 from ..urlcanon import Url
 
-KNOWN_EXTENSIONS = (".png", ".jpeg", ".jpg", ".webp")
+KNOWN_EXTENSIONS = (".png", ".jpeg", ".jpg", ".webp", ".pdf")
 
 
 def filter_ascii_control(s: str) -> str:
@@ -41,7 +42,9 @@ def file_url(path: str) -> str:
 
 
 def index_batch(batch: pa.Table) -> pa.Table:
-    """(path, bytes) → indexed doc rows (url, http_code 200/415, image cols)."""
+    """(path, bytes) → indexed doc rows (url, http_code 200/415, image
+    cols; pdf rows carry extracted text — the reference's pdftotext
+    conversion, reimplemented from the spec in functions/pdftext.py)."""
     paths = batch["path"].to_pylist()
     contents = batch["bytes"].to_pylist()
     n = len(paths)
@@ -52,6 +55,7 @@ def index_batch(batch: pa.Table) -> pa.Table:
     h = [0] * n
     ph = [0] * n
     fmt = [""] * n
+    text = [""] * n
     keep = [False] * n
     for i, (p, data) in enumerate(zip(paths, contents)):
         ext = os.path.splitext(p)[1].lower()
@@ -59,6 +63,15 @@ def index_batch(batch: pa.Table) -> pa.Table:
             continue
         keep[i] = True
         url[i] = file_url(p)
+        if ext == ".pdf":
+            try:
+                text[i] = filter_ascii_control(pdf_to_text(data))
+                code[i] = 200
+                fmt[i] = "pdf"
+            except PdfError as e:
+                code[i] = 415
+                err[i] = f'error indexing "{p}" reason: "{e}"'
+            continue
         try:
             px, f = decode_image(data)
             code[i] = 200
@@ -78,6 +91,7 @@ def index_batch(batch: pa.Table) -> pa.Table:
         "h": pa.array(h, pa.int32()),
         "phash": pa.array(ph, pa.int64()),
         "fmt": pa.array(fmt, pa.string()),
+        "text": pa.array(text, pa.string()),
         "keep": pa.array(keep),
         "url_hash": pa.array(url_hash64_many(url), pa.uint64()),
     })
