@@ -625,8 +625,15 @@ def run_crawl_sharded(site: SiteGraph, seeds: list[str], parallel: int = 64,
         # split these ~5 MB files 5-ways into ~600-row blocks, and the
         # decode stage then pays 5x the per-task fixed cost for no extra
         # parallelism (files already ≥ CPU count at every real scale).
-        ds = rd.read_parquet(all_files,
-                             override_num_blocks=max(len(all_files), 1))
+        # read_parquet_bulk, not read_parquet: the latter's datasource
+        # SAMPLES up to 10 fragments on the driver's critical path —
+        # each sample reads ~1024 rows of these WIDE BINARY crawl rows —
+        # to estimate an encoding ratio we don't need (block count is
+        # pinned to the file fan; the shards just wrote the files, so
+        # sizes/schema are known). Measured 22-33 s of pure sampling
+        # stall at sf0.1 right after the planner pool parks.
+        ds = rd.read_parquet_bulk(all_files,
+                                  override_num_blocks=max(len(all_files), 1))
     elif all_tables:
         # single concat avoids per-tiny-table dataset overhead
         ds = rd.from_arrow(pa.concat_tables(all_tables))

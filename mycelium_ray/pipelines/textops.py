@@ -730,15 +730,23 @@ def token_freq_score(sf_dir: str):
     n_docs = _doc_count(sf_dir)
     nb = np.uint64(_adaptive_buckets(n_docs * 64))
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        toks = _tokens(df["text"])
-        lens = toks.str.len().fillna(0).astype("int64").to_numpy()
-        flat = [t for ts in toks for t in ts]
-        th = url_hash64_many(flat)
-        return pd.DataFrame({
-            "th": th.astype("int64"),
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
-            "bucket": (th % nb).astype("int64"),
+    def explode(t: pa.Table) -> pa.Table:
+        # Arrow-vectorized flat_map (split/flatten/parent-indices, no
+        # Python list-of-lists); hashing hits url_hash64_many's
+        # dictionary-encode fast path (one SHA1 per DISTINCT token)
+        import pyarrow.compute as pc
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep)
+        th = url_hash64_many(flat.to_pylist())
+        return pa.table({
+            "th": pa.array(th.astype("int64")),
+            "doc_id": pc.take(t["doc_id"], parent),
+            "bucket": pa.array((th % nb).astype("int64")),
         })
 
     def partial_numerators(g: pd.DataFrame) -> pd.DataFrame:
@@ -750,7 +758,7 @@ def token_freq_score(sf_dir: str):
         return agg
 
     per_doc = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(explode, batch_format="pandas") \
+        .map_batches(explode, batch_format="pyarrow") \
         .groupby("bucket").map_groups(partial_numerators,
                                       batch_format="pandas") \
         .groupby("doc_id").aggregate(Sum("freq_sum", alias_name="freq_sum"),
@@ -769,18 +777,21 @@ def token_freq_score(sf_dir: str):
         })
 
     # docs with zero tokens never appear in the explode; re-attach them
-    def empty_side(df: pd.DataFrame) -> pd.DataFrame:
-        n = _tokens(df["text"]).str.len().fillna(0).astype("int64")
-        z = df[n.to_numpy() == 0]
-        return pd.DataFrame({
-            "doc_id": z["doc_id"].to_numpy().astype("int64"),
-            "freq_sum": np.zeros(len(z), dtype="int64"),
-            "n_tokens": np.zeros(len(z), dtype="int64"),
-            "mean_freq": np.zeros(len(z), dtype="float64"),
+    def empty_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        text = pc.fill_null(t["text"], "")
+        n = pc.count_substring_regex(text, r"\S+")
+        z = t.filter(pc.equal(n, 0))
+        k = len(z)
+        return pa.table({
+            "doc_id": z["doc_id"],
+            "freq_sum": pa.array(np.zeros(k, dtype="int64")),
+            "n_tokens": pa.array(np.zeros(k, dtype="int64")),
+            "mean_freq": pa.array(np.zeros(k, dtype="float64")),
         })
 
     empties = _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(empty_side, batch_format="pandas")
+        .map_batches(empty_side, batch_format="pyarrow")
     return per_doc.map_batches(finish, batch_format="pyarrow").union(empties)
 
 
