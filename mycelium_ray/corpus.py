@@ -147,7 +147,12 @@ def generate_corpus(n_hosts: int = 12, pages_per_host: int = 10, seed: int = 42,
             else:
                 px, w, h = _make_image(rng, idx)
                 pixel_cache.append((px, w, h))
-            data = encode_image(px, fmt)
+            # 1/8 of jpeg pages carry PROGRESSIVE (SOF2) streams — the
+            # crawl decode stage must handle multi-scan jpegs too; fmt
+            # stays "jpeg" (what sniffing and decode_image report)
+            enc_fmt = ("jpeg_progressive"
+                       if fmt == "jpeg" and idx % 24 == 1 else fmt)
+            data = encode_image(px, enc_fmt)
             url = f"http://{host}/img/{k}.{fmt}"
             caption = pyrng.choice(_CAPTION_BITS).format(
                 n=idx, thing=pyrng.choice(_THINGS))

@@ -16,7 +16,10 @@ Container constraint: PIL/opencv are NOT installed here, so
   sequential, 4:4:4, quality-scaled Annex-K tables, standard Huffman —
   genuinely lossy DCT quantization with round-trip PSNR ≥ ~43 dB even on
   uniform-noise content (measured; the 40 dB per-row invariant is
-  exercised by real transform-coding error, not a stand-in).
+  exercised by real transform-coding error, not a stand-in). Progressive
+  (SOF2) streams decode too (jpegprog.py, T.81 Annex G — routed
+  automatically by SOF sniffing), and ``encode_image(px,
+  "jpeg_progressive")`` emits them.
 - ``webp`` is a REAL VP8L (WebP LOSSLESS) codec (webp.py): RIFF/WEBP
   container, spec-compliant VP8L bitstream (RFC 9649) with canonical
   Huffman literal codes — bit-exact round trip, so webp joins png on the
@@ -130,12 +133,16 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "jpeg":
         from .jpeg import encode_jpeg
         return encode_jpeg(pixels)
+    if fmt == "jpeg_progressive":
+        from .jpegprog import encode_jpeg_progressive
+        return encode_jpeg_progressive(pixels)
     if fmt == "webp":
         from .webp import encode_webp_lossless
         return encode_webp_lossless(pixels)
     raise NotImplementedError(
-        f"format {fmt!r}: png/jpeg/webp(VP8L) are real codecs here; other "
-        "formats need native libraries absent in this container")
+        f"format {fmt!r}: png/jpeg (baseline + progressive)/webp(VP8L) are "
+        "real codecs here; other formats need native libraries absent in "
+        "this container")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:

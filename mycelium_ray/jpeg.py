@@ -277,8 +277,11 @@ def _encode_block(bw: _BitWriter, row: np.ndarray, dc_sym: int,
         put(acc_[0x00], acl[0x00])  # EOB
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
-    """RGB8 (h, w, 3) uint8 → baseline JFIF 4:4:4 JPEG bytes."""
+def _quantize_image(pixels: np.ndarray, quality: int):
+    """RGB8 (h, w, 3) → (comp_zz, qlum, qchr, h, w, ph, pw): per-component
+    quantized coefficients in zigzag order, shared by the baseline and
+    progressive encoders so both emit IDENTICAL coefficient data (the
+    cross-codec parity test relies on this)."""
     px = np.ascontiguousarray(pixels, dtype=np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("expected (h, w, 3) uint8")
@@ -302,6 +305,12 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
         q = qlum if c == 0 else qchr
         qz = np.round(coeffs / q).astype(np.int64)
         comp_zz.append(qz.reshape(-1, 64)[:, ZIGZAG])
+    return comp_zz, qlum, qchr, h, w, ph, pw
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
+    """RGB8 (h, w, 3) uint8 → baseline JFIF 4:4:4 JPEG bytes."""
+    comp_zz, qlum, qchr, h, w, ph, pw = _quantize_image(pixels, quality)
 
     bw = _BitWriter()
     n_mcus = (ph // 8) * (pw // 8)
@@ -394,11 +403,37 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     segments otherwise leak struct.error/IndexError), so one fuzzed blob
     in a crawl becomes a decode_ok=False row, not a dead map task."""
     try:
+        if _sniff_sof(data) == 0xC2:
+            from .jpegprog import decode_jpeg_progressive
+            return decode_jpeg_progressive(data)
         return _decode_jpeg(data)
     except JpegError:
         raise
     except (ValueError, IndexError, struct.error) as e:
         raise JpegError(f"malformed JPEG stream: {e}") from e
+
+
+def _sniff_sof(data: bytes) -> int | None:
+    """First SOFn marker byte (0xC0..0xCF except DHT/DAC) or None.
+    Tolerant walk: any malformed structure returns None and lets the
+    strict baseline parser produce the real error."""
+    if not data.startswith(b"\xFF\xD8"):
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None
+        marker = data[pos + 1]
+        if marker == 0xFF:          # fill byte
+            pos += 1
+            continue
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            return None             # EOI/RST before any SOF
+        (length,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        pos += 2 + length
+    return None
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:

@@ -48,7 +48,13 @@ def synth_image_row(doc_id: int, text: str) -> tuple[bytes, int, int, str]:
     h = int(rng.integers(16, 41))
     px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
     fmt = _FMTS[seed % 3]
-    return encode_image(px, fmt), w, h, fmt
+    # a deterministic 1/8 of jpeg rows are PROGRESSIVE (SOF2) streams so
+    # the multi-scan decode path is exercised end-to-end at every sf; the
+    # fmt column stays "jpeg" (that's what sniffing reports) and bytes
+    # remain a pure function of the seed, so every oracle is unaffected
+    enc_fmt = ("jpeg_progressive"
+               if fmt == "jpeg" and (seed >> 8) % 8 == 0 else fmt)
+    return encode_image(px, enc_fmt), w, h, fmt
 
 
 def derive_images_batch(batch: pa.Table) -> pa.Table:

@@ -352,3 +352,22 @@ def test_substring_dedup_planted_span(ray_session, tmp_path):
     assert out["n_removed"].tolist() == [8, 8, 0]
     assert out["clean_text"].tolist() == [
         "alpha beta gamma delta", "one two three four", c]
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10**6), h=st.integers(1, 40),
+       w=st.integers(1, 40), quality=st.sampled_from([80, 92, 98]))
+def test_progressive_jpeg_always_matches_baseline(seed, h, w, quality):
+    """Progressive and baseline share the quantizer, so decoded output
+    must be bit-identical for ANY image/shape/quality — the entropy
+    layers (EOB runs, refinement buffering) carry no loss of their own."""
+    import numpy as np
+
+    from mycelium_ray.jpeg import decode_jpeg, encode_jpeg
+    from mycelium_ray.jpegprog import encode_jpeg_progressive
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=quality))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=quality))
+    assert np.array_equal(base, prog)
