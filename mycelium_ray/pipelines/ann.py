@@ -30,6 +30,21 @@ def _read_emb(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def emb_matrix(col) -> np.ndarray:
+    """Arrow list<float> column (Array or ChunkedArray) → (n, dim)
+    float64 matrix in one vectorized flatten+reshape — no per-row
+    stacking (the flatten respects list offsets, so sliced/chunked
+    blocks convert correctly)."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    vals = col.flatten().to_numpy(zero_copy_only=False)
+    if n == 0:
+        return vals.reshape(0, 0).astype(np.float64)
+    return vals.reshape(n, -1).astype(np.float64)
+
+
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
     import pyarrow.compute as pc

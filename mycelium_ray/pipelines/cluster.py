@@ -54,41 +54,73 @@ def _init_centroids(sf_dir: str, k: int, seed: int = 7) -> np.ndarray:
     t = dset.to_table(columns=["vec_id", "embedding"],
                       filter=pc.bit_wise_and(pc.field("vec_id"), 3) == 0)
     t = t.sort_by("vec_id").slice(0, 100_000)
-    x = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in t["embedding"].to_pylist()])
+    from .ann import emb_matrix
+    x = emb_matrix(t["embedding"])
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     return xn[rng.choice(len(xn), size=min(k, len(xn)), replace=False)]
+
+
+def _norm_blocks(sf_dir: str):
+    """embeddings.parquet → MATERIALIZED Dataset of per-batch rows
+    (n, dim, blob): each row is one L2-normalized float32 matrix packed
+    as bytes. Lloyd's streams the whole table once per iteration; paying
+    the parquet scan + list-column conversion + normalization EIGHT
+    times was pure waste — cache the normalized matrices in the object
+    store instead (the standard cached-input k-means shape; float32
+    halves the footprint and the store spills under pressure, so this
+    holds at cluster scale too)."""
+    from .ann import emb_matrix
+
+    def pack(t: pa.Table) -> pa.Table:
+        m = emb_matrix(t["embedding"])
+        mn = (m / np.linalg.norm(m, axis=1, keepdims=True)) \
+            .astype(np.float32)
+        return pa.table({
+            "n": pa.array([mn.shape[0]], pa.int64()),
+            "dim": pa.array([mn.shape[1]], pa.int64()),
+            "blob": pa.array([mn.tobytes()], pa.binary()),
+        })
+
+    return _read_emb(sf_dir).select_columns(["embedding"]) \
+        .map_batches(pack, batch_format="pyarrow", batch_size=4096) \
+        .materialize()
 
 
 def train_kmeans(sf_dir: str, k: int = K_CLUSTERS,
                  iters: int = LLOYD_ITERS) -> np.ndarray:
     """Full-table distributed spherical Lloyd's; returns (k, dim)
     L2-normalized centroids."""
-    ds = _read_emb(sf_dir)
+    ds = _norm_blocks(sf_dir)
     cent = _init_centroids(sf_dir, k)
 
     for _ in range(iters):
-        cent_ref = ray.put(cent)
+        cent_ref = ray.put(cent.astype(np.float32))
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def partial(t: pa.Table) -> pa.Table:
             ct = ray.get(cent_ref)
-            m = np.stack([np.asarray(v, dtype=np.float64)
-                          for v in df["embedding"]])
-            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            assign = np.argmax(mn @ ct.T, axis=1)
-            cids = np.unique(assign)
-            sums = np.zeros((len(cids), mn.shape[1]), dtype=np.float64)
-            cnts = np.zeros(len(cids), dtype=np.int64)
-            for i, c in enumerate(cids):
-                sel = assign == c
-                sums[i] = mn[sel].sum(axis=0)
-                cnts[i] = int(sel.sum())
-            return pd.DataFrame({"cid": cids.astype("int64"), "cnt": cnts,
-                                 "vsum": [s.tobytes() for s in sums]})
+            kk, dim = ct.shape
+            sums = np.zeros((kk, dim), dtype=np.float64)
+            cnts = np.zeros(kk, dtype=np.int64)
+            for n_, d_, blob in zip(t["n"].to_pylist(),
+                                    t["dim"].to_pylist(),
+                                    t["blob"].to_pylist()):
+                mn = np.frombuffer(blob, np.float32).reshape(n_, d_)
+                assign = np.argmax(mn @ ct.T, axis=1)
+                cnts += np.bincount(assign, minlength=kk)
+                for c in np.unique(assign):
+                    sums[c] += mn[assign == c].sum(axis=0,
+                                                   dtype=np.float64)
+            nz = np.nonzero(cnts)[0]
+            return pa.table({
+                "cid": pa.array(nz.astype("int64")),
+                "cnt": pa.array(cnts[nz]),
+                "vsum": pa.array([sums[c].tobytes() for c in nz],
+                                 pa.binary()),
+            })
 
         # K × n_blocks tiny partial rows — the ONLY thing the driver sees
-        parts = ds.map_batches(partial, batch_format="pandas").take_all()
+        parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
         sums = np.zeros_like(cent)
         cnts = np.zeros(len(cent), dtype=np.int64)
         for r in parts:
@@ -111,16 +143,17 @@ def embedding_kmeans(sf_dir: str, k: int = K_CLUSTERS,
     cent = train_kmeans(sf_dir, k, iters)
     cent_ref = ray.put(cent)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
+        from .ann import emb_matrix
         ct = ray.get(cent_ref)
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in df["embedding"]])
+        m = emb_matrix(t["embedding"])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        return pd.DataFrame({
-            "vec_id": df["vec_id"].astype("int64"),
-            "cluster": np.argmax(mn @ ct.T, axis=1).astype("int64")})
+        return pa.table({
+            "vec_id": t["vec_id"].cast(pa.int64()),
+            "cluster": pa.array(np.argmax(mn @ ct.T, axis=1)
+                                .astype("int64"))})
 
-    return _read_emb(sf_dir).map_batches(assign, batch_format="pandas")
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
 def _cluster_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
@@ -128,7 +161,7 @@ def _cluster_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
     ann.embedding_neardup)."""
     m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    ids = g["vec_id"].to_numpy()
+    ids = g["vec_id"].to_numpy().astype("int64")
     n = len(ids)
     block = max(16, NEARDUP_BLOCK_ELEMS // max(n, 1))
     outs = []
@@ -159,16 +192,17 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD,
     cent = train_kmeans(sf_dir, k, iters)
     cent_ref = ray.put(cent)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
+    def assign(t: pa.Table) -> pa.Table:
+        from .ann import emb_matrix
         ct = ray.get(cent_ref)
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in df["embedding"]])
+        m = emb_matrix(t["embedding"])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        df = df[["vec_id", "embedding"]].copy()
-        df["cluster"] = np.argmax(mn @ ct.T, axis=1).astype("int64")
-        return df
+        return t.select(["vec_id", "embedding"]).append_column(
+            "cluster", pa.array(np.argmax(mn @ ct.T, axis=1)
+                                .astype("int64")))
 
-    clustered = _read_emb(sf_dir).map_batches(assign, batch_format="pandas")
+    clustered = _read_emb(sf_dir).map_batches(assign,
+                                              batch_format="pyarrow")
     pairs = clustered.groupby("cluster").map_groups(
         lambda g: _cluster_pairs(g, threshold), batch_format="pandas")
     comps = connected_components(pairs)  # (node, label) for paired nodes
