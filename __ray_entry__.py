@@ -26,7 +26,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import (analytics, ann, cleaning, cluster,
-                                        dedup, graph, textops, urlops)
+                                        dedup, dsir, graph, textops,
+                                        tokenize, urlops)
     from mycelium_ray.pipelines.flagship import (
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
@@ -88,6 +89,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_source": textops.sample_per_source,
         "train_test_split": textops.train_test_split,
         "sequence_pack": textops.sequence_pack,
+        "chunk_documents": textops.chunk_documents,
+        "length_percentile_filter": textops.length_percentile_filter,
+        "bpe_tokenize": tokenize.bpe_tokenize,   # rows-only (iterative
+                                                 # merge training)
+        "dsir_resample": dsir.dsir_resample,     # rows-only (hashed
+                                                 # features + Gumbel keys)
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
@@ -142,6 +149,8 @@ def oracle_sql() -> dict[str, str]:
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,
         "train_test_split": textops.TRAIN_TEST_SPLIT_SQL,
         "sequence_pack": textops.SEQUENCE_PACK_SQL,
+        "chunk_documents": textops.CHUNK_DOCUMENTS_SQL,
+        "length_percentile_filter": textops.LENGTH_PERCENTILE_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

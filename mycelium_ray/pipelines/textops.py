@@ -816,3 +816,152 @@ SELECT d.doc_id,
             ELSE 0.0 END AS mean_freq
 FROM documents d LEFT JOIN per p USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# chunk_documents: fixed-token-budget chunking — the sequence-prep step a
+# training pipeline runs before packing/tokenization. One flat_map-shaped
+# map_batches (rows out ∝ total tokens / CHUNK_TOKENS); no shuffle at all,
+# so it streams at any scale. A token is one \S+ run after trim, identical
+# to the oracle's string_split_regex(trim(text), '\s+'); empty/blank docs
+# produce zero chunks.
+# --------------------------------------------------------------------------
+CHUNK_TOKENS = 64
+
+
+def chunk_documents_batch(t: pa.Table,
+                          chunk_tokens: int = CHUNK_TOKENS) -> pa.Table:
+    import pyarrow.compute as pc
+    text = pc.utf8_trim_whitespace(pc.fill_null(t["text"], ""))
+    nonblank = pc.not_equal(text, "")
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)[
+        nonblank.to_numpy(zero_copy_only=False)]
+    toks = pc.split_pattern_regex(text.filter(nonblank), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    lens = pc.list_value_length(toks).to_numpy().astype("int64")
+    flat = toks.values.to_pylist()  # one boxing pass for the join below
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    n_chunks = -(-lens // chunk_tokens)
+    doc_out = np.repeat(ids, n_chunks).astype("int64")
+    chunk_id = np.concatenate(
+        [np.arange(c) for c in n_chunks]) if len(n_chunks) else \
+        np.array([], dtype="int64")
+    # per-CHUNK offsets (the only Python loop is one str.join per chunk,
+    # C-speed inside)
+    cs = np.repeat(starts, n_chunks) + chunk_id * chunk_tokens
+    ce = np.minimum(cs + chunk_tokens, np.repeat(starts + lens, n_chunks))
+    texts = [" ".join(flat[a:b]) for a, b in zip(cs, ce)]
+    return pa.table({
+        "doc_id": pa.array(doc_out),
+        "chunk_id": pa.array(chunk_id.astype("int64")),
+        "chunk_text": pa.array(texts, pa.string()),
+        "n_tokens": pa.array((ce - cs).astype("int64")),
+    })
+
+
+def chunk_documents(sf_dir: str, chunk_tokens: int = CHUNK_TOKENS):
+    """(doc_id, chunk_id, chunk_text, n_tokens): each document split into
+    consecutive chunks of ≤ chunk_tokens whitespace tokens, chunk text
+    re-joined with single spaces."""
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(lambda t: chunk_documents_batch(t, chunk_tokens),
+                     batch_format="pyarrow")
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+  FROM documents
+  WHERE length(trim(coalesce(text, ''))) > 0
+), bound AS (
+  SELECT CAST(ceil(max(len(tk)) / {CHUNK_TOKENS}.0) AS BIGINT) AS mx
+  FROM toks
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(tk[i*{CHUNK_TOKENS}+1 : (i+1)*{CHUNK_TOKENS}], ' ')
+         AS chunk_text,
+       len(tk[i*{CHUNK_TOKENS}+1 : (i+1)*{CHUNK_TOKENS}]) AS n_tokens
+FROM toks, (SELECT unnest(range(0, (SELECT mx FROM bound))) AS i) ix
+WHERE i * {CHUNK_TOKENS} < len(tk)
+"""
+
+
+# --------------------------------------------------------------------------
+# length_percentile_filter: keep documents whose char length lies within
+# the corpus [p05, p95] band — the outlier-trim gate of a cleaning
+# pipeline. Exact distributed quantiles WITHOUT a sort: lengths are
+# bounded integers, so pass 1 reduces the corpus to a (n_chars, cnt)
+# histogram (per-batch np.unique partials → one small groupby); the
+# driver sees only distinct lengths (≤ corpus max, thousands of rows at
+# any sf), computes the quantile_disc rank ceil(q·n)−1 by cumsum, and
+# pass 2 is a broadcast-threshold filter. No all-to-all on row data.
+# --------------------------------------------------------------------------
+PCTL_LO = 0.05
+PCTL_HI = 0.95
+
+
+def _length_hist(sf_dir: str):
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.is_valid(t["text"])
+        n = pc.utf8_length(t["text"].filter(mask)).to_numpy() \
+            .astype("int64")
+        v, c = np.unique(n, return_counts=True)
+        return pa.table({"n_chars_c": pa.array(v),
+                         "cnt": pa.array(c.astype("int64"))})
+
+    from ray.data.aggregate import Sum
+    return _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("n_chars_c").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def _quantile_disc(vals: np.ndarray, cnts: np.ndarray, q: float) -> int:
+    """DuckDB quantile_disc: element at 0-based rank ceil(q·n)−1 of the
+    sorted multiset (verified against duckdb 1.x on edge cases)."""
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    n = int(cnts.sum())
+    rank = max(0, int(np.ceil(q * n)) - 1)
+    return int(vals[np.searchsorted(np.cumsum(cnts), rank, side="right")])
+
+
+def length_percentile_filter(sf_dir: str, lo: float = PCTL_LO,
+                             hi: float = PCTL_HI):
+    """(doc_id, n_chars_c) of documents with p05 ≤ length(text) ≤ p95
+    (discrete quantiles over non-null texts)."""
+    import pyarrow.compute as pc
+
+    hist = _length_hist(sf_dir).to_pandas()
+    vals = hist["n_chars_c"].to_numpy().astype("int64")
+    cnts = hist["cnt"].to_numpy().astype("int64")
+    lo_v = _quantile_disc(vals, cnts, lo)
+    hi_v = _quantile_disc(vals, cnts, hi)
+
+    def keep(t: pa.Table) -> pa.Table:
+        n = pc.utf8_length(pc.fill_null(t["text"], ""))
+        mask = pc.and_(pc.is_valid(t["text"]),
+                       pc.and_(pc.greater_equal(n, lo_v),
+                               pc.less_equal(n, hi_v)))
+        return pa.table({
+            "doc_id": t["doc_id"].filter(mask),
+            "n_chars_c": pc.cast(n.filter(mask), pa.int64()),
+        })
+
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(keep, batch_format="pyarrow")
+
+
+LENGTH_PERCENTILE_SQL = f"""
+WITH lens AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_c
+  FROM documents WHERE text IS NOT NULL
+), q AS (
+  SELECT quantile_disc(n_chars_c, {PCTL_LO}) AS lo,
+         quantile_disc(n_chars_c, {PCTL_HI}) AS hi
+  FROM lens
+)
+SELECT doc_id, n_chars_c FROM lens, q
+WHERE n_chars_c BETWEEN lo AND hi
+"""
