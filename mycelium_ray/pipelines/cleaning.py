@@ -27,7 +27,7 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
-from ..hashing import url_hash64_many
+from ..hashing import token_hash64_many, url_hash64_many
 
 # RE2 patterns — identical semantics in Arrow's replace_substring_regex
 # and DuckDB's regexp_replace (both RE2), verified side-by-side.
@@ -167,7 +167,7 @@ def _gram_hashes(texts, n: int = DECON_NGRAM):
     flat_np, parent = flat_np[mask], parent[mask]
     if len(flat_np) < n:
         return np.empty(0, np.int64), np.empty(0, np.uint64)
-    th = url_hash64_many(flat_np)
+    th = token_hash64_many(list(flat_np))
     m = len(th) - n + 1
     acc = th[:m].copy()
     for j in range(1, n):
@@ -247,7 +247,7 @@ class _BannedLineFilter:
     def __call__(self, t: pa.Table) -> pa.Table:
         import pandas as pd
         flat, parent = _split_lines(t)
-        h = url_hash64_many(flat).view(np.int64)
+        h = token_hash64_many(list(flat)).view(np.int64)
         keep = ~np.isin(h, self._banned)
         n_lines = np.bincount(parent, minlength=len(t))
         n_drop = np.bincount(parent[~keep], minlength=len(t))
@@ -282,7 +282,7 @@ def boilerplate_lines(sf_dir: str, max_df: int = BOILERPLATE_MAX_DF):
 
     def df_partial(t: pa.Table) -> pa.Table:
         flat, parent = _split_lines(t)
-        h = url_hash64_many(flat).view(np.int64)
+        h = token_hash64_many(list(flat)).view(np.int64)
         doc = t["doc_id"].to_numpy()[parent]
         import pandas as pd
         uniq = pd.DataFrame({"h": h, "d": doc}).drop_duplicates()

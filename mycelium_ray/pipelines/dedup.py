@@ -25,7 +25,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..hashing import splitmix64, url_hash64_many
+from ..hashing import splitmix64, token_hash64_many, url_hash64_many
 
 _U64 = np.uint64
 N_BUCKETS = 256  # coarse-bucket floor; the cap scales ∝ cluster CPUs below
@@ -108,8 +108,8 @@ def dedup_exact(sf_dir: str):
     """
     def partial(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
-        h = url_hash64_many(
-            pc.fill_null(t["text"], "").to_pylist()).astype("int64")
+        h = token_hash64_many(
+            pc.fill_null(t["text"], "")).astype("int64")
         g = pa.table({"content_hash": pa.array(h), "doc_id": t["doc_id"]}) \
             .group_by("content_hash").aggregate([("doc_id", "min")])
         return pa.table({"content_hash": g["content_hash"],

@@ -21,7 +21,7 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..hashing import url_hash64_many
+from ..hashing import token_hash64_many, url_hash64_many
 
 STOP_EN = ("the", "a", "of", "and", "to", "in", "is")
 STOP_ES = ("el", "la", "de", "y", "en", "un", "es")
@@ -380,7 +380,7 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
             .group_by(["doc_id", "term"]).aggregate([([], "count_all")])
         # deterministic 64-bit term hash (Python's hash() is per-process
         # randomized — it would split one term across shuffle buckets)
-        term_hash = url_hash64_many(tf["term"].to_pylist())
+        term_hash = token_hash64_many(tf["term"])
         return pa.table({
             "doc_id": pc.cast(tf["doc_id"], pa.int64()),
             "term": tf["term"],
@@ -473,7 +473,7 @@ def corpus_filter(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
     drop row. Only the final doc_id list is collected."""
     import pyarrow.compute as pc
 
-    from ..hashing import url_hash64_many
+    from ..hashing import token_hash64_many, url_hash64_many
     from .dedup import N_BUCKETS, _jaccard_pairs_ds, connected_components
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -733,7 +733,10 @@ def token_freq_score(sf_dir: str):
     def explode(t: pa.Table) -> pa.Table:
         # Arrow-vectorized flat_map (split/flatten/parent-indices, no
         # Python list-of-lists); hashing hits url_hash64_many's
-        # dictionary-encode fast path (one SHA1 per DISTINCT token)
+        # dictionary-encode fast path (one SHA1 per DISTINCT token).
+        # tf is pre-aggregated per (token, doc) HERE, so the th-bucket
+        # shuffle carries one row per distinct (token, doc) pair instead
+        # of one per occurrence — 2-5× fewer rows on natural text.
         import pyarrow.compute as pc
         text = pc.fill_null(t["text"], "")
         toks = pc.split_pattern_regex(text, r"\s+")
@@ -742,27 +745,45 @@ def token_freq_score(sf_dir: str):
         keep = pc.not_equal(flat, "")
         flat = flat.filter(keep)
         parent = parent.filter(keep)
-        th = url_hash64_many(flat.to_pylist())
+        th = token_hash64_many(flat)
+        g = pa.table({"th": pa.array(th.astype("int64")),
+                      "doc_id": pc.take(t["doc_id"], parent)}) \
+            .group_by(["th", "doc_id"]).aggregate([([], "count_all")])
+        thv = g["th"].to_numpy().astype("uint64")
         return pa.table({
-            "th": pa.array(th.astype("int64")),
-            "doc_id": pc.take(t["doc_id"], parent),
-            "bucket": pa.array((th % nb).astype("int64")),
+            "th": g["th"],
+            "doc_id": pc.cast(g["doc_id"], pa.int64()),
+            "tf": pc.cast(g["count_all"], pa.int64()),
+            "bucket": pa.array((thv % nb).astype("int64")),
         })
 
     def partial_numerators(g: pd.DataFrame) -> pd.DataFrame:
-        cnt = g.groupby("th")["th"].transform("size").to_numpy()
+        # all rows of a token are in this group: its GLOBAL count is
+        # sum(tf); a doc's numerator partial is Σ tf·C_token
+        tf = g["tf"].to_numpy().astype("int64")
+        cnt = g.groupby("th")["tf"].transform("sum").to_numpy()
         out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                            "c": cnt.astype("int64")})
-        agg = out.groupby("doc_id", as_index=False).agg(
-            freq_sum=("c", "sum"), n_tok=("c", "size"))
-        return agg
+                            "freq_sum": tf * cnt, "n_tok": tf})
+        return out.groupby("doc_id", as_index=False).sum()
 
-    per_doc = _read(sf_dir, "documents", ["doc_id", "text"]) \
+    parts = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(explode, batch_format="pyarrow") \
         .groupby("bucket").map_groups(partial_numerators,
-                                      batch_format="pandas") \
-        .groupby("doc_id").aggregate(Sum("freq_sum", alias_name="freq_sum"),
-                                     Sum("n_tok", alias_name="n_tokens"))
+                                      batch_format="pandas")
+    # final per-doc sum: the output is one row per DOC (unbounded key
+    # space), so the scale path stays a real groupby shuffle; below the
+    # toy threshold a one-task combine replaces it — the sort shuffle's
+    # fixed cost measured ~10 s at sf0.1 for a reduce whose combine form
+    # runs in under a second.
+    if n_docs > 2_000_000:
+        per_doc = parts.groupby("doc_id").aggregate(
+            Sum("freq_sum", alias_name="freq_sum"),
+            Sum("n_tok", alias_name="n_tokens"))
+    else:
+        per_doc = parts.repartition(1).map_batches(
+            lambda df: df.groupby("doc_id", as_index=False).sum()
+            .rename(columns={"n_tok": "n_tokens"}),
+            batch_format="pandas")
 
     def finish(t: pa.Table) -> pa.Table:
         fs = t["freq_sum"].to_numpy().astype("int64")
