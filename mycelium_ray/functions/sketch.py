@@ -71,3 +71,47 @@ def estimate(regs: np.ndarray) -> float:
     if raw <= 2.5 * M and zeros:
         return M * np.log(M / zeros)  # linear counting, small range
     return raw
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005) — the frequency cousin
+# of the HLL above: fixed D×W int64 grid, linear (partials merge by +),
+# est(key) = min over rows ≥ true count (one-sided error ≤ εN with
+# ε = e/W at probability 1−e^−D). Used by analytics.heavy_hitters as the
+# candidate filter of an EXACT two-pass top-k.
+# --------------------------------------------------------------------------
+CMS_D = 4
+CMS_W = 8192
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                      dtype=np.uint64)
+
+
+def cms_empty() -> np.ndarray:
+    return np.zeros((CMS_D, CMS_W), dtype=np.int64)
+
+
+def _cms_cols(keys: np.ndarray) -> np.ndarray:
+    """(D, n) column indices for uint64 keys."""
+    from ..hashing import splitmix64
+    k = keys.astype(np.uint64, copy=False)
+    return np.stack([
+        (splitmix64(k ^ s) % np.uint64(CMS_W)).astype(np.int64)
+        for s in _CMS_SEEDS])
+
+
+def cms_add(cms: np.ndarray, keys: np.ndarray,
+            counts: np.ndarray) -> np.ndarray:
+    """Fold (key, count) pairs into the sketch in place."""
+    cols = _cms_cols(keys)
+    c = counts.astype(np.int64, copy=False)
+    for d in range(CMS_D):
+        np.add.at(cms[d], cols[d], c)
+    return cms
+
+
+def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Upper-bound count estimates (vectorized min over rows)."""
+    cols = _cms_cols(keys)
+    return np.min(np.stack([cms[d][cols[d]] for d in range(CMS_D)]),
+                  axis=0)

@@ -1155,3 +1155,104 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
                   WHERE o.o_custkey = c.c_custkey
                     AND o.o_orderpriority = '1-URGENT')
 """
+
+
+# --------------------------------------------------------------------------
+# heavy_hitters: EXACT top-k users by event count via a count-min-sketch
+# candidate filter — the 100-TB shape for top-k over a skewed unbounded
+# key space. No key-space shuffle anywhere:
+#
+#   pass 1 (one scan): per-batch exact local counts fold into a CMS
+#     partial (fixed 4×8192 int64 grid, linear → merges by +) and the
+#     batch's top candidates ride along as (user, local-count) rows; a
+#     narrow combine sums both. The driver sees one sketch + a bounded
+#     candidate table.
+#   threshold: L = k-th largest candidate partial-count sum. L is an
+#     UNDERestimate of the true k-th count, and CMS estimates are
+#     OVERestimates, so every true top-k user has est ≥ true ≥ L —
+#     the pass-2 filter provably misses nothing (exactness does not
+#     depend on candidate quality; candidates only tighten L).
+#   pass 2 (one scan): per-batch exact local counts for users with
+#     broadcast-CMS est ≥ L; combine sums to exact global counts of the
+#     enlarged set (≤ N/(L−εN) users by the CMS guarantee); driver cuts
+#     the final top-k.
+#
+# Output: (user_id, n, rank), ties by user_id asc — full SQL oracle.
+# --------------------------------------------------------------------------
+HH_K = 20
+_HH_CAND_PER_BATCH = 4 * HH_K
+
+
+def heavy_hitters(sf_dir: str, k: int = HH_K):
+    import pyarrow as pa
+    import ray
+
+    from ..functions.sketch import (CMS_D, CMS_W, cms_add, cms_empty,
+                                    cms_estimate)
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+
+    def pass1(t: pa.Table) -> pa.Table:
+        u, c = np.unique(t["user_id"].to_numpy().astype("int64"),
+                         return_counts=True)
+        cms = cms_add(cms_empty(), u.astype(np.uint64), c)
+        top = np.argsort(c)[::-1][:_HH_CAND_PER_BATCH]
+        return pa.table({
+            "kind": pa.array(np.r_[0, np.ones(len(top))].astype("int64")),
+            "user_id": pa.array(np.r_[0, u[top]].astype("int64")),
+            "n": pa.array(np.r_[0, c[top]].astype("int64")),
+            "blob": pa.array([cms.tobytes()] + [b""] * len(top),
+                             pa.binary()),
+        })
+
+    def combine1(df: pd.DataFrame) -> pd.DataFrame:
+        cms = cms_empty()
+        for b in df.loc[df["kind"] == 0, "blob"]:
+            cms += np.frombuffer(b, np.int64).reshape(CMS_D, CMS_W)
+        cand = df[df["kind"] == 1].groupby("user_id", as_index=False)[
+            "n"].sum()
+        out = pd.concat([
+            pd.DataFrame({"kind": [0], "user_id": [0], "n": [0],
+                          "blob": [cms.tobytes()]}),
+            cand.assign(kind=1, blob=b"")[
+                ["kind", "user_id", "n", "blob"]]])
+        return out
+
+    p1 = ds.map_batches(pass1, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine1, batch_format="pandas") \
+        .to_pandas()
+    cms = np.frombuffer(p1.loc[p1["kind"] == 0, "blob"].iloc[0],
+                        np.int64).reshape(CMS_D, CMS_W).copy()
+    cand = p1[p1["kind"] == 1]
+    L = int(np.sort(cand["n"].to_numpy())[::-1][:k][-1]) if len(cand) \
+        else 1
+    cms_ref = ray.put(cms)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        grid = ray.get(cms_ref)
+        u, c = np.unique(t["user_id"].to_numpy().astype("int64"),
+                         return_counts=True)
+        keep = cms_estimate(grid, u.astype(np.uint64)) >= L
+        return pa.table({"user_id": pa.array(u[keep]),
+                         "n": pa.array(c[keep].astype("int64"))})
+
+    exact = ds.map_batches(pass2, batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda df: df.groupby("user_id", as_index=False)["n"].sum(),
+            batch_format="pandas").to_pandas()
+    exact = exact.sort_values(["n", "user_id"],
+                              ascending=[False, True]).head(k)
+    exact["rank"] = np.arange(1, len(exact) + 1, dtype="int64")
+    return pa.table({
+        "user_id": pa.array(exact["user_id"].to_numpy().astype("int64")),
+        "n": pa.array(exact["n"].to_numpy().astype("int64")),
+        "rank": pa.array(exact["rank"].to_numpy()),
+    })
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT user_id, count(*) AS n,
+       row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rank
+FROM events GROUP BY user_id
+ORDER BY n DESC, user_id ASC LIMIT {HH_K}
+"""
