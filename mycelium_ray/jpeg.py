@@ -362,38 +362,64 @@ def encode_jpeg(pixels: np.ndarray, quality: int = DEFAULT_QUALITY) -> bytes:
 # decoder
 # --------------------------------------------------------------------------
 class _HuffDecoder:
-    """Flat 16-bit-peek lookup: lut[peek16] = (length << 8) | symbol.
-    One array index + one skip per symbol (canonical codes, max len 16)."""
+    """12-bit first-level lookup: lut[peek12] = (length << 8) | symbol
+    for codes ≤ 12 bits (the overwhelming majority of decoded symbols);
+    codes of 13-16 bits — rare tail symbols — resolve through a bisect
+    over their 16-bit-left-aligned first codes. Canonical codes tile the
+    left-aligned space contiguously, so lut[peek12] == 0 ⟺ the peek is
+    in the long-code region or invalid, and a span check on the bisect
+    hit rejects invalid streams exactly like the old full table.
+
+    Why not one flat 64 Ki table: encoders emit per-image OPTIMIZED
+    tables, so the memo below misses across images and the table build
+    (dominated by ndarray.tolist) ran per image — ~3 ms/baseline image,
+    ~10 ms/progressive (multi-scan DHTs), 20% of decode wall time. The
+    4 Ki build is 16× cheaper; the per-symbol hot path cost is equal."""
 
     _cache: dict = {}
 
     def __init__(self, bits: list[int], vals: list[int]):
-        # identical tables recur across every image of a corpus (encoders
-        # ship the Annex-K standard tables) — memoize the 64 Ki-entry LUT
         key = (bytes(bits), bytes(vals))
         cached = self._cache.get(key)
         if cached is not None:
-            self.lut = cached
+            self.lut, self.long_starts, self.long_entries = cached
             return
-        lut = np.zeros(1 << 16, dtype=np.uint16)
+        lut = np.zeros(1 << 12, dtype=np.uint16)
+        long_starts: list[int] = []
+        long_entries: list[int] = []
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
-                prefix = code << (16 - length)
-                span = 1 << (16 - length)
-                lut[prefix:prefix + span] = (length << 8) | vals[k]
+                if length <= 12:
+                    prefix = code << (12 - length)
+                    span = 1 << (12 - length)
+                    lut[prefix:prefix + span] = (length << 8) | vals[k]
+                else:
+                    long_starts.append(code << (16 - length))
+                    long_entries.append((length << 8) | vals[k])
                 code += 1
                 k += 1
             code <<= 1
-        # plain Python list: int indexing beats numpy scalar boxing in the
-        # per-symbol scan loop. The cache is small (each entry is a 64 Ki
-        # list of boxed ints, ~2.5 MB): 8 slots cover the 4 Annex-K
-        # standard tables twice over without letting an adversarial
-        # corpus of per-image custom DHTs pin unbounded worker heap.
+        # plain Python list: int indexing beats numpy scalar boxing in
+        # the per-symbol scan loop. Entries are ~16 KiB each; 64 slots
+        # bound worker heap against per-image custom DHT corpora.
         self.lut = lut.tolist()
-        if len(self._cache) < 8:
-            self._cache[key] = self.lut
+        self.long_starts = long_starts
+        self.long_entries = long_entries
+        if len(self._cache) < 64:
+            self._cache[key] = (self.lut, long_starts, long_entries)
+
+
+def _huff_long(peek16: int, starts: list[int], entries: list[int]) -> int:
+    """Resolve a 13-16-bit code from its 16-bit peek (rare path)."""
+    import bisect
+    i = bisect.bisect_right(starts, peek16) - 1
+    if i >= 0:
+        e = entries[i]
+        if peek16 - starts[i] < (1 << (16 - (e >> 8))):
+            return e
+    raise JpegError("bad Huffman code")
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -513,7 +539,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
         ac_dec = huff.get(0x10 | ta)
         if dc_dec is None or ac_dec is None:
             raise JpegError("missing Huffman table")
-        luts.append((dc_dec.lut, ac_dec.lut))
+        luts.append((dc_dec.lut, dc_dec.long_starts, dc_dec.long_entries,
+                     ac_dec.lut, ac_dec.long_starts, ac_dec.long_entries))
 
     # entropy scan, inlined: flat-LUT Huffman over plain-int bit state
     # (no per-symbol method dispatch or numpy scalar writes — ~4x faster
@@ -537,7 +564,7 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
     nbits = 0
     for _m in range(n_mcus):
         for c in range(3):
-            dc_lut, ac_lut = luts[c]
+            dc_lut, dc_ls, dc_le, ac_lut, ac_ls, ac_le = luts[c]
             zz = [0] * 64
             if nbits < 16:
                 if pos + 2 > blen:
@@ -546,10 +573,10 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                     & 0xFFFFFFFFFFFF
                 pos += 2
                 nbits += 16
-            e = dc_lut[(acc >> (nbits - 16)) & 0xFFFF]
+            e = dc_lut[(acc >> (nbits - 12)) & 0xFFF]
+            if e == 0:
+                e = _huff_long((acc >> (nbits - 16)) & 0xFFFF, dc_ls, dc_le)
             ln = e >> 8
-            if ln == 0:
-                raise JpegError("bad Huffman code")
             nbits -= ln
             s = e & 0xFF
             if s:
@@ -573,10 +600,11 @@ def _decode_jpeg(data: bytes) -> np.ndarray:
                         & 0xFFFFFFFFFFFF
                     pos += 2
                     nbits += 16
-                e = ac_lut[(acc >> (nbits - 16)) & 0xFFFF]
+                e = ac_lut[(acc >> (nbits - 12)) & 0xFFF]
+                if e == 0:
+                    e = _huff_long((acc >> (nbits - 16)) & 0xFFFF,
+                                   ac_ls, ac_le)
                 ln = e >> 8
-                if ln == 0:
-                    raise JpegError("bad Huffman code")
                 nbits -= ln
                 rs = e & 0xFF
                 s = rs & 0xF

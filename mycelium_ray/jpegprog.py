@@ -41,6 +41,7 @@ from .jpeg import (
     _BitWriter,
     _DCT,
     _HuffDecoder,
+    _huff_long,
     _IDCT,
     _build_huffman,
     _quantize_image,
@@ -361,7 +362,7 @@ class _BitReader:
         self.nbits -= n
         return (self.acc >> self.nbits) & ((1 << n) - 1)
 
-    def huff(self, lut) -> int:
+    def huff(self, dec) -> int:
         # fill to a 16-bit peek; at segment end pad the peek with zeros
         # (the final code of a scan may sit in fewer than 16 real bits)
         while self.nbits < 16 and self.pos < self.n:
@@ -373,9 +374,11 @@ class _BitReader:
             peek = (self.acc >> (self.nbits - 16)) & 0xFFFF
         else:
             peek = (self.acc << (16 - self.nbits)) & 0xFFFF
-        e = lut[peek]
+        e = dec.lut[peek >> 4]
+        if e == 0:
+            e = _huff_long(peek, dec.long_starts, dec.long_entries)
         ln = e >> 8
-        if ln == 0 or ln > self.nbits:
+        if ln > self.nbits:
             raise JpegError("bad Huffman code")
         self.nbits -= ln
         return e & 0xFF
@@ -532,7 +535,7 @@ def _get_lut(huff, key):
     dec = huff.get(key)
     if dec is None:
         raise JpegError("missing Huffman table")
-    return dec.lut
+    return dec
 
 
 def _scan_dc_first(coef, scan_comps, al, br, huff):
