@@ -117,7 +117,17 @@ def _canonical_codes(lengths: list[int]) -> dict[int, tuple[int, int]]:
 
 
 class _CanonDecoder:
-    """Bit-at-a-time canonical decoder (codes arrive MSB-first)."""
+    """Flat-LUT canonical decoder. Codes are MSB-first but the VP8L
+    stream is LSB-first, so the lookup index is the next ``maxlen``
+    stream bits as read (i.e. the code BIT-REVERSED): every slot
+    congruent to rev(code) mod 2^len belongs to that code. One list
+    index + one shift per symbol instead of O(len) dict probes.
+
+    Stream-end zero padding is safe: a padded peek lands on slot m=0 of
+    the true (short) code — a longer code aliasing that slot would have
+    to extend the short code's bit pattern, which prefix-freeness
+    forbids — and codes longer than the remaining bits raise exactly as
+    the bit-at-a-time reader did."""
 
     def __init__(self, lengths: list[int]):
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -129,19 +139,31 @@ class _CanonDecoder:
             return
         self.single = None
         codes = _canonical_codes(lengths)
-        self.table = {(ln, code): sym for sym, (code, ln) in codes.items()}
-        self.maxlen = max(ln for ln, _ in self.table)
+        self._codes = codes
+        L = max(ln for _, ln in codes.values())
+        self.maxlen = L
+        lut = np.zeros(1 << L, dtype=np.uint32)
+        for sym, (code, ln) in codes.items():
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            lut[rev::1 << ln] = (ln << 16) | sym
+        self.lut = lut.tolist()
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        for ln in range(1, self.maxlen + 1):
-            code = (code << 1) | br.bit()
-            sym = self.table.get((ln, code))
-            if sym is not None:
-                return sym
-        raise WebpError("bad Huffman code in VP8L stream")
+        need = self.maxlen
+        data, n = br.data, len(br.data)
+        while br.nbits < need and br.pos < n:
+            br.acc |= data[br.pos] << br.nbits
+            br.pos += 1
+            br.nbits += 8
+        e = self.lut[br.acc & ((1 << need) - 1)]
+        ln = e >> 16
+        if ln == 0 or ln > br.nbits:
+            raise WebpError("bad Huffman code in VP8L stream")
+        br.acc >>= ln
+        br.nbits -= ln
+        return e & 0xFFFF
 
 
 # --------------------------------------------------------------------------
@@ -270,8 +292,9 @@ def _read_code(br: _LsbReader, alphabet_size: int) -> "_CanonDecoder":
             raise WebpError("simple-code symbol out of range")
         dec = _CanonDecoder.__new__(_CanonDecoder)
         dec.single = None
-        dec.table = {(1, 0): first, (1, 1): second}
+        dec._codes = {first: (0, 1), second: (1, 1)}
         dec.maxlen = 1
+        dec.lut = [(1 << 16) | first, (1 << 16) | second]
         return dec
     return _CanonDecoder(_read_code_lengths_normal(br, alphabet_size))
 
@@ -377,8 +400,8 @@ def _decode_webp_lossless(data: bytes) -> np.ndarray:
         # symbols 1..256 is spec-valid yet NOT the identity — check
         # explicitly instead of assuming.
         return (dec.single is None and dec.maxlen == 8
-                and len(dec.table) == 256
-                and all(dec.table.get((8, i)) == i for i in range(256)))
+                and len(dec._codes) == 256
+                and all(dec._codes.get(i) == (i, 8) for i in range(256)))
 
     if (_uniform8(green) and _uniform8(red) and _uniform8(blue)
             and alpha.single is not None and _dist.single is not None):
