@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_revenue_topk": analytics.segment_revenue_topk,
         "distinct_users_hll": analytics.distinct_users_hll,  # rows-only (sketch)
         "heavy_hitters": analytics.heavy_hitters,
+        "events_funnel": analytics.events_funnel,
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
@@ -146,6 +147,7 @@ def oracle_sql() -> dict[str, str]:
         "value_percentiles": analytics.VALUE_PERCENTILES_SQL,
         "segment_revenue_topk": analytics.SEGMENT_REVENUE_SQL,
         "heavy_hitters": analytics.HEAVY_HITTERS_SQL,
+        "events_funnel": analytics.EVENTS_FUNNEL_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,

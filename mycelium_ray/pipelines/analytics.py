@@ -1256,3 +1256,94 @@ SELECT user_id, count(*) AS n,
 FROM events GROUP BY user_id
 ORDER BY n DESC, user_id ASC LIMIT {HH_K}
 """
+
+
+# --------------------------------------------------------------------------
+# events_funnel: ordered-sequence funnel (view → click → purchase)
+# --------------------------------------------------------------------------
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def events_funnel(sf_dir: str):
+    """Per-user ordered funnel with greedy earliest-chain semantics: a
+    user reaches step i+1 iff an event of that type occurs STRICTLY after
+    the timestamp at which the user reached step i (step 1 = earliest
+    'view'). Output: (step, step_name, users) — one row per funnel step,
+    users = count of users reaching it; always 3 rows (0 for dry steps).
+
+    Distributed shape: users are hash-bucketed so each user's whole
+    history lands in one group; the chain walk is vectorized pandas joins
+    inside the group (3 groupby-mins, no per-user Python); each bucket
+    emits ≤3 partial count rows, the final reduce is a tiny one-task sum.
+    Analog of the reference's per-host sequential state machines
+    (src/crawler/Url_classifier.cc) applied to the event-sequence domain.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "event_type"])
+    n_buckets = _n_join_buckets()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["event_type"].isin(FUNNEL_STEPS)]
+        return pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "event_type": df["event_type"],
+            "bucket": (df["user_id"].to_numpy().astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # chain of groupby-mins: t_i = min us of step-i events strictly
+        # after the user's t_{i-1}; each join keeps only users still alive
+        reached = np.zeros(len(FUNNEL_STEPS), dtype="int64")
+        prev = None  # Series: user_id -> us reached at previous step
+        for i, step in enumerate(FUNNEL_STEPS):
+            e = g[g["event_type"] == step]
+            if prev is not None:
+                t = prev.reindex(e["user_id"]).to_numpy()
+                e = e[e["us"].to_numpy() > t]  # NaN compares False: drops
+            cur = e.groupby("user_id")["us"].min()
+            reached[i] = len(cur)
+            if len(cur) == 0:
+                break
+            prev = cur
+        return pd.DataFrame({
+            "step": np.arange(1, len(FUNNEL_STEPS) + 1, dtype="int64"),
+            "users": reached,
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        tot = df.groupby("step")["users"].sum() \
+            .reindex(range(1, len(FUNNEL_STEPS) + 1), fill_value=0)
+        return pd.DataFrame({
+            "step": tot.index.to_numpy().astype("int64"),
+            "step_name": list(FUNNEL_STEPS),
+            "users": tot.to_numpy().astype("int64"),
+        })
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(funnel_bucket, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+EVENTS_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t1
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+  GROUP BY e.user_id
+)
+SELECT 1 AS step, 'view' AS step_name, count(*) AS users FROM s1
+UNION ALL
+SELECT 2 AS step, 'click' AS step_name, count(*) AS users FROM s2
+UNION ALL
+SELECT 3 AS step, 'purchase' AS step_name, count(*) AS users FROM s3
+"""
