@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": analytics.distinct_users_hll,  # rows-only (sketch)
         "heavy_hitters": analytics.heavy_hitters,
         "events_funnel": analytics.events_funnel,
+        "events_retention": analytics.events_retention,
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
@@ -148,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_revenue_topk": analytics.SEGMENT_REVENUE_SQL,
         "heavy_hitters": analytics.HEAVY_HITTERS_SQL,
         "events_funnel": analytics.EVENTS_FUNNEL_SQL,
+        "events_retention": analytics.EVENTS_RETENTION_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,

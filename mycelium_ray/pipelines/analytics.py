@@ -1347,3 +1347,88 @@ SELECT 2 AS step, 'click' AS step_name, count(*) AS users FROM s2
 UNION ALL
 SELECT 3 AS step, 'purchase' AS step_name, count(*) AS users FROM s3
 """
+
+
+# --------------------------------------------------------------------------
+# events_retention: weekly cohort retention matrix
+# --------------------------------------------------------------------------
+def _week_day(us: np.ndarray) -> np.ndarray:
+    """Monday-start week truncation in the integer domain: epoch day of
+    the Monday beginning the week containing each microsecond timestamp.
+    1970-01-01 was a Thursday, so Monday-indexed weekday = (d + 3) % 7 —
+    identical to DuckDB's date_trunc('week', ts)."""
+    d = us // (86_400 * 10**6)
+    return (d - (d + 3) % 7).astype("int64")
+
+
+def events_retention(sf_dir: str):
+    """Cohort retention: cohort_day = Monday epoch-day of each user's
+    FIRST event's week; week_offset = whole weeks between that Monday and
+    the Monday of each later active week. Output one row per
+    (cohort_day, week_offset) with the distinct-user count — the classic
+    retention triangle, all integers so the value hash vs DuckDB is exact.
+
+    Distributed shape: users hash-bucketed so a user's min-ts and active
+    weeks are computed in one group (distinct-per-user is safe inside the
+    bucket — a user lives in exactly one); buckets emit partial counts
+    per (cohort_day, week_offset), tiny by construction (≤ cohorts ×
+    horizon per bucket), then one small groupby-sum.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    n_buckets = _n_join_buckets()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        uid = df["user_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "user_id": uid,
+            "week_day": _week_day(us),
+            "bucket": (uid.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def retain_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized pass: per-user cohort via groupby-min transform,
+        # then distinct (cohort, offset) pairs via drop_duplicates
+        cohort = g.groupby("user_id")["week_day"].transform("min")
+        pairs = pd.DataFrame({
+            "cohort_day": cohort.to_numpy(),
+            "week_offset": ((g["week_day"].to_numpy()
+                             - cohort.to_numpy()) // 7).astype("int64"),
+            "user_id": g["user_id"].to_numpy(),
+        }).drop_duplicates()
+        out = pairs.groupby(["cohort_day", "week_offset"],
+                            as_index=False).size()
+        return pd.DataFrame({
+            "cohort_day": out["cohort_day"].astype("int64"),
+            "week_offset": out["week_offset"].astype("int64"),
+            "users": out["size"].astype("int64"),
+        })
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["cohort_day", "week_offset"],
+                         as_index=False)["users"].sum()
+        return out.astype("int64")
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(retain_bucket, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+EVENTS_RETENTION_SQL = """
+WITH w AS (
+  SELECT user_id,
+         datediff('day', DATE '1970-01-01',
+                  CAST(date_trunc('week', ts) AS DATE)) AS week_day
+  FROM events
+), f AS (
+  SELECT user_id, min(week_day) AS cohort_day FROM w GROUP BY user_id
+), act AS (
+  SELECT DISTINCT w.user_id, f.cohort_day,
+         (w.week_day - f.cohort_day) // 7 AS week_offset
+  FROM w JOIN f ON w.user_id = f.user_id
+)
+SELECT cohort_day, week_offset, count(*) AS users
+FROM act GROUP BY cohort_day, week_offset
+"""
