@@ -1432,3 +1432,68 @@ WITH w AS (
 SELECT cohort_day, week_offset, count(*) AS users
 FROM act GROUP BY cohort_day, week_offset
 """
+
+
+# --------------------------------------------------------------------------
+# group_value_quantiles: exact per-group percentiles via histogram merge
+# --------------------------------------------------------------------------
+_QUANT_FRACS = ((1, 2), (9, 10), (99, 100))  # p50 / p90 / p99 as rationals
+
+
+def group_value_quantiles(sf_dir: str):
+    """(event_type, n, p50_cents, p90_cents, p99_cents) — EXACT discrete
+    quantiles per group, computed scale-safely: per-batch (type, cents)
+    histogram partials (rows ∝ distinct values, not input rows), one
+    groupby over event_type whose group payload is the merged histogram,
+    then a CDF walk. A hot group's shuffle volume is bounded by the value
+    DOMAIN, not its row count — the skew-proof form of per-group order
+    statistics (value_percentiles is the global cousin).
+
+    quantile_disc semantics pinned to DuckDB's: k-th smallest with
+    k = ceil(q*n), evaluated in exact integer arithmetic
+    ((num*n + den - 1) // den) — float ceil would misround (e.g.
+    0.99*100 → 99.0000…01), verified rule-vs-DuckDB for n = 1..500.
+    """
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        g = pa.table({"event_type": t["event_type"], "cents": cents}) \
+            .group_by(["event_type", "cents"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "cents": g["cents"],
+                         "cnt": pc.cast(g["count_all"], pa.int64())})
+
+    def cdf_walk(g: pd.DataFrame) -> pd.DataFrame:
+        h = g.groupby("cents", as_index=False)["cnt"].sum() \
+            .sort_values("cents")
+        cents = h["cents"].to_numpy()
+        cum = h["cnt"].to_numpy().cumsum()
+        n = int(cum[-1])
+        qs = [int(cents[np.searchsorted(
+            cum, (num * n + den - 1) // den)])
+            for num, den in _QUANT_FRACS]
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n": np.array([n], dtype="int64"),
+            "p50_cents": np.array([qs[0]], dtype="int64"),
+            "p90_cents": np.array([qs[1]], dtype="int64"),
+            "p99_cents": np.array([qs[2]], dtype="int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(cdf_walk, batch_format="pandas")
+
+
+GROUP_VALUE_QUANTILES_SQL = """
+SELECT event_type, count(*) AS n,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5) AS p50_cents,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9) AS p90_cents,
+       quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents
+FROM events GROUP BY event_type
+"""
