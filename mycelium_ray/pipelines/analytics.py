@@ -29,15 +29,24 @@ def events_window_agg(sf_dir: str):
     ds = rd.read_parquet(f"{sf_dir}/events.parquet",
                          columns=["ts", "event_type", "value"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        # force µs unit explicitly (pandas 2.x preserves the Arrow unit)
-        us = df["ts"].astype("datetime64[us]").astype("int64")
-        win = (us // (WINDOW_S * 10 ** 6)) * WINDOW_S
-        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
-        g = pd.DataFrame({"event_type": df["event_type"],
-                          "window_start": win, "n": 1, "value_cents": cents})
-        return g.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("n", "sum"), value_cents=("value_cents", "sum"))
+    def partial(t):
+        # Arrow-native: µs cast + integer window truncation + one Arrow
+        # group_by — zero-copy from the object store, no pandas boxing
+        # (pc.round is half-to-even, identical to the np.rint it replaces)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, WINDOW_S * 10 ** 6), WINDOW_S)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        g = pa.table({"event_type": t["event_type"], "window_start": win,
+                      "value_cents": cents}) \
+            .group_by(["event_type", "window_start"]) \
+            .aggregate([("value_cents", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_start": g["window_start"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "value_cents": g["value_cents_sum"]})
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["event_type", "window_start"], as_index=False).agg(
@@ -54,7 +63,7 @@ def events_window_agg(sf_dir: str):
     n_rows = pq.ParquetFile(f"{sf_dir}/events.parquet").metadata.num_rows
     if n_rows <= 2_000_000:
         ds = ds.repartition(min(_n_join_buckets(), max(8, n_rows // 5000)))
-    return ds.map_batches(partial, batch_format="pandas") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(combine, batch_format="pandas")
 
 
@@ -108,20 +117,33 @@ def lineitem_pricing(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity",
                  "l_extendedprice", "l_discount"])
 
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        qty = np.rint(df["l_quantity"].to_numpy() * 100).astype("int64")
-        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
-        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
-        g = pd.DataFrame({
-            "l_returnflag": df["l_returnflag"],
-            "l_linestatus": df["l_linestatus"],
+    def partial(t):
+        # Arrow-native pre-agg (pc.round = half-to-even, same as np.rint)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        qty = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0)),
+                      pa.int64())
+        price = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        g = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
             "sum_qty_c": qty, "sum_price_c": price,
-            "sum_disc_price_c": price * (100 - disc),  # cents × basis points
-            "n": 1,
+            # cents × basis points
+            "sum_disc_price_c": pc.multiply(price, pc.subtract(100, disc)),
+        }).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty_c", "sum"), ("sum_price_c", "sum"),
+             ("sum_disc_price_c", "sum"), ([], "count_all")])
+        return pa.table({
+            "l_returnflag": g["l_returnflag"],
+            "l_linestatus": g["l_linestatus"],
+            "sum_qty_c": g["sum_qty_c_sum"],
+            "sum_price_c": g["sum_price_c_sum"],
+            "sum_disc_price_c": g["sum_disc_price_c_sum"],
+            "n": pc.cast(g["count_all"], pa.int64()),
         })
-        return g.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty_c=("sum_qty_c", "sum"), sum_price_c=("sum_price_c", "sum"),
-            sum_disc_price_c=("sum_disc_price_c", "sum"), n=("n", "sum"))
 
     def combine(df: pd.DataFrame) -> pd.DataFrame:
         return df.groupby(["l_returnflag", "l_linestatus"],
@@ -130,7 +152,7 @@ def lineitem_pricing(sf_dir: str):
             sum_disc_price_c=("sum_disc_price_c", "sum"), n=("n", "sum"))
 
     # ~6 groups: one combine task, not an all-to-all
-    return ds.map_batches(partial, batch_format="pandas") \
+    return ds.map_batches(partial, batch_format="pyarrow") \
         .repartition(1).map_batches(combine, batch_format="pandas")
 
 
