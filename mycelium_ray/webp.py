@@ -142,28 +142,50 @@ class _CanonDecoder:
         self._codes = codes
         L = max(ln for _, ln in codes.values())
         self.maxlen = L
-        lut = np.zeros(1 << L, dtype=np.uint32)
+        # Root LUT capped at 9 bits: a full 2^maxlen list costs more to
+        # BUILD (np→list materialization) than it saves on the corpus's
+        # small tiles — measured 1.7x slower end-to-end than the dict
+        # decoder it replaced. Canonical codes give short lengths to
+        # frequent symbols, so ≥9-bit codes are cold; they take the dict
+        # slow path keyed on the bit-reversed stream pattern.
+        R = min(L, 9)
+        self.rootbits = R
+        self.rmask = (1 << R) - 1
+        lut = np.zeros(1 << R, dtype=np.uint32)
+        self._long = {}
         for sym, (code, ln) in codes.items():
             rev = int(f"{code:0{ln}b}"[::-1], 2)
-            lut[rev::1 << ln] = (ln << 16) | sym
+            if ln <= R:
+                lut[rev::1 << ln] = (ln << 16) | sym
+            else:
+                self._long[(ln, rev)] = sym
         self.lut = lut.tolist()
 
     def decode(self, br: _LsbReader) -> int:
         if self.single is not None:
             return self.single
-        need = self.maxlen
         data, n = br.data, len(br.data)
-        while br.nbits < need and br.pos < n:
+        while br.nbits < self.maxlen and br.pos < n:
             br.acc |= data[br.pos] << br.nbits
             br.pos += 1
             br.nbits += 8
-        e = self.lut[br.acc & ((1 << need) - 1)]
-        ln = e >> 16
-        if ln == 0 or ln > br.nbits:
-            raise WebpError("bad Huffman code in VP8L stream")
-        br.acc >>= ln
-        br.nbits -= ln
-        return e & 0xFFFF
+        e = self.lut[br.acc & self.rmask]
+        if e:
+            ln = e >> 16
+            if ln > br.nbits:
+                raise WebpError("bad Huffman code in VP8L stream")
+            br.acc >>= ln
+            br.nbits -= ln
+            return e & 0xFFFF
+        for ln in range(self.rootbits + 1, self.maxlen + 1):
+            sym = self._long.get((ln, br.acc & ((1 << ln) - 1)))
+            if sym is not None:
+                if ln > br.nbits:
+                    raise WebpError("bad Huffman code in VP8L stream")
+                br.acc >>= ln
+                br.nbits -= ln
+                return sym
+        raise WebpError("bad Huffman code in VP8L stream")
 
 
 # --------------------------------------------------------------------------
@@ -294,6 +316,9 @@ def _read_code(br: _LsbReader, alphabet_size: int) -> "_CanonDecoder":
         dec.single = None
         dec._codes = {first: (0, 1), second: (1, 1)}
         dec.maxlen = 1
+        dec.rootbits = 1
+        dec.rmask = 1
+        dec._long = {}
         dec.lut = [(1 << 16) | first, (1 << 16) | second]
         return dec
     return _CanonDecoder(_read_code_lengths_normal(br, alphabet_size))
