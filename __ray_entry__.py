@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import (analytics, ann, cleaning, cluster,
-                                        dedup, dsir, graph, textops,
+                                        dedup, dsir, embed, graph, textops,
                                         tokenize, urlops)
     from mycelium_ray.pipelines.flagship import (
         image_phash_neardup as _image_phash_neardup,
@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": dedup.simhash,                      # rows-only (bit tricks)
         "simhash_neardup": dedup.simhash_neardup,      # rows-only
         # --- similarity search (embeddings) ---
+        "embed_documents": embed.embed_documents,  # rows-only (hashed
+                                                   # projection, actor pool)
         "ann_topk": ann.ann_topk,
         "ann_topk_lsh": ann.ann_topk_lsh,              # rows-only (approximate)
         "ann_topk_ivf": ann.ann_topk_ivf,              # rows-only (approximate)
