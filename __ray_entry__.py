@@ -29,6 +29,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         dedup, dsir, embed, graph, textops,
                                         tokenize, urlops)
     from mycelium_ray.pipelines.flagship import (
+        image_augment as _image_augment,
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
         multimodal_filter as _multimodal_filter)
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal: derive/decode image rows -> phash near-dup ---
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
+        "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
@@ -163,6 +165,7 @@ def oracle_sql() -> dict[str, str]:
         "length_percentile_filter": textops.LENGTH_PERCENTILE_SQL,
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
+        "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,

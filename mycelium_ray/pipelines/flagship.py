@@ -230,3 +230,26 @@ WITH ids AS (
 SELECT a.iid AS id_a, b.iid AS id_b, CAST(0 AS BIGINT) AS hamming
 FROM ids a JOIN ids b ON a.seedkey = b.seedkey AND a.iid < b.iid
 """
+
+
+def image_augment(sf_dir: str):
+    """End-to-end multimodal augmentation: derive/decode image rows, then
+    the AugmentImages 1→2 fan-out stage (hflip + rot90, re-encoded in the
+    source format). The SQL-provable contract: exactly one row per
+    (document, augmentation), every augmentation succeeds, and the
+    geometry invariant holds (dims preserved under flip, swapped under
+    rot90 — folded into dims_ok by the stage). Pixel-exact semantics are
+    pinned by tests on the lossless codecs (double-flip identity,
+    rot90⁴ = id)."""
+    from ..stages.media import AugmentImages
+    ds = flagship(sf_dir).select_columns(["image_id", "content"])
+    out = ds.map_batches(AugmentImages(), batch_format="pyarrow",
+                         batch_size=128)
+    return out.select_columns(["image_id", "aug", "dims_ok", "aug_ok"])
+
+
+IMAGE_AUGMENT_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       t.aug, TRUE AS dims_ok, TRUE AS aug_ok
+FROM documents CROSS JOIN (VALUES ('hflip'), ('rot90')) t(aug)
+"""

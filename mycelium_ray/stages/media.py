@@ -240,3 +240,74 @@ class SampleFrames:
             "h": pa.array(out["h"], pa.int32()),
             "sample_ok": pa.array(out["sample_ok"], pa.bool_()),
         })
+
+
+# --------------------------------------------------------------------------
+# image augmentation (1 row → k augmented rows)
+# --------------------------------------------------------------------------
+AUG_OPS = ("hflip", "rot90")
+
+
+class AugmentImages:
+    """content:binary → one row PER AUGMENTATION (1→k fan-out on the
+    image path, the train-time counterpart of SampleFrames' 1→k):
+    horizontal flip and 90°-counterclockwise rotation, decoded → numpy
+    view op → re-encoded in the source format. Emits (image_id, aug,
+    content, out_w, out_h, dims_ok, aug_ok): ``dims_ok`` asserts the
+    geometry contract (flip preserves dims, rot90 swaps them) so the
+    driver oracle can value-check it; exact pixel semantics
+    (fliplr/rot90, double-flip identity) are pinned by pytest on the
+    lossless codecs.
+    """
+
+    def __init__(self, ops: tuple[str, ...] = AUG_OPS,
+                 id_col: str = "image_id"):
+        unknown = set(ops) - set(AUG_OPS)
+        if unknown:
+            raise ValueError(f"unknown augmentations: {sorted(unknown)}")
+        self.ops = ops
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col].to_pylist()
+        contents = batch["content"].to_pylist()
+        o_id, o_aug, o_bytes, o_w, o_h, o_dims, o_ok = \
+            [], [], [], [], [], [], []
+        for rid, data in zip(ids, contents):
+            try:
+                px, fmt = decode_image(data)
+            except (ImageDecodeError, Exception):
+                for op in self.ops:
+                    o_id.append(rid)
+                    o_aug.append(op)
+                    o_bytes.append(data)
+                    o_w.append(-1)
+                    o_h.append(-1)
+                    o_dims.append(False)
+                    o_ok.append(False)
+                continue
+            h, w = px.shape[0], px.shape[1]
+            for op in self.ops:
+                if op == "hflip":
+                    out = px[:, ::-1]
+                    want = (w, h)
+                else:  # rot90 counterclockwise
+                    out = np.rot90(px)
+                    want = (h, w)
+                oh, ow = out.shape[0], out.shape[1]
+                o_id.append(rid)
+                o_aug.append(op)
+                o_bytes.append(encode_image(np.ascontiguousarray(out), fmt))
+                o_w.append(ow)
+                o_h.append(oh)
+                o_dims.append((ow, oh) == want)
+                o_ok.append(True)
+        return pa.table({
+            self.id_col: pa.array(o_id),
+            "aug": pa.array(o_aug, pa.string()),
+            "content": pa.array(o_bytes, pa.binary()),
+            "out_w": pa.array(o_w, pa.int32()),
+            "out_h": pa.array(o_h, pa.int32()),
+            "dims_ok": pa.array(o_dims, pa.bool_()),
+            "aug_ok": pa.array(o_ok, pa.bool_()),
+        })

@@ -104,3 +104,55 @@ def test_audio_features_real_wav(ray_session):
     q = out.loc["silence"]
     assert q["audio_ok"] and q["duration_ms"] == 500 and q["rms"] == 0.0
     assert not out.loc["mp3"]["audio_ok"]
+
+
+# --------------------------------------------------------------------------
+# AugmentImages
+# --------------------------------------------------------------------------
+def _aug_table(pxs, fmt="png"):
+    import pyarrow as pa
+    from mycelium_ray.imaging import encode_image
+    return pa.table({
+        "image_id": pa.array([f"img{i}" for i in range(len(pxs))]),
+        "content": pa.array([encode_image(p, fmt) for p in pxs],
+                            pa.binary()),
+    })
+
+
+def test_augment_pixel_semantics_lossless():
+    import numpy as np
+    from mycelium_ray.imaging import decode_image
+    from mycelium_ray.stages.media import AugmentImages
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(11, 17, 3), dtype=np.uint8)
+    out = AugmentImages()(_aug_table([px], fmt="png"))
+    rows = {out["aug"][i].as_py(): out["content"][i].as_py()
+            for i in range(len(out))}
+    flip, _ = decode_image(rows["hflip"])
+    rot, _ = decode_image(rows["rot90"])
+    assert np.array_equal(flip, px[:, ::-1])
+    assert np.array_equal(rot, np.rot90(px))
+    assert out["dims_ok"].to_pylist() == [True, True]
+    # double flip = identity; rot90 of (11,17) has shape (17,11)
+    flip2, _ = decode_image(
+        AugmentImages()(_aug_table([flip], fmt="png"))["content"][0].as_py())
+    assert np.array_equal(flip2, px)
+    assert rot.shape == (17, 11, 3)
+
+
+def test_augment_bad_payload_flagged_not_dropped():
+    import pyarrow as pa
+    from mycelium_ray.stages.media import AugmentImages
+    t = pa.table({"image_id": pa.array(["bad"]),
+                  "content": pa.array([b"not an image"], pa.binary())})
+    out = AugmentImages()(t)
+    assert len(out) == 2
+    assert out["aug_ok"].to_pylist() == [False, False]
+    assert out["dims_ok"].to_pylist() == [False, False]
+
+
+def test_augment_rejects_unknown_op():
+    import pytest as _pytest
+    from mycelium_ray.stages.media import AugmentImages
+    with _pytest.raises(ValueError):
+        AugmentImages(ops=("hflip", "blur"))
