@@ -145,3 +145,47 @@ def test_webp_vp8l_shape_sweep_and_error_paths():
         decode_webp_lossless(blob[:30])
     with pytest.raises(ImageDecodeError):  # surfaced through the dispatcher
         decode_image(blob[:30])
+
+
+def test_vp8l_huffman_long_code_slow_path():
+    """Codes longer than the 9-bit LUT root take the dict slow path —
+    never produced by our encoder (lengths ≤ 8), so drive the decoder
+    directly: a skewed canonical code with 12-bit leaves must round-trip
+    every symbol, and a garbage 12-bit pattern must raise."""
+    import pytest as _pytest
+    from mycelium_ray.webp import (WebpError, _CanonDecoder, _LsbReader,
+                                   _canonical_codes)
+    # Kraft-complete skewed lengths: 1, 2, ..., 11, 12, 12
+    lengths = list(range(1, 12)) + [12, 12]
+    dec = _CanonDecoder(lengths)
+    assert dec.maxlen == 12 and dec.rootbits == 9
+    assert len(dec._long) == 4  # lengths 10, 11, 12, 12
+    codes = _canonical_codes(lengths)
+
+    def encode(symbols):
+        acc = nbits = 0
+        out = bytearray()
+        for s in symbols:
+            code, ln = codes[s]
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            acc |= rev << nbits
+            nbits += ln
+            while nbits >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nbits -= 8
+        if nbits:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    symbols = [0, 12, 11, 1, 10, 9, 12, 0, 11, 5]
+    br = _LsbReader(encode(symbols))
+    assert [dec.decode(br) for s in symbols] == symbols
+
+    # all-ones 12-bit pattern: descends past every root slot and misses
+    # the long dict → must raise, not mis-decode
+    br = _LsbReader(b"\xff\xff\xff")
+    got = []
+    with _pytest.raises(WebpError):
+        for _ in range(30):
+            got.append(dec.decode(br))
