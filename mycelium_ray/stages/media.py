@@ -105,9 +105,10 @@ def _decode_fixture_video(data: bytes) -> list[bytes]:
 class AudioFeatures:
     """audio:binary → per-clip features (duration, rms, peak,
     zero-crossing rate). WAV/PCM decode is REAL (stdlib ``wave`` +
-    numpy DSP — no codec library needed); compressed formats (mp3/ogg/
-    flac) are the stub boundary and raise NotImplementedError internally
-    (no libsndfile/ffmpeg in this container), surfacing as
+    numpy DSP) and so is FLAC (from-scratch RFC 9639 decoder,
+    mycelium_ray/flac.py — the compressed-audio path no longer stubs);
+    mp3/ogg remain the stub boundary and raise NotImplementedError
+    internally (no libsndfile/ffmpeg in this container), surfacing as
     audio_ok=False rows.
     """
 
@@ -150,8 +151,17 @@ class AudioFeatures:
 
     @staticmethod
     def _decode(data: bytes) -> tuple[int, np.ndarray]:
-        """bytes → (sample_rate, mono int16 samples). WAV only (real);
-        anything else is the documented stub boundary."""
+        """bytes → (sample_rate, mono int16 samples). WAV and FLAC are
+        REAL (FLAC: from-scratch RFC 9639 decoder in mycelium_ray/flac.py,
+        CRC + MD5-verified); mp3/ogg remain the stub boundary."""
+        if data[:4] == b"fLaC":
+            from ..flac import decode_flac
+            sr, ch, x = decode_flac(data)
+            if ch > 1:  # downmix to mono, same rule as the WAV path
+                x = x.mean(axis=1).astype(np.int16)
+            else:
+                x = x[:, 0].astype(np.int16)
+            return sr, x
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             import io
             import wave
@@ -165,8 +175,8 @@ class AudioFeatures:
                     x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
                 return w.getframerate(), x
         raise NotImplementedError(
-            "compressed audio (mp3/ogg/flac) needs libsndfile/ffmpeg, "
-            "absent from this container; WAV/PCM is decoded for real")
+            "mp3/ogg need libsndfile/ffmpeg, absent from this container; "
+            "WAV/PCM and FLAC are decoded for real")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

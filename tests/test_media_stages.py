@@ -156,3 +156,25 @@ def test_augment_rejects_unknown_op():
     from mycelium_ray.stages.media import AugmentImages
     with _pytest.raises(ValueError):
         AugmentImages(ops=("hflip", "blur"))
+
+
+def test_audio_features_flac_matches_wav():
+    """The same samples through the FLAC path and the WAV path must give
+    identical features (FLAC is lossless; both decode to the same int16)."""
+    import numpy as np
+    import pyarrow as pa
+    from mycelium_ray.flac import encode_flac
+    from mycelium_ray.stages.media import AudioFeatures, encode_wav
+    t = np.arange(16000)
+    x = (9000 * np.sin(2 * np.pi * 330 * t / 16000)).astype(np.int16)
+    batch = pa.table({
+        "audio_id": pa.array(["wav", "flac", "mp3ish"]),
+        "audio": pa.array([encode_wav(x, 16000), encode_flac(x, 16000),
+                           b"\xff\xfb garbage"], pa.binary()),
+    })
+    out = AudioFeatures()(batch)
+    cols = {c: out[c].to_pylist() for c in out.column_names}
+    assert cols["audio_ok"] == [True, True, False]
+    for f in ("duration_ms", "rms", "peak", "zcr_ppm", "sample_rate"):
+        assert cols[f][0] == cols[f][1], f
+    assert cols["duration_ms"][0] == 1000
