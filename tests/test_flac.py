@@ -235,3 +235,27 @@ def test_fixed_residual_restore_inverse():
     for order in range(5):
         r = _fixed_residual(x, order)
         assert np.array_equal(_fixed_restore(r, x[:order], order), x)
+
+
+# --------------------------------------------------------------------------
+# property: any int16 signal round-trips bit-exactly
+# --------------------------------------------------------------------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.integers(-32768, 32767), min_size=1, max_size=3000),
+           st.sampled_from([1, 2]),
+           st.sampled_from([8000, 44100, 48000]))
+    def test_property_roundtrip(vals, ch, rate):
+        n = (len(vals) // ch) * ch
+        if n == 0:
+            vals = vals * ch
+            n = ch
+        x = np.array(vals[:n], np.int16).reshape(-1, ch)
+        sr, nch, out = decode_flac(encode_flac(x, rate))
+        assert (sr, nch) == (rate, ch)
+        assert np.array_equal(out, x.astype(np.int32))
+except ImportError:  # pragma: no cover
+    pass
