@@ -1519,3 +1519,168 @@ SELECT event_type, count(*) AS n,
        quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99_cents
 FROM events GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# local_supplier_revenue: TPC-H Q5 shape (6 tables, 2 bucketed shuffles)
+# --------------------------------------------------------------------------
+Q5_REGION = "ASIA"
+Q5_DATE_LO = "1996-01-01"
+Q5_DATE_HI = "1998-01-01"
+
+
+def local_supplier_revenue(sf_dir: str):
+    """Revenue per nation from LOCAL supply (customer and supplier in the
+    same nation of one region, orders within a date window) — the TPC-H
+    Q5 join graph: region ⋈ nation ⋈ supplier ⋈ lineitem ⋈ orders ⋈
+    customer. Output (n_name, revenue_cbp, n), revenue in cents ×
+    (100 - discount basis points), integer-exact vs the oracle.
+
+    Physical plan (the 6-way join as 2 bucketed shuffles + broadcasts):
+    - nation ⋈ region (≤25 rows) and supplier→nationkey (1000× smaller
+      than lineitem at every TPC-H SF) broadcast once via ray.put — the
+      supplier map as a flat int32 array indexed by suppkey (vectorized
+      probe, no per-row dict). At extreme SF supplier would graduate to
+      a third bucketed join; the dims never would.
+    - shuffle 1: orders(date-pruned AT THE READ via a parquet filter)
+      ⋈ customer on custkey, bucketed ∝ cluster CPUs.
+    - shuffle 2: that result ⋈ lineitem on orderkey (lineitem rows
+      pre-filtered to in-region suppliers by the broadcast probe, and
+      pre-aggregated nothing — the join is selective); same-nation
+      filter + per-nation partial sums inside the bucket, tiny combine.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    n_buckets = _n_join_buckets()
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    regiont = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {rk for rk, rn in zip(regiont["r_regionkey"].to_pylist(),
+                                  regiont["r_name"].to_pylist())
+             if rn == Q5_REGION}
+    nat_name = {int(k): str(nm) for k, nm, rk in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist(),
+        nation["n_regionkey"].to_pylist()) if int(rk) in rkeys}
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skey = sup["s_suppkey"].to_numpy()
+    snat = sup["s_nationkey"].to_numpy()
+    smap = np.full(int(skey.max()) + 1, -1, dtype=np.int32)
+    in_region = np.isin(snat, np.array(list(nat_name), dtype=snat.dtype))
+    smap[skey[in_region]] = snat[in_region]
+    smap_ref = ray.put(smap)
+    nat_keys = ray.put(set(nat_name))
+
+    lo = _dt.datetime.fromisoformat(Q5_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q5_DATE_HI)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    # ---- shuffle 1: orders ⋈ customer on custkey ----
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"),
+            "bucket": (df["o_custkey"] % n_buckets).astype("int64"),
+            "side": 0,
+            "okey": df["o_orderkey"].astype("int64"),
+            "nat": np.int32(-1),
+        })
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df["c_nationkey"].isin(ray.get(nat_keys))
+        d = df[keep]
+        return pd.DataFrame({
+            "key": d["c_custkey"].astype("int64"),
+            "bucket": (d["c_custkey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "okey": np.int64(0),
+            "nat": d["c_nationkey"].astype("int32"),
+        })
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "okey"]]
+        c = g[g["side"] == 1][["key", "nat"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame({
+            "key": m["okey"].astype("int64"),
+            "bucket": (m["okey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "nat": m["nat"].astype("int32"),
+            "rev": np.int64(0),
+        })
+
+    o_nat = orders.map_batches(tag_orders, batch_format="pandas").union(
+        customer.map_batches(tag_customer, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_cust, batch_format="pandas")
+
+    # ---- shuffle 2: ⋈ lineitem on orderkey, same-nation filter, agg ----
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        arr = ray.get(smap_ref)
+        sk = df["l_suppkey"].to_numpy()
+        nat = np.where(sk < len(arr), arr[np.minimum(sk, len(arr) - 1)],
+                       -1).astype("int32")
+        keep = nat >= 0
+        d = df[keep]
+        price = np.rint(d["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(d["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "key": d["l_orderkey"].astype("int64"),
+            "bucket": (d["l_orderkey"] % n_buckets).astype("int64"),
+            "side": 0,
+            "nat": nat[keep],
+            "rev": price * (100 - disc),
+        })
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "nat", "rev"]]
+        o = g[g["side"] == 1][["key", "nat"]]
+        m = l.merge(o, on="key", suffixes=("_s", "_c"))
+        m = m[m["nat_s"] == m["nat_c"]]
+        out = m.groupby("nat_s", as_index=False).agg(
+            revenue_cbp=("rev", "sum"), n=("rev", "size"))
+        return out.rename(columns={"nat_s": "nat"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("nat", as_index=False).agg(
+            revenue_cbp=("revenue_cbp", "sum"), n=("n", "sum"))
+        return pd.DataFrame({
+            "n_name": out["nat"].map(nat_name),
+            "revenue_cbp": out["revenue_cbp"].astype("int64"),
+            "n": out["n"].astype("int64"),
+        })
+
+    return li.map_batches(tag_li, batch_format="pandas").union(o_nat) \
+        .groupby("bucket").map_groups(join_li, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+LOCAL_SUPPLIER_REVENUE_SQL = f"""
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cbp,
+       count(*) AS n
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
+GROUP BY n_name
+"""
