@@ -92,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_retention": analytics.events_retention,
         "group_value_quantiles": analytics.group_value_quantiles,
         "local_supplier_revenue": analytics.local_supplier_revenue,
+        "orders_rollup": analytics.orders_rollup,
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
@@ -158,6 +159,7 @@ def oracle_sql() -> dict[str, str]:
         "events_retention": analytics.EVENTS_RETENTION_SQL,
         "group_value_quantiles": analytics.GROUP_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
+        "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,

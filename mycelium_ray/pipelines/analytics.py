@@ -1684,3 +1684,64 @@ WHERE r_name = '{Q5_REGION}'
   AND o_orderdate <  TIMESTAMP '{Q5_DATE_HI}'
 GROUP BY n_name
 """
+
+
+# --------------------------------------------------------------------------
+# orders_rollup: GROUP BY ROLLUP via re-aggregation of one partial pass
+# --------------------------------------------------------------------------
+def orders_rollup(sf_dir: str):
+    """(status, priority, n, total_cents) under ROLLUP(status, priority):
+    the detail rows plus per-status subtotals plus the grand total, with
+    'ALL' as the rolled-up marker (COALESCE'd identically in the oracle).
+
+    The distributed shape reads the fact table ONCE: per-batch Arrow
+    partials over the finest grouping (status × priority — bounded
+    cardinality, so the shuffle is metadata-sized), then every coarser
+    level is derived by re-aggregating the tiny partial table in the
+    single combine task — no second scan per grouping set."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"status": t["o_orderstatus"],
+                      "priority": t["o_orderpriority"],
+                      "total_cents": cents}) \
+            .group_by(["status", "priority"]) \
+            .aggregate([("total_cents", "sum"), ([], "count_all")])
+        return pa.table({"status": g["status"], "priority": g["priority"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "total_cents": g["total_cents_sum"]})
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby(["status", "priority"], as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum"))
+        lvl1 = base.groupby("status", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum"))
+        lvl1["priority"] = "ALL"
+        lvl0 = pd.DataFrame({
+            "status": ["ALL"], "priority": ["ALL"],
+            "n": [base["n"].sum()],
+            "total_cents": [base["total_cents"].sum()],
+        })
+        out = pd.concat([base, lvl1, lvl0], ignore_index=True)
+        return out[["status", "priority", "n", "total_cents"]].astype(
+            {"n": "int64", "total_cents": "int64"})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+ORDERS_ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
