@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_value_quantiles": analytics.group_value_quantiles,
         "local_supplier_revenue": analytics.local_supplier_revenue,
         "orders_rollup": analytics.orders_rollup,
+        "events_pivot": analytics.events_pivot,
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
@@ -160,6 +161,7 @@ def oracle_sql() -> dict[str, str]:
         "group_value_quantiles": analytics.GROUP_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
+        "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,

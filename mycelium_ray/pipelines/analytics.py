@@ -1745,3 +1745,60 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS status,
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# events_pivot: long → wide conditional aggregation
+# --------------------------------------------------------------------------
+PIVOT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+
+def events_pivot(sf_dir: str):
+    """One row per user with event-type counts as COLUMNS
+    (n_view/n_click/n_purchase/n_signup/n_error) — the long→wide pivot,
+    distributed as conditional-count partials per batch (an Arrow
+    group_by over (user, type) pivoted in numpy) and one bucketed
+    groupby over user to merge partials; the column set is fixed by the
+    schema, never data-dependent, so the plan is static at any scale."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+    n_buckets = _n_join_buckets()
+
+    def partial(t):
+        import pyarrow as pa
+        g = pa.table({"user_id": t["user_id"],
+                      "event_type": t["event_type"]}) \
+            .group_by(["user_id", "event_type"]) \
+            .aggregate([([], "count_all")])
+        uid = g["user_id"].to_numpy()
+        et = np.asarray(g["event_type"].to_pylist())
+        cnt = g["count_all"].to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(users, pa.int64()),
+                "bucket": pa.array((users.astype("uint64")
+                                    % np.uint64(n_buckets)).astype("int64"))}
+        for ty in PIVOT_TYPES:
+            v = np.zeros(len(users), dtype="int64")
+            m = et == ty
+            np.add.at(v, inv[m], cnt[m])
+            cols[f"n_{ty}"] = pa.array(v, pa.int64())
+        return pa.table(cols)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("user_id", as_index=False)[
+            [f"n_{t}" for t in PIVOT_TYPES]].sum()
+        return out.astype("int64")
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(merge, batch_format="pandas")
+
+
+EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       count(*) FILTER (event_type = 'view') AS n_view,
+       count(*) FILTER (event_type = 'click') AS n_click,
+       count(*) FILTER (event_type = 'purchase') AS n_purchase,
+       count(*) FILTER (event_type = 'signup') AS n_signup,
+       count(*) FILTER (event_type = 'error') AS n_error
+FROM events GROUP BY user_id
+"""
