@@ -83,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_join": analytics.events_asof_join,
         "events_rolling_avg": analytics.events_rolling_avg,
         "customers_no_urgent_orders": analytics.customers_no_urgent_orders,
+        "customers_with_urgent_orders": analytics.customers_with_urgent_orders,
         "events_error_burst": analytics.events_error_burst,
         "value_percentiles": analytics.value_percentiles,
         "segment_revenue_topk": analytics.segment_revenue_topk,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_join": analytics.EVENTS_ASOF_SQL,
         "events_rolling_avg": analytics.EVENTS_ROLLING_AVG_SQL,
         "customers_no_urgent_orders": analytics.CUSTOMERS_NO_URGENT_SQL,
+        "customers_with_urgent_orders": analytics.CUSTOMERS_WITH_URGENT_SQL,
         "events_error_burst": analytics.EVENTS_ERROR_BURST_SQL,
         "value_percentiles": analytics.VALUE_PERCENTILES_SQL,
         "segment_revenue_topk": analytics.SEGMENT_REVENUE_SQL,

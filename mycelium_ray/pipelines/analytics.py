@@ -1802,3 +1802,62 @@ SELECT user_id,
        count(*) FILTER (event_type = 'error') AS n_error
 FROM events GROUP BY user_id
 """
+
+
+# --------------------------------------------------------------------------
+# semi-join: customers WITH ≥1 urgent order (EXISTS — the anti-join's dual)
+# --------------------------------------------------------------------------
+def customers_with_urgent_orders(sf_dir: str):
+    """(c_custkey, c_name) of customers having at least one 1-URGENT
+    order — the distributed EXISTS/semi-join, same bucketed shape as
+    the anti-join (customers_no_urgent_orders) with the membership test
+    inverted; the build side is pre-deduplicated per batch so the
+    shuffle carries distinct keys, not order rows."""
+    n_buckets = _n_join_buckets()
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+    import pyarrow.compute as pc
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"],
+                             filter=pc.field("o_orderpriority")
+                             == "1-URGENT")
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["c_custkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key, "name": df["c_name"].astype("object"),
+            "side": np.zeros(len(df), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(df["o_custkey"].to_numpy().astype("int64"))
+        return pd.DataFrame({
+            "key": key, "name": pd.Series([""] * len(key), dtype="object"),
+            "side": np.ones(len(key), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == 1, "key"].to_numpy()
+        c = g[g["side"] == 0]
+        keep = c[c["key"].isin(have)]
+        return pd.DataFrame({
+            "c_custkey": keep["key"].to_numpy().astype("int64"),
+            "c_name": keep["name"].to_numpy(),
+        })
+
+    return cust.map_batches(tag_cust, batch_format="pandas") \
+        .union(orders.map_batches(tag_orders, batch_format="pandas")) \
+        .groupby("bucket").map_groups(semi, batch_format="pandas")
+
+
+CUSTOMERS_WITH_URGENT_SQL = """
+SELECT c.c_custkey, c.c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_orderpriority = '1-URGENT')
+"""
