@@ -95,6 +95,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": analytics.local_supplier_revenue,
         "orders_rollup": analytics.orders_rollup,
         "events_pivot": analytics.events_pivot,
+        "promo_revenue_share": analytics.promo_revenue_share,
+        "large_orders": analytics.large_orders,
+        "linestatus_priority_counts": analytics.linestatus_priority_counts,
+        "events_lag_diff": analytics.events_lag_diff,
+        "user_cumulative_value": analytics.user_cumulative_value,
+        "top_orders_per_customer": analytics.top_orders_per_customer,
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
@@ -102,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_pack": textops.sequence_pack,
         "chunk_documents": textops.chunk_documents,
         "length_percentile_filter": textops.length_percentile_filter,
+        "bigram_topk": textops.bigram_topk,
         "bpe_tokenize": tokenize.bpe_tokenize,   # rows-only (iterative
                                                  # merge training)
         "dsir_resample": dsir.dsir_resample,     # rows-only (hashed
@@ -164,6 +171,13 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
+        "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
+        "large_orders": analytics.LARGE_ORDERS_SQL,
+        "linestatus_priority_counts": analytics.LINESTATUS_PRIORITY_SQL,
+        "events_lag_diff": analytics.EVENTS_LAG_DIFF_SQL,
+        "user_cumulative_value": analytics.USER_CUMULATIVE_SQL,
+        "top_orders_per_customer": analytics.TOP_ORDERS_PER_CUST_SQL,
+        "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,

@@ -1861,3 +1861,420 @@ WHERE EXISTS (SELECT 1 FROM orders o
               WHERE o.o_custkey = c.c_custkey
                 AND o.o_orderpriority = '1-URGENT')
 """
+
+
+# --------------------------------------------------------------------------
+# promo_revenue_share (TPC-H Q14 shape): lineitem ⋈ part on partkey, share
+# of revenue from PROMO-type parts. Same partitioned-hash-join pattern as
+# revenue_by_priority (bucket = key % B, B ∝ CPUs), but the join output is
+# reduced to two conditional int64 cents sums INSIDE each bucket group, so
+# only B tiny rows reach the final one-task combine. Reference analog:
+# none (no relational joins in mycelium, SURVEY §2.4) — this is an added
+# training-corpus analytics shape.
+# --------------------------------------------------------------------------
+def promo_revenue_share(sf_dir: str):
+    """One row: (promo_revenue_cents, total_revenue_cents, promo_share).
+    Revenue is exact int64 cents×(100-disc); the share is one IEEE
+    division of the two exact sums, so it hash-compares exactly."""
+    n_buckets = _n_join_buckets()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_extendedprice",
+                                  "l_discount"])
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_type"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        key = df["l_partkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+            "side": np.zeros(len(df), dtype="int64"),
+            "rev_c": price * (100 - disc),
+            "promo": np.zeros(len(df), dtype="bool"),
+        })
+
+    def tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["p_partkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+            "side": np.ones(len(df), dtype="int64"),
+            "rev_c": np.zeros(len(df), dtype="int64"),
+            "promo": (df["p_type"] == "PROMO").to_numpy(),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "rev_c"]]
+        p = g[g["side"] == 1][["key", "promo"]]
+        m = l.merge(p, on="key")
+        promo_c = int(m.loc[m["promo"], "rev_c"].sum())
+        total_c = int(m["rev_c"].sum())
+        return pd.DataFrame({"promo_c": [promo_c], "total_c": [total_c]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        promo_c = int(df["promo_c"].sum())
+        total_c = int(df["total_c"].sum())
+        return pd.DataFrame({
+            "promo_revenue_cents": pd.Series([promo_c], dtype="int64"),
+            "total_revenue_cents": pd.Series([total_c], dtype="int64"),
+            "promo_share": [promo_c / total_c if total_c else 0.0],
+        })
+
+    return li.map_batches(tag_li, batch_format="pandas") \
+        .union(part.map_batches(tag_part, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+PROMO_REVENUE_SQL = """
+WITH j AS (
+  SELECT CAST(round(l.l_extendedprice * 100) AS BIGINT)
+         * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_c,
+         p.p_type = 'PROMO' AS promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+)
+SELECT CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS BIGINT)
+         AS promo_revenue_cents,
+       CAST(sum(rev_c) AS BIGINT) AS total_revenue_cents,
+       CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS DOUBLE)
+         / CAST(sum(rev_c) AS DOUBLE) AS promo_share
+FROM j
+"""
+
+
+# --------------------------------------------------------------------------
+# large_orders (TPC-H Q18 shape): orders whose total lineitem quantity
+# exceeds a threshold, joined back to orders + customer. The 100-TB shape:
+#
+#   pass 1: per-batch partial (orderkey, qty) sums → bucketed groupby →
+#     per-bucket exact sums, HAVING filter applied INSIDE the bucket group
+#     so only the (provably tiny — 99.9th-percentile threshold) winner set
+#     leaves the shuffle;
+#   pass 2: winners broadcast once via ray.put; the orders scan keeps only
+#     winner orderkeys (map-side semi-join, no shuffle);
+#   pass 3: the filtered orders (bounded by the winner set) broadcast
+#     against the customer scan — another map-side join.
+#
+# Nothing larger than the winner set ever leaves a worker, and no
+# all-to-all exchange touches the big tables beyond the one bucketed
+# pre-aggregation.
+# --------------------------------------------------------------------------
+LARGE_ORDER_QTY_C = 29000  # qty*100 > 290 units ≈ 99.6th pct of the corpus
+
+
+def large_orders(sf_dir: str, qty_c: int = LARGE_ORDER_QTY_C):
+    """(c_custkey, c_name, o_orderkey, total_qty_c, o_totalprice_cents)
+    for orders with sum(l_quantity)*100 > qty_c."""
+    import ray
+    n_buckets = _n_join_buckets()
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_quantity"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        q = np.rint(df["l_quantity"].to_numpy() * 100).astype("int64")
+        g = pd.DataFrame({"key": df["l_orderkey"].astype("int64"),
+                          "qty_c": q}) \
+            .groupby("key", as_index=False)["qty_c"].sum()
+        g["bucket"] = (g["key"].to_numpy().astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64")
+        return g
+
+    def winners_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("key", as_index=False)["qty_c"].sum()
+        s = s[s["qty_c"] > qty_c]
+        return pd.DataFrame({"o_orderkey": s["key"].astype("int64"),
+                             "total_qty_c": s["qty_c"].astype("int64")})
+
+    win = li.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(winners_of_bucket,
+                                      batch_format="pandas").to_pandas()
+    win_ref = ray.put(win)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey",
+                                      "o_totalprice"])
+
+    def keep_winners(df: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(win_ref)
+        m = df.merge(w, left_on="o_orderkey", right_on="o_orderkey")
+        return pd.DataFrame({
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "o_custkey": m["o_custkey"].astype("int64"),
+            "total_qty_c": m["total_qty_c"].astype("int64"),
+            "o_totalprice_cents": np.rint(
+                m["o_totalprice"].to_numpy() * 100).astype("int64"),
+        })
+
+    big = orders.map_batches(keep_winners, batch_format="pandas") \
+        .to_pandas()
+    big_ref = ray.put(big)
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_name"])
+
+    def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(big_ref)
+        m = df.merge(b, left_on="c_custkey", right_on="o_custkey")
+        return pd.DataFrame({
+            "c_custkey": m["c_custkey"].astype("int64"),
+            "c_name": m["c_name"].astype("object"),
+            "o_orderkey": m["o_orderkey"].astype("int64"),
+            "total_qty_c": m["total_qty_c"].astype("int64"),
+            "o_totalprice_cents": m["o_totalprice_cents"].astype("int64"),
+        })
+
+    return cust.map_batches(attach_cust, batch_format="pandas")
+
+
+LARGE_ORDERS_SQL = f"""
+WITH q AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS total_qty_c
+  FROM lineitem GROUP BY l_orderkey
+  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > {LARGE_ORDER_QTY_C}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey, q.total_qty_c,
+       CAST(round(o.o_totalprice * 100) AS BIGINT) AS o_totalprice_cents
+FROM q JOIN orders o ON o.o_orderkey = q.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# linestatus_priority_counts (TPC-H Q12 shape): lineitem (date-windowed at
+# the parquet scan) ⋈ orders on orderkey, conditional line counts per
+# linestatus by order priority class. The date predicate is pushed into
+# the read so only the window's row-groups leave storage; the join is the
+# bucketed pattern with the conditional counts folded per bucket.
+# --------------------------------------------------------------------------
+_Q12_LO = "1997-01-01"
+_Q12_HI = "1998-01-01"
+
+
+def linestatus_priority_counts(sf_dir: str):
+    """(l_linestatus, high_line_count, low_line_count) over lineitems
+    shipped within [1997-01-01, 1998-01-01); high = order priority in
+    {1-URGENT, 2-HIGH}."""
+    from datetime import datetime
+    import pyarrow.compute as pc
+    n_buckets = _n_join_buckets()
+    lo = datetime(1997, 1, 1)
+    hi = datetime(1998, 1, 1)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"],
+        filter=(pc.field("l_shipdate") >= lo) & (pc.field("l_shipdate") < hi))
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["l_orderkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+            "side": np.zeros(len(df), dtype="int64"),
+            "status": df["l_linestatus"].astype("object"),
+            "high": np.zeros(len(df), dtype="bool"),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+            "side": np.ones(len(df), dtype="int64"),
+            "status": pd.Series([""] * len(df), dtype="object"),
+            "high": df["o_orderpriority"].isin(
+                ["1-URGENT", "2-HIGH"]).to_numpy(),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "status"]]
+        o = g[g["side"] == 1][["key", "high"]]
+        m = l.merge(o, on="key")
+        if len(m) == 0:
+            return pd.DataFrame({
+                "l_linestatus": pd.Series([], dtype="object"),
+                "high_line_count": pd.Series([], dtype="int64"),
+                "low_line_count": pd.Series([], dtype="int64")})
+        out = m.groupby("status", as_index=False).agg(
+            high_line_count=("high", "sum"),
+            low_line_count=("high", lambda s: int((~s).sum())))
+        out["high_line_count"] = out["high_line_count"].astype("int64")
+        out["low_line_count"] = out["low_line_count"].astype("int64")
+        return out.rename(columns={"status": "l_linestatus"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("l_linestatus", as_index=False).agg(
+            high_line_count=("high_line_count", "sum"),
+            low_line_count=("low_line_count", "sum"))
+
+    return li.map_batches(tag_li, batch_format="pandas") \
+        .union(orders.map_batches(tag_orders, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+LINESTATUS_PRIORITY_SQL = f"""
+SELECT l.l_linestatus,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '{_Q12_LO}'
+  AND l.l_shipdate < TIMESTAMP '{_Q12_HI}'
+GROUP BY l.l_linestatus
+"""
+
+
+# --------------------------------------------------------------------------
+# Window-function family over hash-bucketed per-key groups. All three
+# follow the events_rolling_avg partitioning assumption — a key (user /
+# customer) is wholly inside one bucket, so per-key windows never cross
+# groups — and each per-bucket kernel is one vectorized pandas pass.
+# --------------------------------------------------------------------------
+def events_lag_diff(sf_dir: str):
+    """(event_id, user_id, gap_us) — microseconds since the same user's
+    previous event (ts, event_id order); first event per user → -1.
+    The LAG window function, distributed by user hash bucket."""
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "bucket": (df["user_id"].to_numpy().astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def lag_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        prev = g.groupby("user_id")["us"].shift(1)
+        gap = (g["us"] - prev).fillna(-1).astype("int64")
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "gap_us": gap})
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(lag_bucket, batch_format="pandas")
+
+
+EVENTS_LAG_DIFF_SQL = """
+SELECT event_id, user_id,
+       coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us
+FROM events
+"""
+
+
+def user_cumulative_value(sf_dir: str):
+    """(event_id, user_id, cum_cents) — running int64-cents total of
+    `value` per user in (ts, event_id) order. The cumulative-SUM window,
+    exact under any distribution because cents are integers and a user's
+    rows are totally ordered inside one bucket group."""
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id", "value"])
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "cents": np.rint(df["value"].to_numpy() * 100).astype("int64"),
+            "bucket": (df["user_id"].to_numpy().astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def cum_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort").reset_index(drop=True)
+        cum = g.groupby("user_id")["cents"].cumsum().astype("int64")
+        return pd.DataFrame({"event_id": g["event_id"],
+                             "user_id": g["user_id"],
+                             "cum_cents": cum})
+
+    return ds.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(cum_bucket, batch_format="pandas")
+
+
+USER_CUMULATIVE_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_cents
+FROM e
+"""
+
+
+TOP_ORDERS_PER_CUST = 2
+
+
+def top_orders_per_customer(sf_dir: str, k: int = TOP_ORDERS_PER_CUST):
+    """(o_custkey, o_orderkey, price_cents, rnk) — each customer's top-k
+    orders by totalprice (ties by orderkey asc). ROW_NUMBER per group,
+    distributed as: per-batch partial top-k per custkey (bounds shuffle
+    rows at k per customer per batch) → custkey-bucket groupby → exact
+    per-customer rank inside the bucket group."""
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "o_custkey": df["o_custkey"].astype("int64"),
+            "o_orderkey": df["o_orderkey"].astype("int64"),
+            "price_cents": np.rint(
+                df["o_totalprice"].to_numpy() * 100).astype("int64"),
+        })
+        out = out.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+        out = out.groupby("o_custkey", as_index=False).head(k)
+        out["bucket"] = (out["o_custkey"].to_numpy().astype("uint64")
+                         % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "price_cents", "o_orderkey"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+        rnk = g.groupby("o_custkey").cumcount() + 1
+        g = g.assign(rnk=rnk.astype("int64"))
+        g = g[g["rnk"] <= k]
+        return g[["o_custkey", "o_orderkey", "price_cents", "rnk"]]
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+TOP_ORDERS_PER_CUST_SQL = f"""
+WITH r AS (
+  SELECT o_custkey, o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY CAST(round(o_totalprice * 100)
+                                          AS BIGINT) DESC,
+                                     o_orderkey ASC) AS rnk
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, price_cents, CAST(rnk AS BIGINT) AS rnk
+FROM r WHERE rnk <= {TOP_ORDERS_PER_CUST}
+"""

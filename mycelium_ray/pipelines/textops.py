@@ -986,3 +986,69 @@ WITH lens AS (
 SELECT doc_id, n_chars_c FROM lens, q
 WHERE n_chars_c BETWEEN lo AND hi
 """
+
+
+# --------------------------------------------------------------------------
+# bigram_topk: corpus-wide top-k adjacent word pairs — the n-gram statistic
+# a tokenizer-training / contamination-analysis pass needs. Same
+# partial-count shape as word_count_topk, but pairing must respect
+# document boundaries: tokens are flattened WITH a repeated doc index and
+# adjacent-token pairs are formed only where the doc index matches —
+# all numpy on the flattened arrays, never a per-document Python loop.
+# --------------------------------------------------------------------------
+BIGRAM_TOPK = 20
+
+
+def bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK):
+    """(bigram, n, rank) for the k most frequent token bigrams,
+    (n desc, bigram asc)-ordered."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(pc.fill_null(t["text"], ""))
+        lists = pc.split_pattern_regex(text, "[^a-z0-9]+").combine_chunks()
+        lens = pc.list_value_length(lists).to_numpy()
+        v = lists.flatten().to_numpy(zero_copy_only=False)
+        d = np.repeat(np.arange(len(lens), dtype="int64"), lens)
+        keep = v != ""          # split() emits empty boundary tokens
+        v, d = v[keep], d[keep]
+        if len(v) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = d[1:] == d[:-1]  # pair only within one document
+        big = pd.Series(v[:-1][same]) + " " + pd.Series(v[1:][same])
+        vc = big.value_counts()
+        return pa.table({"bigram": pa.array(vc.index, pa.string()),
+                         "n": pa.array(vc.to_numpy(), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("bigram").aggregate(Sum("n", alias_name="n"))
+
+    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["n", "bigram"],
+                              ascending=[False, True]).head(k)
+
+    pdf = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
+    pdf = pdf.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype="int64")
+    return pa.Table.from_pandas(pdf.reset_index(drop=True),
+                                preserve_index=False)
+
+
+BIGRAM_TOPK_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                     x -> x <> '') AS l
+  FROM documents
+), bg AS (
+  SELECT l[i] || ' ' || l[i + 1] AS bigram
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) g
+), c AS (
+  SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+)
+SELECT bigram, n,
+       row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
+FROM c ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_TOPK}
+"""
