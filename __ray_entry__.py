@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_lag_diff": analytics.events_lag_diff,
         "user_cumulative_value": analytics.user_cumulative_value,
         "top_orders_per_customer": analytics.top_orders_per_customer,
+        "rich_idle_customers": analytics.rich_idle_customers,
+        "distinct_users_per_type": analytics.distinct_users_per_type,
+        "user_mode_event_type": analytics.user_mode_event_type,
+        "event_type_value_stats": analytics.event_type_value_stats,
         "pagerank": graph.pagerank,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
@@ -177,6 +181,10 @@ def oracle_sql() -> dict[str, str]:
         "events_lag_diff": analytics.EVENTS_LAG_DIFF_SQL,
         "user_cumulative_value": analytics.USER_CUMULATIVE_SQL,
         "top_orders_per_customer": analytics.TOP_ORDERS_PER_CUST_SQL,
+        "rich_idle_customers": analytics.RICH_IDLE_CUSTOMERS_SQL,
+        "distinct_users_per_type": analytics.DISTINCT_USERS_PER_TYPE_SQL,
+        "user_mode_event_type": analytics.USER_MODE_EVENT_TYPE_SQL,
+        "event_type_value_stats": analytics.EVENT_TYPE_VALUE_STATS_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,

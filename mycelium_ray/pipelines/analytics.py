@@ -2278,3 +2278,247 @@ WITH r AS (
 SELECT o_custkey, o_orderkey, price_cents, CAST(rnk AS BIGINT) AS rnk
 FROM r WHERE rnk <= {TOP_ORDERS_PER_CUST}
 """
+
+
+# --------------------------------------------------------------------------
+# rich_idle_customers (TPC-H Q22 shape): a global scalar subquery (average
+# positive account balance) gating a predicate, composed with an anti-join
+# (customers with no orders). Distributed shape:
+#
+#   scalar: one scan folds per-batch (sum_cents, n) partials → a single
+#     broadcastable float threshold (two ints cross the driver, not rows);
+#   anti-join: the customers_no_urgent_orders bucket pattern, with the
+#     threshold filter applied map-side BEFORE the shuffle so only
+#     above-average customers move.
+# --------------------------------------------------------------------------
+def rich_idle_customers(sf_dir: str):
+    """(c_custkey, acctbal_cents) of customers whose balance exceeds the
+    average positive balance and who have placed no 1-URGENT order (the
+    anti-join side is priority-filtered at the parquet scan so the result
+    is non-trivial at every sf — the synthetic corpus gives every
+    customer at least one order)."""
+    import pyarrow.compute as pc
+    n_buckets = _n_join_buckets()
+    cust_bal = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_acctbal"])
+
+    def bal_partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype("int64")
+        pos = cents[cents > 0]
+        return pd.DataFrame({"s": [int(pos.sum())], "n": [len(pos)]})
+
+    parts = cust_bal.map_batches(bal_partial,
+                                 batch_format="pandas").to_pandas()
+    total_s, total_n = int(parts["s"].sum()), int(parts["n"].sum())
+    # one IEEE division of two exact ints — bit-identical to the oracle's
+    # avg() computed the same way
+    thresh = total_s / total_n if total_n else 0.0
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"],
+                             filter=pc.field("o_orderpriority")
+                             == "1-URGENT")
+
+    def tag_cust(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["c_acctbal"].to_numpy() * 100).astype("int64")
+        keep = cents > thresh          # map-side gate BEFORE the shuffle
+        key = df["c_custkey"].to_numpy().astype("int64")[keep]
+        return pd.DataFrame({
+            "key": key, "cents": cents[keep],
+            "side": np.zeros(len(key), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = np.unique(df["o_custkey"].to_numpy().astype("int64"))
+        return pd.DataFrame({
+            "key": key, "cents": np.zeros(len(key), dtype="int64"),
+            "side": np.ones(len(key), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def anti(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["side"] == 1, "key"].to_numpy()
+        c = g[g["side"] == 0]
+        keep = c[~c["key"].isin(have)]
+        return pd.DataFrame({
+            "c_custkey": keep["key"].to_numpy().astype("int64"),
+            "acctbal_cents": keep["cents"].to_numpy().astype("int64"),
+        })
+
+    return cust_bal.map_batches(tag_cust, batch_format="pandas") \
+        .union(orders.map_batches(tag_orders, batch_format="pandas")) \
+        .groupby("bucket").map_groups(anti, batch_format="pandas")
+
+
+RICH_IDLE_CUSTOMERS_SQL = """
+WITH c AS (
+  SELECT c_custkey,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer
+), t AS (
+  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS thresh
+  FROM c WHERE cents > 0
+)
+SELECT c.c_custkey, c.cents AS acctbal_cents
+FROM c, t
+WHERE c.cents > t.thresh
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+"""
+
+
+# --------------------------------------------------------------------------
+# distinct_users_per_type: EXACT count(distinct) per group — the exact dual
+# of distinct_users_hll. Raw rows never shuffle: each batch pre-dedups its
+# (type, user) pairs, the pair stream hash-buckets on user so the SECOND
+# dedup is local to a group, and only (type, partial_count) rows reach the
+# final tiny combine. Shuffle volume ≤ distinct pairs, not events.
+# --------------------------------------------------------------------------
+def distinct_users_per_type(sf_dir: str):
+    """(event_type, n_users) with n_users = exact distinct user count."""
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        p = df.drop_duplicates(["event_type", "user_id"])
+        u = p["user_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "event_type": p["event_type"].astype("object"),
+            "user_id": u,
+            "bucket": (u.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates(["event_type", "user_id"]) \
+            .groupby("event_type", as_index=False).size()
+        return pd.DataFrame({"event_type": c["event_type"],
+                             "n_users": c["size"].astype("int64")})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby("event_type", as_index=False).agg(
+            n_users=("n_users", "sum"))
+
+    return ds.map_batches(pair_dedup, batch_format="pandas") \
+        .groupby("bucket").map_groups(count_bucket, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+DISTINCT_USERS_PER_TYPE_SQL = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# user_mode_event_type: per-group MODE (most frequent value, ties broken
+# by value asc). Per-batch (user, type) partial counts bound the shuffle
+# at |users|×|types| per batch; the user-bucket groupby sums partials and
+# takes the argmax inside one vectorized sort+head pass.
+# --------------------------------------------------------------------------
+def user_mode_event_type(sf_dir: str):
+    """(user_id, mode_type, n) — each user's most frequent event type."""
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        c = df.groupby(["user_id", "event_type"], as_index=False).size()
+        u = c["user_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "user_id": u, "event_type": c["event_type"],
+            "n": c["size"].astype("int64"),
+            "bucket": (u.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def mode_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby(["user_id", "event_type"], as_index=False)["n"].sum()
+        s = s.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True], kind="mergesort")
+        top = s.groupby("user_id", as_index=False).head(1)
+        return pd.DataFrame({
+            "user_id": top["user_id"].astype("int64"),
+            "mode_type": top["event_type"].astype("object"),
+            "n": top["n"].astype("int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(mode_bucket, batch_format="pandas")
+
+
+USER_MODE_EVENT_TYPE_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY count(*) DESC, event_type ASC) AS rnk
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS mode_type, n FROM c WHERE rnk = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# event_type_value_stats: per-group variance from EXACT integer moment
+# partials — (n, sum_cents, sumsq_cents) fold per batch as int64, combine
+# by +, and the float variance is derived at the end with a PINNED
+# evaluation order ((sumsq - sum·sum/n)/n on doubles) mirrored verbatim
+# in the oracle SQL, so even the IEEE results hash-compare exactly.
+# Shuffle volume: one row per (type, batch). sumsq fits int64 through
+# sf100 (cents² ≤ 1e10 × 1e7 rows/type = 1e17 < 2^63).
+# --------------------------------------------------------------------------
+def event_type_value_stats(sf_dir: str):
+    """(event_type, n, sum_cents, sumsq_cents, var_pop)."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "c": cents, "c2": cents * cents})
+        g = t.groupby("event_type", as_index=False).agg(
+            n=("c", "size"), sum_cents=("c", "sum"),
+            sumsq_cents=("c2", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_cents", alias_name="sum_cents"),
+            Sum("sumsq_cents", alias_name="sumsq_cents"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype("float64")
+        s = df["sum_cents"].to_numpy().astype("float64")
+        s2 = df["sumsq_cents"].to_numpy().astype("float64")
+        df = df.copy()
+        # pinned order: (s2 - s*s/n)/n, all doubles
+        df["var_pop"] = (s2 - s * s / n) / n
+        return df
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+EVENT_TYPE_VALUE_STATS_SQL = """
+WITH e AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS sum_cents,
+         CAST(sum(c * c) AS BIGINT) AS sumsq_cents
+  FROM e GROUP BY event_type
+)
+SELECT event_type, n, sum_cents, sumsq_cents,
+       (CAST(sumsq_cents AS DOUBLE)
+        - CAST(sum_cents AS DOUBLE) * CAST(sum_cents AS DOUBLE)
+          / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_pop
+FROM m
+"""
