@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event_type": analytics.user_mode_event_type,
         "event_type_value_stats": analytics.event_type_value_stats,
         "pagerank": graph.pagerank,
+        "triangle_count": graph.triangle_count,
         "word_count_topk": textops.word_count_topk,
         "sample_per_source": textops.sample_per_source,
         "train_test_split": textops.train_test_split,
@@ -113,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textops.chunk_documents,
         "length_percentile_filter": textops.length_percentile_filter,
         "bigram_topk": textops.bigram_topk,
+        "doc_length_histogram": textops.doc_length_histogram,
         "bpe_tokenize": tokenize.bpe_tokenize,   # rows-only (iterative
                                                  # merge training)
         "dsir_resample": dsir.dsir_resample,     # rows-only (hashed
@@ -186,7 +188,9 @@ def oracle_sql() -> dict[str, str]:
         "user_mode_event_type": analytics.USER_MODE_EVENT_TYPE_SQL,
         "event_type_value_stats": analytics.EVENT_TYPE_VALUE_STATS_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
+        "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "pagerank": graph.PAGERANK_SQL,
+        "triangle_count": graph.TRIANGLE_COUNT_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,
         "sample_per_source": textops.SAMPLE_PER_SOURCE_SQL,
         "train_test_split": textops.TRAIN_TEST_SPLIT_SQL,

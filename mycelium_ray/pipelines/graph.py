@@ -206,3 +206,109 @@ r{i} AS (
 
 
 PAGERANK_SQL = _pagerank_sql()
+
+
+# --------------------------------------------------------------------------
+# triangle_count: distributed undirected triangle counting — the standard
+# two-shuffle algorithm (wedge generation at the low-id endpoint, then a
+# closing-edge hash join), the graph-analytics benchmark a link-graph
+# pipeline needs beyond PageRank. The test graph is a deterministic
+# circulant (doc d ~ d±1, d±2, d±3 mod N ⇒ exactly 3N triangles), so the
+# count is oracle-checkable; the operator itself never assumes that
+# structure.
+#
+# Scale shape: edges oriented low→high id; wedges (b, c) are generated
+# per low endpoint a inside an a-hash-bucket group (wedge count is
+# Σ deg(a)², the algorithm's known cost), then hash on the packed (b, c)
+# key against the oriented edge set — both shuffles ∝ cluster CPUs, and
+# a high-degree hub would be mitigated by degree-ordering orientation
+# (here: id order, degree-uniform graph).
+# --------------------------------------------------------------------------
+TRI_OFFSETS = (1, 2, 3)
+
+
+def triangle_count(sf_dir: str):
+    """One row: (n_triangles,) over the derived circulant graph."""
+    n_buckets = _n_join_buckets()
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n = docs.count()
+
+    def gen_edges(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["doc_id"].to_numpy(dtype="int64")
+        us = np.repeat(u, len(TRI_OFFSETS))
+        js = np.tile(np.array(TRI_OFFSETS, dtype="int64"), len(u))
+        vs = (us + js) % n
+        keep = us != vs
+        us, vs = us[keep], vs[keep]
+        a = np.minimum(us, vs)            # orient low → high
+        b = np.maximum(us, vs)
+        out = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        out["bucket"] = (out["a"].to_numpy().astype("uint64")
+                         % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    edges = docs.map_batches(gen_edges, batch_format="pandas") \
+        .materialize()  # reused by both shuffles below
+
+    def wedges_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the wrap-around edges (0, N-k) can arrive from two generating
+        # batches — dedup per a-group before pairing
+        g = g.drop_duplicates(["a", "b"])
+        m = g.merge(g, on="a", suffixes=("1", "2"))
+        m = m[m["b1"] < m["b2"]]          # unordered neighbor pair, once
+        key = _pack_ab(m["b1"].to_numpy(), m["b2"].to_numpy())
+        return pd.DataFrame({
+            "k": key,
+            "w": np.ones(len(m), dtype="int64"),
+            "kbucket": (key.astype("uint64")
+                        % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    wedges = edges.groupby("bucket").map_groups(wedges_of_bucket,
+                                                batch_format="pandas")
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(["a", "b"])
+        key = _pack_ab(df["a"].to_numpy(), df["b"].to_numpy())
+        return pd.DataFrame({
+            "k": key,
+            "w": np.zeros(len(df), dtype="int64"),  # w=0 marks edge side
+            "kbucket": (key.astype("uint64")
+                        % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # a wedge (b, c) is a triangle iff the oriented edge (b, c) exists
+        have = np.unique(g.loc[g["w"] == 0, "k"].to_numpy())
+        nw = g[g["w"] == 1]
+        n_tri = int(nw["k"].isin(have).sum())
+        return pd.DataFrame({"n": [n_tri]})
+
+    counts = wedges.union(edges.map_batches(edge_keys,
+                                            batch_format="pandas")) \
+        .groupby("kbucket").map_groups(close_bucket, batch_format="pandas")
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n_triangles": pd.Series([int(df["n"].sum())],
+                                                      dtype="int64")})
+
+    return counts.repartition(1).map_batches(total, batch_format="pandas")
+
+
+def _pack_ab(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype("int64") << 32) | b.astype("int64")
+
+
+TRIANGLE_COUNT_SQL = """
+WITH raw AS (
+  SELECT d.doc_id AS u,
+         (d.doc_id + j.j) % (SELECT count(*) FROM documents) AS v
+  FROM documents d, (VALUES (1), (2), (3)) j(j)
+), e AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM raw WHERE u <> v
+)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+     JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+"""

@@ -1052,3 +1052,36 @@ SELECT bigram, n,
        row_number() OVER (ORDER BY n DESC, bigram ASC) AS rank
 FROM c ORDER BY n DESC, bigram ASC LIMIT {BIGRAM_TOPK}
 """
+
+
+# --------------------------------------------------------------------------
+# doc_length_histogram: corpus length profile — the first diagnostic a
+# training-data pass runs. Per-batch bucket counts (one row per occupied
+# bucket per batch) → tiny groupby sum; shuffle ∝ buckets, never rows.
+# --------------------------------------------------------------------------
+LEN_HIST_BUCKET = 100  # chars per bucket
+
+
+def doc_length_histogram(sf_dir: str):
+    """(len_bucket, n_docs) with len_bucket = floor(len(text)/100)."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(pc.fill_null(t["text"], "")).to_numpy()
+        b = (ln // LEN_HIST_BUCKET).astype("int64")
+        vals, cnt = np.unique(b, return_counts=True)
+        return pa.table({"len_bucket": pa.array(vals, pa.int64()),
+                         "n_docs": pa.array(cnt.astype("int64"),
+                                            pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return _read(sf_dir, "documents", ["text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("len_bucket").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+DOC_LENGTH_HISTOGRAM_SQL = f"""
+SELECT CAST(length(text) // {LEN_HIST_BUCKET} AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY len_bucket
+"""
