@@ -1085,3 +1085,81 @@ SELECT CAST(length(text) // {LEN_HIST_BUCKET} AS BIGINT) AS len_bucket,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM documents GROUP BY len_bucket
 """
+
+
+# --------------------------------------------------------------------------
+# global_length_rank: ROW_NUMBER over a GLOBAL total order (length desc,
+# doc_id asc) — the distributed total-sort/rank shape — without a full
+# range-partitioned sort. Pass 1 folds per-batch length histograms (one
+# row per distinct length per batch); the driver cumsums the bounded
+# distinct-length table into prefix offsets and broadcasts it. Pass 2
+# buckets rows BY LENGTH so each group owns one contiguous rank range:
+# rank = offset(len) + position of doc_id within the equal-length group.
+# Shuffle volume: pass 1 ∝ distinct lengths, pass 2 one row per doc into
+# ∝-CPU buckets (each length's group is small; a skewed single length
+# would be salted by doc_id range with offsets accumulated per sub-range).
+# --------------------------------------------------------------------------
+def global_length_rank(sf_dir: str):
+    """(doc_id, n_chars, rank) with rank = global ROW_NUMBER ordered by
+    (n_chars desc, doc_id asc)."""
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def with_len(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(pc.fill_null(t["text"], "")),
+                               pa.int64()),
+        })
+
+    lens = ds.map_batches(with_len, batch_format="pyarrow").materialize()
+
+    def hist(t: pa.Table) -> pa.Table:
+        vals, cnt = np.unique(t["n_chars"].to_numpy(), return_counts=True)
+        return pa.table({"n_chars": pa.array(vals, pa.int64()),
+                         "n": pa.array(cnt.astype("int64"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+    h = lens.map_batches(hist, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("n", alias_name="n")).to_pandas()
+    h = h.sort_values("n_chars", ascending=False).reset_index(drop=True)
+    # offset(len) = #rows with a strictly greater length (0-based)
+    h["offset"] = h["n"].cumsum().shift(1).fillna(0).astype("int64")
+    offsets = dict(zip(h["n_chars"].to_numpy(), h["offset"].to_numpy()))
+    off_ref = ray.put(offsets)
+
+    n_buckets = h.shape[0] if h.shape[0] > 0 else 1
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        ln = df["n_chars"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype("int64"),
+            "n_chars": ln,
+            "bucket": (ln.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True],
+                          kind="mergesort").reset_index(drop=True)
+        within = g.groupby("n_chars").cumcount().to_numpy()
+        base = g["n_chars"].map(off).to_numpy().astype("int64")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"],
+            "n_chars": g["n_chars"],
+            "rank": base + within + 1,
+        })
+
+    return lens.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
+
+
+GLOBAL_LENGTH_RANK_SQL = """
+SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+       row_number() OVER (ORDER BY length(text) DESC, doc_id ASC) AS rank
+FROM documents
+"""
