@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": analytics.distinct_users_per_type,
         "user_mode_event_type": analytics.user_mode_event_type,
         "event_type_value_stats": analytics.event_type_value_stats,
+        "props_key_agg": analytics.props_key_agg,
+        "embedding_dim_minmax": ann.embedding_dim_minmax,
         "pagerank": graph.pagerank,
         "triangle_count": graph.triangle_count,
         "word_count_topk": textops.word_count_topk,
@@ -188,6 +190,8 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_per_type": analytics.DISTINCT_USERS_PER_TYPE_SQL,
         "user_mode_event_type": analytics.USER_MODE_EVENT_TYPE_SQL,
         "event_type_value_stats": analytics.EVENT_TYPE_VALUE_STATS_SQL,
+        "props_key_agg": analytics.PROPS_KEY_AGG_SQL,
+        "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "global_length_rank": textops.GLOBAL_LENGTH_RANK_SQL,

@@ -2522,3 +2522,56 @@ SELECT event_type, n, sum_cents, sumsq_cents,
           / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS var_pop
 FROM m
 """
+
+
+# --------------------------------------------------------------------------
+# props_key_agg: semi-structured (JSON) column extraction + grouped exact
+# aggregate — the scalar-library shape a props/metadata column needs. The
+# extraction is one compiled-regex vectorized pass over the batch (the
+# props contract is flat single-key JSON; a general parser would be
+# orjson per row), then integer partials per (event_type, batch) so the
+# shuffle is ∝ groups, never events.
+# --------------------------------------------------------------------------
+_PROPS_K_RE = r'"k"\s*:\s*(?P<k>-?\d+)'
+
+
+def props_key_agg(sf_dir: str):
+    """(event_type, n, sum_k, min_k, max_k) of the JSON props field k."""
+    import pyarrow.compute as pc
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "props"])
+
+    def partial(t):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        ex = pc.extract_regex(pc.fill_null(t["props"], ""),
+                              _PROPS_K_RE).combine_chunks()
+        k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
+        g = pa.table({"event_type": t["event_type"], "k": k}) \
+            .group_by("event_type").aggregate(
+                [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+        return pa.table({
+            "event_type": g["event_type"],
+            "n": pc.cast(g["k_count"], pa.int64()),
+            "sum_k": pc.cast(g["k_sum"], pa.int64()),
+            "min_k": pc.cast(g["k_min"], pa.int64()),
+            "max_k": pc.cast(g["k_max"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"))
+
+
+PROPS_KEY_AGG_SQL = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""

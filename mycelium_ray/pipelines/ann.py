@@ -510,3 +510,44 @@ SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= {NEARDUP_THRESHOLD}
 """
+
+
+# --------------------------------------------------------------------------
+# embedding_dim_minmax: per-dimension corpus min/max — the embedding-
+# column profile pass (normalization bounds, quantization calibration).
+# Exact despite floats: min/max are order-independent, so no accumulation
+# -order hazard. Per-batch (dim, min, max) partials (DIMS rows per batch,
+# one vstack + two reductions) → tiny groupby; shuffle ∝ DIMS×batches.
+# --------------------------------------------------------------------------
+def embedding_dim_minmax(sf_dir: str):
+    """(dim, vmin, vmax) with dim 1-based, values exact float64 upcasts
+    of the stored float32."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["embedding"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arrs = t["embedding"].combine_chunks()
+        m = np.vstack(arrs.to_numpy(zero_copy_only=False))
+        dims = np.arange(1, m.shape[1] + 1, dtype="int64")
+        return pa.table({
+            "dim": pa.array(dims, pa.int64()),
+            "vmin": pa.array(m.min(axis=0).astype("float64"), pa.float64()),
+            "vmax": pa.array(m.max(axis=0).astype("float64"), pa.float64()),
+        })
+
+    from ray.data.aggregate import Max, Min
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("dim").aggregate(Min("vmin", alias_name="vmin"),
+                                  Max("vmax", alias_name="vmax"))
+
+
+EMBEDDING_DIM_MINMAX_SQL = """
+SELECT i AS dim,
+       CAST(min(embedding[i]) AS DOUBLE) AS vmin,
+       CAST(max(embedding[i]) AS DOUBLE) AS vmax
+FROM embeddings,
+     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+GROUP BY i
+"""
