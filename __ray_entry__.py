@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode_event_type": analytics.user_mode_event_type,
         "event_type_value_stats": analytics.event_type_value_stats,
         "props_key_agg": analytics.props_key_agg,
+        "urgent_revenue_bloom_join": analytics.urgent_revenue_bloom_join,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "pagerank": graph.pagerank,
         "triangle_count": graph.triangle_count,
@@ -191,6 +192,7 @@ def oracle_sql() -> dict[str, str]:
         "user_mode_event_type": analytics.USER_MODE_EVENT_TYPE_SQL,
         "event_type_value_stats": analytics.EVENT_TYPE_VALUE_STATS_SQL,
         "props_key_agg": analytics.PROPS_KEY_AGG_SQL,
+        "urgent_revenue_bloom_join": analytics.URGENT_REVENUE_BLOOM_SQL,
         "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,

@@ -2575,3 +2575,102 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
+
+
+# --------------------------------------------------------------------------
+# urgent_revenue_bloom_join: a BLOOM-PRUNED partitioned join — the
+# at-scale optimization for a selective build side. The urgent-orders
+# scan folds per-batch bloom partials (fixed 2^17-bit arrays, merged by
+# OR — a few KiB each, never row data); the merged bloom broadcasts via
+# ray.put and prunes the lineitem side MAP-SIDE, so the shuffle moves
+# only ~|matching| + fp_rate·|lineitem| rows instead of all of lineitem.
+# Bloom false positives are eliminated by the real bucketed join, so the
+# result is exact (oracle: the plain filtered join). Uses the same
+# BloomFilter the URL-seen stage checkpoints (state/bloom.py).
+# --------------------------------------------------------------------------
+_BLOOM_BITS = 1 << 17
+
+
+def urgent_revenue_bloom_join(sf_dir: str):
+    """(o_orderpriority='1-URGENT' only) (n_items, revenue_cents) — one
+    row; lineitem pruned by a broadcast bloom before the join shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from ..state.bloom import BloomFilter
+
+    n_buckets = _n_join_buckets()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"],
+                             filter=pc.field("o_orderpriority")
+                             == "1-URGENT")
+
+    def bloom_partial(df: pd.DataFrame) -> pd.DataFrame:
+        b = BloomFilter(n_bits=_BLOOM_BITS, k=4)
+        b.add_many(df["o_orderkey"].to_numpy().astype("uint64"))
+        return pd.DataFrame({"words": [b.to_bytes()]})
+
+    parts = orders.map_batches(bloom_partial,
+                               batch_format="pandas").to_pandas()
+    merged = BloomFilter(n_bits=_BLOOM_BITS, k=4)
+    for blob in parts["words"]:
+        merged.words |= np.frombuffer(blob, dtype=np.uint64)
+    bloom_ref = ray.put(merged.to_bytes())
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_extendedprice",
+                                  "l_discount"])
+
+    def prune_and_tag(df: pd.DataFrame) -> pd.DataFrame:
+        b = BloomFilter.from_bytes(ray.get(bloom_ref),
+                                   n_bits=_BLOOM_BITS, k=4, seed=0x5EED)
+        keys = df["l_orderkey"].to_numpy().astype("uint64")
+        hit = b.contains_many(keys)
+        df = df[hit]
+        key = df["l_orderkey"].to_numpy().astype("int64")
+        price = np.rint(df["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(df["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+            "side": np.zeros(len(key), dtype="int64"),
+            "rev_c": price * (100 - disc),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["o_orderkey"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key,
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+            "side": np.ones(len(key), dtype="int64"),
+            "rev_c": np.zeros(len(key), dtype="int64"),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "rev_c"]]
+        o = g.loc[g["side"] == 1, "key"].drop_duplicates()
+        m = l[l["key"].isin(o)]     # exact join kills bloom false positives
+        return pd.DataFrame({"n": [len(m)], "r": [int(m["rev_c"].sum())]})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "n_items": pd.Series([int(df["n"].sum())], dtype="int64"),
+            "revenue_cents": pd.Series([int(df["r"].sum())], dtype="int64"),
+        })
+
+    return li.map_batches(prune_and_tag, batch_format="pandas") \
+        .union(orders.map_batches(tag_orders, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+URGENT_REVENUE_BLOOM_SQL = """
+SELECT CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+"""
