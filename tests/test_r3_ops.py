@@ -1,0 +1,58 @@
+"""Round-3 operator robustness tests beyond the DuckDB oracle equality
+(which tests/test_queries.py already parametrizes over every key):
+
+- the bloom-pruned join must stay EXACT when the bloom is saturated with
+  false positives (correctness must come from the join, not the filter);
+- the global total-order rank must be a permutation of 1..N even with
+  heavy length ties.
+"""
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bloom_join_exact_under_false_positives(ray_session, monkeypatch):
+    import duckdb
+
+    from mycelium_ray.pipelines import analytics
+
+    # 256-bit bloom over ~300 urgent orderkeys → saturated, FP rate ~1:
+    # nearly every lineitem row survives the prune and the bucketed join
+    # must remove every false positive.
+    monkeypatch.setattr(analytics, "_BLOOM_BITS", 256)
+    got = analytics.urgent_revenue_bloom_join(SF).to_pandas()
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.execute(analytics.URGENT_REVENUE_BLOOM_SQL).df()
+    assert int(got["n_items"][0]) == int(want["n_items"][0])
+    assert int(got["revenue_cents"][0]) == int(want["revenue_cents"][0])
+
+
+def test_global_length_rank_is_permutation(ray_session):
+    from mycelium_ray.pipelines import textops
+
+    df = textops.global_length_rank(SF).to_pandas()
+    n = len(df)
+    ranks = np.sort(df["rank"].to_numpy())
+    assert (ranks == np.arange(1, n + 1)).all()
+    # order contract: rank asc ⇒ n_chars non-increasing, and doc_id asc
+    # within one length
+    df = df.sort_values("rank").reset_index(drop=True)
+    assert (np.diff(df["n_chars"].to_numpy()) <= 0).all()
+    same_len = np.diff(df["n_chars"].to_numpy()) == 0
+    assert (np.diff(df["doc_id"].to_numpy())[same_len] > 0).all()
+
+
+def test_triangle_count_matches_closed_form(ray_session):
+    # circulant graph with offsets {1,2,3} on N nodes has exactly 3N
+    # triangles (each node starts {a,a+1,a+2}, {a,a+1,a+3}, {a,a+2,a+3})
+    import pyarrow.parquet as pq
+
+    from mycelium_ray.pipelines import graph
+
+    n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    got = graph.triangle_count(SF).to_pandas()
+    assert int(got["n_triangles"][0]) == 3 * n
