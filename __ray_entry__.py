@@ -107,6 +107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_value_stats": analytics.event_type_value_stats,
         "props_key_agg": analytics.props_key_agg,
         "urgent_revenue_bloom_join": analytics.urgent_revenue_bloom_join,
+        "user_event_path": analytics.user_event_path,
+        "purchasers_no_errors": analytics.purchasers_no_errors,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "pagerank": graph.pagerank,
         "triangle_count": graph.triangle_count,
@@ -193,6 +195,8 @@ def oracle_sql() -> dict[str, str]:
         "event_type_value_stats": analytics.EVENT_TYPE_VALUE_STATS_SQL,
         "props_key_agg": analytics.PROPS_KEY_AGG_SQL,
         "urgent_revenue_bloom_join": analytics.URGENT_REVENUE_BLOOM_SQL,
+        "user_event_path": analytics.USER_EVENT_PATH_SQL,
+        "purchasers_no_errors": analytics.PURCHASERS_NO_ERRORS_SQL,
         "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,

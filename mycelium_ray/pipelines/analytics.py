@@ -2674,3 +2674,125 @@ SELECT CAST(count(*) AS BIGINT) AS n_items,
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE o.o_orderpriority = '1-URGENT'
 """
+
+
+# --------------------------------------------------------------------------
+# user_event_path: ordered LIMITED string aggregation — each user's first
+# K events as 'type>type>...'. The unbounded-group hazard of string_agg
+# is handled by per-batch partial top-k (keep the k earliest (ts,
+# event_id) rows per user per batch), so no group ever materializes more
+# than k rows per batch upstream of the bucket shuffle.
+# --------------------------------------------------------------------------
+EVENT_PATH_K = 10
+
+
+def user_event_path(sf_dir: str, k: int = EVENT_PATH_K):
+    """(user_id, path) with path = '>'-joined first-k event types in
+    (ts, event_id) order."""
+    n_buckets = _n_join_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "us": df["ts"].astype("datetime64[us]").astype("int64"),
+            "event_id": df["event_id"].astype("int64"),
+            "event_type": df["event_type"].astype("object"),
+        }).sort_values(["user_id", "us", "event_id"], kind="mergesort")
+        out = out.groupby("user_id", as_index=False).head(k)
+        out["bucket"] = (out["user_id"].to_numpy().astype("uint64")
+                         % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    def path_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "us", "event_id"],
+                          kind="mergesort")
+        g = g.groupby("user_id", as_index=False).head(k)
+        p = g.groupby("user_id")["event_type"].agg(">".join)
+        return pd.DataFrame({"user_id": p.index.astype("int64"),
+                             "path": p.to_numpy()})
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(path_bucket, batch_format="pandas")
+
+
+USER_EVENT_PATH_SQL = f"""
+WITH r AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rnk
+  FROM events
+)
+SELECT user_id,
+       string_agg(event_type, '>' ORDER BY rnk) AS path
+FROM r WHERE rnk <= {EVENT_PATH_K}
+GROUP BY user_id
+"""
+
+
+# --------------------------------------------------------------------------
+# purchasers_no_errors: distributed SET DIFFERENCE (EXCEPT) of two derived
+# key sets — users with a 'purchase' event minus users with an 'error'
+# event. The reference has no set operators (SURVEY §2.7); this supplies
+# the except/intersect shape: both sides pre-dedup per batch, one
+# user-bucket groupby resolves membership vectorized.
+# --------------------------------------------------------------------------
+def purchasers_no_errors(sf_dir: str):
+    """(user_id, week_day) set difference at user-week granularity:
+    weeks in which the user purchased but logged no error. (At the plain
+    user granularity the corpus makes the difference empty at every sf —
+    every user has both — so the op would prove nothing; the week key
+    keeps the set-op semantics and a non-trivial result.) week_day is
+    the Monday epoch-day (the events_retention convention)."""
+    import pyarrow.compute as pc
+    n_buckets = _n_join_buckets()
+
+    def side_reader(event_type: str, side: int):
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type", "ts"],
+                             filter=pc.field("event_type") == event_type)
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            us = df["ts"].astype("datetime64[us]").astype("int64")
+            t = pd.DataFrame({
+                "user_id": df["user_id"].astype("int64"),
+                "week_day": _week_day(us.to_numpy()),
+            }).drop_duplicates()
+            u = t["user_id"].to_numpy().astype("int64")
+            t["side"] = np.full(len(t), side, dtype="int64")
+            t["bucket"] = (u.astype("uint64")
+                           % np.uint64(n_buckets)).astype("int64")
+            return t
+
+        return ds.map_batches(tag, batch_format="pandas")
+
+    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        pos = g[g["side"] == 0][["user_id", "week_day"]].drop_duplicates()
+        neg = g[g["side"] == 1][["user_id", "week_day"]]
+        m = pos.merge(neg, on=["user_id", "week_day"], how="left",
+                      indicator=True)
+        keep = m[m["_merge"] == "left_only"]
+        return pd.DataFrame({
+            "user_id": keep["user_id"].to_numpy().astype("int64"),
+            "week_day": keep["week_day"].to_numpy().astype("int64"),
+        })
+
+    return side_reader("purchase", 0).union(side_reader("error", 1)) \
+        .groupby("bucket").map_groups(diff_bucket, batch_format="pandas")
+
+
+PURCHASERS_NO_ERRORS_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         datediff('day', DATE '1970-01-01',
+                  CAST(date_trunc('week', ts) AS DATE)) AS week_day
+  FROM events
+)
+SELECT DISTINCT user_id, CAST(week_day AS BIGINT) AS week_day
+FROM w WHERE event_type = 'purchase'
+EXCEPT
+SELECT DISTINCT user_id, CAST(week_day AS BIGINT) AS week_day
+FROM w WHERE event_type = 'error'
+"""
