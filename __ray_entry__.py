@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": analytics.user_event_path,
         "purchasers_no_errors": analytics.purchasers_no_errors,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
+        "source_label_profile": ann.source_label_profile,
         "pagerank": graph.pagerank,
         "triangle_count": graph.triangle_count,
         "word_count_topk": textops.word_count_topk,
@@ -198,6 +199,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_path": analytics.USER_EVENT_PATH_SQL,
         "purchasers_no_errors": analytics.PURCHASERS_NO_ERRORS_SQL,
         "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
+        "source_label_profile": ann.SOURCE_LABEL_PROFILE_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "global_length_rank": textops.GLOBAL_LENGTH_RANK_SQL,

@@ -551,3 +551,69 @@ FROM embeddings,
      LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
 GROUP BY i
 """
+
+
+# --------------------------------------------------------------------------
+# source_label_profile: cross-modal JOIN of the two big tables — documents
+# (text side) ⋈ embeddings (vector side) on doc_id == vec_id — reduced to
+# the (source, label) contingency table a dataset-curation pass audits.
+# Both sides hash-bucket on the id (the standard partitioned join; no
+# broadcast — both sides are corpus-sized at 100 TB) and the per-bucket
+# merge folds straight into partial counts, so only (source, label, n)
+# rows leave the shuffle.
+# --------------------------------------------------------------------------
+def source_label_profile(sf_dir: str):
+    """(source, label, n) over the doc↔embedding join."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .analytics import _n_join_buckets
+    n_buckets = _n_join_buckets()
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "label"])
+
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["doc_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key, "source": df["source"].astype("object"),
+            "label": np.zeros(len(df), dtype="int64"),
+            "side": np.zeros(len(df), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def tag_emb(df: pd.DataFrame) -> pd.DataFrame:
+        key = df["vec_id"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "key": key, "source": pd.Series([""] * len(df), dtype="object"),
+            "label": df["label"].to_numpy().astype("int64"),
+            "side": np.ones(len(df), dtype="int64"),
+            "bucket": (key.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[g["side"] == 0][["key", "source"]]
+        e = g[g["side"] == 1][["key", "label"]]
+        m = d.merge(e, on="key")
+        out = m.groupby(["source", "label"], as_index=False).size()
+        return pd.DataFrame({"source": out["source"],
+                             "label": out["label"].astype("int64"),
+                             "n": out["size"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+    return docs.map_batches(tag_docs, batch_format="pandas") \
+        .union(emb.map_batches(tag_emb, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_bucket, batch_format="pandas") \
+        .groupby(["source", "label"]).aggregate(Sum("n", alias_name="n"))
+
+
+SOURCE_LABEL_PROFILE_SQL = """
+SELECT d.source, CAST(e.label AS BIGINT) AS label,
+       CAST(count(*) AS BIGINT) AS n
+FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+GROUP BY d.source, e.label
+"""
