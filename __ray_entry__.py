@@ -88,6 +88,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_percentiles": analytics.value_percentiles,
         "segment_revenue_topk": analytics.segment_revenue_topk,
         "distinct_users_hll": analytics.distinct_users_hll,  # rows-only (sketch)
+        "distinct_users_per_type_hll":
+            analytics.distinct_users_per_type_hll,  # rows-only (sketch;
+                                                    # exact dual above)
+        "value_quantiles_sketch":
+            analytics.value_quantiles_sketch,       # rows-only (mergeable
+                                                    # quantile summary)
         "heavy_hitters": analytics.heavy_hitters,
         "events_funnel": analytics.events_funnel,
         "events_retention": analytics.events_retention,

@@ -115,3 +115,55 @@ def cms_estimate(cms: np.ndarray, keys: np.ndarray) -> np.ndarray:
     cols = _cms_cols(keys)
     return np.min(np.stack([cms[d][cols[d]] for d in range(CMS_D)]),
                   axis=0)
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile summary (deterministic equal-weight compaction — the
+# KLL/GK shape without randomness, so runs are reproducible): a summary
+# is a value-sorted pair of arrays (values, weights) holding at most
+# QSUMMARY_SIZE entries. Folding a batch or merging two summaries
+# concatenates and recompacts to S equal-weight groups, keeping each
+# group's weight-midpoint value. Each compaction perturbs any rank by at
+# most W/(2S) (W = total weight compacted), so with the two-level
+# pipeline below (batch fold → one merge pass) the final rank error is
+# ≤ ~W/S — asserted against the exact dual in tests.
+# --------------------------------------------------------------------------
+QSUMMARY_SIZE = 1024
+
+
+def qsummary_from(values: np.ndarray, size: int = QSUMMARY_SIZE):
+    v = np.sort(values.astype(np.int64, copy=False), kind="stable")
+    w = np.ones(len(v), dtype=np.int64)
+    return _qcompact(v, w, size)
+
+
+def qsummary_merge(a, b, size: int = QSUMMARY_SIZE):
+    v = np.concatenate([a[0], b[0]])
+    w = np.concatenate([a[1], b[1]])
+    order = np.argsort(v, kind="stable")
+    return _qcompact(v[order], w[order], size)
+
+
+def _qcompact(v: np.ndarray, w: np.ndarray, size: int):
+    """v sorted; keep ≤ size entries, each representing an equal slice of
+    the total weight by its weight-midpoint value."""
+    if len(v) <= size:
+        return v, w
+    total = int(w.sum())
+    cum = np.cumsum(w)                       # inclusive cumulative weight
+    # group g covers weight ((g*total)//size, ((g+1)*total)//size];
+    # representative = value at the slice's midpoint weight
+    bounds = (np.arange(size + 1, dtype=np.int64) * total) // size
+    mids = (bounds[:-1] + bounds[1:] + 1) // 2
+    idx = np.searchsorted(cum, mids, side="left")
+    gw = np.diff(bounds)
+    keep = gw > 0
+    return v[idx[keep]], gw[keep]
+
+
+def qsummary_quantile(v: np.ndarray, w: np.ndarray, q: float) -> int:
+    """Value at rank ceil(q * W) of the summary's weighted distribution."""
+    total = int(w.sum())
+    target = max(1, -(-int(q * 100) * total // 100))  # ceil(q*W), integer
+    cum = np.cumsum(w)
+    return int(v[np.searchsorted(cum, target, side="left")])

@@ -2796,3 +2796,83 @@ EXCEPT
 SELECT DISTINCT user_id, CAST(week_day AS BIGINT) AS week_day
 FROM w WHERE event_type = 'error'
 """
+
+
+# --------------------------------------------------------------------------
+# distinct_users_per_type_hll: GROUPED HyperLogLog — the sketch-groupby
+# composition: one 16 KiB register array PER GROUP per batch travels
+# (groups here are 5 event types; at an unbounded group count the rows
+# stay ∝ groups × batches, still never the key space), merged by
+# elementwise max inside a tiny groupby. Rows-only by design; the error
+# bound is asserted against the EXACT dual (distinct_users_per_type) in
+# tests/test_r3_ops.py.
+# --------------------------------------------------------------------------
+def distinct_users_per_type_hll(sf_dir: str):
+    """(event_type, n_users_approx) — approximate distinct per group."""
+    from ..functions import sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_type", "user_id"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in df.groupby("event_type"):
+            regs = sketch.empty_registers()
+            sketch.add_values(regs, g["user_id"].to_numpy())
+            rows.append((et, regs.tobytes()))
+        return pd.DataFrame({"event_type": [r[0] for r in rows],
+                             "regs": [r[1] for r in rows]})
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        acc = sketch.empty_registers()
+        for blob in g["regs"]:
+            acc = sketch.merge(acc, np.frombuffer(blob, dtype=acc.dtype))
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "n_users_approx": pd.Series([int(round(sketch.estimate(acc)))],
+                                        dtype="int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").map_groups(merge_group,
+                                          batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# value_quantiles_sketch: mergeable quantile summary (deterministic
+# equal-weight compaction, functions/sketch.py) — the unbounded-domain
+# dual of the exact histogram percentiles (value_percentiles assumes a
+# bounded fixed-point domain; the summary works for any ordered values).
+# Per-batch fold caps each batch's contribution at QSUMMARY_SIZE weighted
+# rows; one final task merges and recompacts. Rows-only by design; the
+# ≤ ~2/S rank-error bound is asserted against exact numpy quantiles in
+# tests/test_r3_ops.py.
+# --------------------------------------------------------------------------
+QSKETCH_QS = (50, 90, 99)
+
+
+def value_quantiles_sketch(sf_dir: str):
+    """(q, approx_cents) for q ∈ {50, 90, 99} over events.value cents."""
+    from ..functions import sketch
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        v, w = sketch.qsummary_from(cents)
+        return pd.DataFrame({"v": v, "w": w})
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(df["v"].to_numpy(), kind="stable")
+        v, w = sketch._qcompact(df["v"].to_numpy()[order],
+                                df["w"].to_numpy()[order],
+                                sketch.QSUMMARY_SIZE)
+        return pd.DataFrame({
+            "q": pd.Series(list(QSKETCH_QS), dtype="int64"),
+            "approx_cents": pd.Series(
+                [sketch.qsummary_quantile(v, w, q / 100.0)
+                 for q in QSKETCH_QS], dtype="int64"),
+        })
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(1).map_batches(finalize, batch_format="pandas")

@@ -56,3 +56,41 @@ def test_triangle_count_matches_closed_form(ray_session):
     n = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
     got = graph.triangle_count(SF).to_pandas()
     assert int(got["n_triangles"][0]) == 3 * n
+
+
+def test_grouped_hll_error_bound(ray_session):
+    # ~0.8% std error at P=14; assert 5% against the exact dual
+    from mycelium_ray.pipelines import analytics
+
+    exact = analytics.distinct_users_per_type(SF).to_pandas() \
+        .set_index("event_type")["n_users"]
+    approx = analytics.distinct_users_per_type_hll(SF).to_pandas() \
+        .set_index("event_type")["n_users_approx"]
+    assert set(exact.index) == set(approx.index)
+    for et in exact.index:
+        err = abs(int(approx[et]) - int(exact[et])) / max(1, int(exact[et]))
+        assert err <= 0.05, (et, int(approx[et]), int(exact[et]))
+
+
+def test_quantile_sketch_rank_error_bound(ray_session):
+    import pyarrow.parquet as pq
+
+    from mycelium_ray.functions import sketch
+    from mycelium_ray.pipelines import analytics
+
+    got = analytics.value_quantiles_sketch(SF).to_pandas() \
+        .set_index("q")["approx_cents"]
+    vals = np.sort(np.rint(
+        pq.read_table(f"{SF}/events.parquet", columns=["value"])
+        .column("value").to_numpy() * 100).astype("int64"))
+    n = len(vals)
+    tol = 4.0 / sketch.QSUMMARY_SIZE  # two compaction levels + slack
+    for q in (50, 90, 99):
+        est = int(got[q])
+        lo = np.searchsorted(vals, est, side="left")
+        hi = np.searchsorted(vals, est, side="right")
+        target = q * n / 100.0
+        # the target rank must fall within tol*n of the estimate's span
+        dist = 0.0 if lo <= target <= hi else min(abs(target - lo),
+                                                  abs(target - hi))
+        assert dist <= tol * n, (q, est, lo, hi, target, tol * n)
