@@ -138,10 +138,18 @@ def qsummary_from(values: np.ndarray, size: int = QSUMMARY_SIZE):
 
 
 def qsummary_merge(a, b, size: int = QSUMMARY_SIZE):
-    v = np.concatenate([a[0], b[0]])
-    w = np.concatenate([a[1], b[1]])
+    return qsummary_compact(np.concatenate([a[0], b[0]]),
+                            np.concatenate([a[1], b[1]]), size)
+
+
+def qsummary_compact(v: np.ndarray, w: np.ndarray,
+                     size: int = QSUMMARY_SIZE):
+    """Sort an unsorted weighted-value multiset and compact it to a
+    summary — the public fold used by both qsummary_merge and the
+    pipeline's final reduce."""
     order = np.argsort(v, kind="stable")
-    return _qcompact(v[order], w[order], size)
+    return _qcompact(v[order].astype(np.int64, copy=False),
+                     w[order].astype(np.int64, copy=False), size)
 
 
 def _qcompact(v: np.ndarray, w: np.ndarray, size: int):
@@ -162,8 +170,12 @@ def _qcompact(v: np.ndarray, w: np.ndarray, size: int):
 
 
 def qsummary_quantile(v: np.ndarray, w: np.ndarray, q: float) -> int:
-    """Value at rank ceil(q * W) of the summary's weighted distribution."""
+    """Value at rank ceil(q * W) of the summary's weighted distribution.
+    q is resolved to parts-per-million before the integer ceil so any
+    ppm-representable quantile (0.995, 0.001, ...) targets the exact
+    rank — int(q*100) would quantize to whole percents."""
     total = int(w.sum())
-    target = max(1, -(-int(q * 100) * total // 100))  # ceil(q*W), integer
+    qppm = int(round(q * 1_000_000))
+    target = max(1, -(-qppm * total // 1_000_000))    # ceil, pure ints
     cum = np.cumsum(w)
     return int(v[np.searchsorted(cum, target, side="left")])

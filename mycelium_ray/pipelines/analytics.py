@@ -1921,7 +1921,12 @@ def promo_revenue_share(sf_dir: str):
         return pd.DataFrame({
             "promo_revenue_cents": pd.Series([promo_c], dtype="int64"),
             "total_revenue_cents": pd.Series([total_c], dtype="int64"),
-            "promo_share": [promo_c / total_c if total_c else 0.0],
+            # round each operand to double FIRST (float()), matching the
+            # oracle's CAST(.. AS DOUBLE)/CAST(.. AS DOUBLE): Python's
+            # exact-int division is correctly rounded from the exact
+            # quotient and diverges by 1 ulp past 2^53 (sf≈4 here)
+            "promo_share": [float(promo_c) / float(total_c)
+                            if total_c else 0.0],
         })
 
     return li.map_batches(tag_li, batch_format="pandas") \
@@ -2310,9 +2315,10 @@ def rich_idle_customers(sf_dir: str):
     parts = cust_bal.map_batches(bal_partial,
                                  batch_format="pandas").to_pandas()
     total_s, total_n = int(parts["s"].sum()), int(parts["n"].sum())
-    # one IEEE division of two exact ints — bit-identical to the oracle's
-    # avg() computed the same way
-    thresh = total_s / total_n if total_n else 0.0
+    # round the numerator to double FIRST, matching the oracle's
+    # CAST(sum AS DOUBLE)/count(*): exact-int division would differ by
+    # 1 ulp past 2^53 and could flip boundary rows at very large sf
+    thresh = float(total_s) / total_n if total_n else 0.0
 
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey", "o_orderpriority"],
@@ -2547,12 +2553,17 @@ def props_key_agg(sf_dir: str):
         ex = pc.extract_regex(pc.fill_null(t["props"], ""),
                               _PROPS_K_RE).combine_chunks()
         k = pc.cast(pc.struct_field(ex, "k"), pa.int64())
-        g = pa.table({"event_type": t["event_type"], "k": k}) \
+        import numpy as _np
+        one = pa.array(_np.ones(len(t), dtype="int64"))
+        # n counts ROWS (count(*) in the oracle), not non-null extracted
+        # k — a props row without an extractable integer k must still
+        # count toward n
+        g = pa.table({"event_type": t["event_type"], "k": k, "one": one}) \
             .group_by("event_type").aggregate(
-                [("k", "count"), ("k", "sum"), ("k", "min"), ("k", "max")])
+                [("one", "sum"), ("k", "sum"), ("k", "min"), ("k", "max")])
         return pa.table({
             "event_type": g["event_type"],
-            "n": pc.cast(g["k_count"], pa.int64()),
+            "n": pc.cast(g["one_sum"], pa.int64()),
             "sum_k": pc.cast(g["k_sum"], pa.int64()),
             "min_k": pc.cast(g["k_min"], pa.int64()),
             "max_k": pc.cast(g["k_max"], pa.int64()),
@@ -2749,24 +2760,25 @@ def purchasers_no_errors(sf_dir: str):
     import pyarrow.compute as pc
     n_buckets = _n_join_buckets()
 
-    def side_reader(event_type: str, side: int):
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
-                             columns=["user_id", "event_type", "ts"],
-                             filter=pc.field("event_type") == event_type)
+    # ONE scan of the big table tags both sides (side = 1 for error) —
+    # two per-side scans would read events twice at corpus scale
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(["purchase", "error"]))
 
-        def tag(df: pd.DataFrame) -> pd.DataFrame:
-            us = df["ts"].astype("datetime64[us]").astype("int64")
-            t = pd.DataFrame({
-                "user_id": df["user_id"].astype("int64"),
-                "week_day": _week_day(us.to_numpy()),
-            }).drop_duplicates()
-            u = t["user_id"].to_numpy().astype("int64")
-            t["side"] = np.full(len(t), side, dtype="int64")
-            t["bucket"] = (u.astype("uint64")
-                           % np.uint64(n_buckets)).astype("int64")
-            return t
-
-        return ds.map_batches(tag, batch_format="pandas")
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        t = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "week_day": _week_day(us.to_numpy()),
+            "side": (df["event_type"] == "error").to_numpy()
+            .astype("int64"),
+        }).drop_duplicates()
+        u = t["user_id"].to_numpy().astype("int64")
+        t["bucket"] = (u.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64")
+        return t
 
     def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
         pos = g[g["side"] == 0][["user_id", "week_day"]].drop_duplicates()
@@ -2779,7 +2791,7 @@ def purchasers_no_errors(sf_dir: str):
             "week_day": keep["week_day"].to_numpy().astype("int64"),
         })
 
-    return side_reader("purchase", 0).union(side_reader("error", 1)) \
+    return ds.map_batches(tag, batch_format="pandas") \
         .groupby("bucket").map_groups(diff_bucket, batch_format="pandas")
 
 
@@ -2863,10 +2875,8 @@ def value_quantiles_sketch(sf_dir: str):
         return pd.DataFrame({"v": v, "w": w})
 
     def finalize(df: pd.DataFrame) -> pd.DataFrame:
-        order = np.argsort(df["v"].to_numpy(), kind="stable")
-        v, w = sketch._qcompact(df["v"].to_numpy()[order],
-                                df["w"].to_numpy()[order],
-                                sketch.QSUMMARY_SIZE)
+        v, w = sketch.qsummary_compact(df["v"].to_numpy(),
+                                       df["w"].to_numpy())
         return pd.DataFrame({
             "q": pd.Series(list(QSKETCH_QS), dtype="int64"),
             "approx_cents": pd.Series(

@@ -250,18 +250,27 @@ def triangle_count(sf_dir: str):
     edges = docs.map_batches(gen_edges, batch_format="pandas") \
         .materialize()  # reused by both shuffles below
 
+    def _pair_bucket(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        # hash BOTH columns into the bucket (never a packed single key:
+        # (x << 32) | y silently corrupts ids ≥ 2^31/2^32, i.e. exactly
+        # the 10^10-node regime these ops are written for); the join
+        # itself compares the (b, c) column pair
+        h = (x.astype("uint64") * np.uint64(0x9E3779B97F4A7C15)
+             + y.astype("uint64") * np.uint64(0xC2B2AE3D27D4EB4F))
+        return (h % np.uint64(n_buckets)).astype("int64")
+
     def wedges_of_bucket(g: pd.DataFrame) -> pd.DataFrame:
         # the wrap-around edges (0, N-k) can arrive from two generating
         # batches — dedup per a-group before pairing
         g = g.drop_duplicates(["a", "b"])
         m = g.merge(g, on="a", suffixes=("1", "2"))
         m = m[m["b1"] < m["b2"]]          # unordered neighbor pair, once
-        key = _pack_ab(m["b1"].to_numpy(), m["b2"].to_numpy())
+        b = m["b1"].to_numpy().astype("int64")
+        c = m["b2"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "k": key,
+            "b": b, "c": c,
             "w": np.ones(len(m), dtype="int64"),
-            "kbucket": (key.astype("uint64")
-                        % np.uint64(n_buckets)).astype("int64"),
+            "kbucket": _pair_bucket(b, c),
         })
 
     wedges = edges.groupby("bucket").map_groups(wedges_of_bucket,
@@ -269,19 +278,20 @@ def triangle_count(sf_dir: str):
 
     def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
         df = df.drop_duplicates(["a", "b"])
-        key = _pack_ab(df["a"].to_numpy(), df["b"].to_numpy())
+        b = df["a"].to_numpy().astype("int64")
+        c = df["b"].to_numpy().astype("int64")
         return pd.DataFrame({
-            "k": key,
+            "b": b, "c": c,
             "w": np.zeros(len(df), dtype="int64"),  # w=0 marks edge side
-            "kbucket": (key.astype("uint64")
-                        % np.uint64(n_buckets)).astype("int64"),
+            "kbucket": _pair_bucket(b, c),
         })
 
     def close_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # a wedge (b, c) is a triangle iff the oriented edge (b, c) exists
-        have = np.unique(g.loc[g["w"] == 0, "k"].to_numpy())
-        nw = g[g["w"] == 1]
-        n_tri = int(nw["k"].isin(have).sum())
+        # a wedge (b, c) is a triangle iff the oriented edge (b, c)
+        # exists — an exact two-column merge, overflow-free at any id
+        have = g[g["w"] == 0][["b", "c"]].drop_duplicates()
+        nw = g[g["w"] == 1][["b", "c"]]
+        n_tri = len(nw.merge(have, on=["b", "c"]))
         return pd.DataFrame({"n": [n_tri]})
 
     counts = wedges.union(edges.map_batches(edge_keys,
@@ -293,10 +303,6 @@ def triangle_count(sf_dir: str):
                                                       dtype="int64")})
 
     return counts.repartition(1).map_batches(total, batch_format="pandas")
-
-
-def _pack_ab(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return (a.astype("int64") << 32) | b.astype("int64")
 
 
 TRIANGLE_COUNT_SQL = """

@@ -94,3 +94,28 @@ def test_quantile_sketch_rank_error_bound(ray_session):
         dist = 0.0 if lo <= target <= hi else min(abs(target - lo),
                                                   abs(target - hi))
         assert dist <= tol * n, (q, est, lo, hi, target, tol * n)
+
+
+def test_qsummary_merge_and_fine_quantiles():
+    from mycelium_ray.functions import sketch
+
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 1_000_000, size=60_000).astype("int64")
+    a = sketch.qsummary_from(x[:25_000])
+    b = sketch.qsummary_from(x[25_000:])
+    v, w = sketch.qsummary_merge(a, b)
+    assert len(v) <= sketch.QSUMMARY_SIZE
+    assert int(w.sum()) == len(x)
+    xs = np.sort(x)
+    n = len(x)
+    tol = 4.0 / sketch.QSUMMARY_SIZE
+    # includes NON-whole-percent quantiles (0.995, 0.125) — the int(q*100)
+    # quantization bug regression guard
+    for q in (0.125, 0.5, 0.9, 0.99, 0.995):
+        est = sketch.qsummary_quantile(v, w, q)
+        lo = np.searchsorted(xs, est, side="left")
+        hi = np.searchsorted(xs, est, side="right")
+        target = q * n
+        dist = 0.0 if lo <= target <= hi else min(abs(target - lo),
+                                                  abs(target - hi))
+        assert dist <= tol * n, (q, est, dist, tol * n)
