@@ -205,6 +205,77 @@ def cmd_query(args) -> int:
     return 0
 
 
+def cmd_sweep(args) -> int:
+    """Materialize queries() results as partitioned parquet with per-query
+    _SUCCESS sentinels — the resumable-output discipline at suite level: a
+    killed sweep re-run skips every finished query directory and recomputes
+    only what is missing."""
+    import json as _json
+    import os
+
+    owns_ray = _ray_init(args.num_cpus)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    import ray
+    sys.path.insert(0, ".")
+    try:
+        import __ray_entry__ as entrymod
+        qs = entrymod.queries()
+    except ModuleNotFoundError:
+        print("run from the repo root (needs __ray_entry__.py)",
+              file=sys.stderr)
+        return 2
+    names = sorted(qs) if not args.only else args.only.split(",")
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        print(f"unknown queries: {unknown}", file=sys.stderr)
+        return 2
+    n_done = n_skip = n_err = 0
+    for name in names:
+        outdir = os.path.join(args.out_root, name)
+        sentinel = os.path.join(outdir, "_SUCCESS")
+        if os.path.exists(sentinel):
+            n_skip += 1
+            print(_json.dumps({"query": name, "status": "skipped"}),
+                  flush=True)
+            continue
+        t0 = time.perf_counter()
+        try:
+            res = qs[name](args.sf_dir)
+            os.makedirs(outdir, exist_ok=True)
+            if hasattr(res, "write_parquet"):
+                res.write_parquet(outdir)
+                n_rows = None
+            else:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                tbl = (res if isinstance(res, pa.Table)
+                       else pa.Table.from_pandas(res))
+                pq.write_table(tbl,
+                               os.path.join(outdir, "part-0.parquet"))
+                n_rows = tbl.num_rows
+            # the sentinel is written LAST: its presence proves the
+            # partition's data files are complete
+            with open(sentinel, "w") as f:
+                f.write(_json.dumps({"query": name, "rows": n_rows,
+                                     "sf_dir": args.sf_dir}))
+            n_done += 1
+            print(_json.dumps({"query": name, "status": "done",
+                               "rows": n_rows,
+                               "sec": round(time.perf_counter() - t0, 3)}),
+                  flush=True)
+        except Exception as e:  # noqa: BLE001 — sweep must keep going
+            n_err += 1
+            print(_json.dumps({"query": name, "status": "error",
+                               "err": repr(e)[:300]}), flush=True)
+    print(_json.dumps({"sweep": {"done": n_done, "skipped": n_skip,
+                                 "errors": n_err, "total": len(names)}}),
+          flush=True)
+    if owns_ray:
+        ray.shutdown()
+    return 1 if n_err else 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="mycelium_ray",
                                 description=__doc__.split("\n\n")[0])
@@ -250,6 +321,16 @@ def build_parser() -> argparse.ArgumentParser:
                                  "printing")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
+
+    w = sub.add_parser("sweep", help="materialize MANY queries() results "
+                                     "to parquet, resumable via per-query "
+                                     "_SUCCESS sentinels")
+    w.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    w.add_argument("--out-root", required=True)
+    w.add_argument("--only", help="comma-separated query names "
+                                  "(default: all)")
+    w.add_argument("--num-cpus", type=int, default=None)
+    w.set_defaults(fn=cmd_sweep)
     return p
 
 

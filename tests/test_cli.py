@@ -75,3 +75,30 @@ def test_cli_query_runner(ray_session, tmp_path, capsys, monkeypatch):
 def test_cli_query_unknown(ray_session, capsys, monkeypatch):
     monkeypatch.chdir("/root/repo")
     assert main(["query", "no_such_op"]) == 2
+
+
+def test_cli_sweep_resumable(ray_session, tmp_path, capsys, monkeypatch):
+    monkeypatch.chdir("/root/repo")
+    root = str(tmp_path / "sweep")
+    only = "token_count,doc_length_histogram"
+    rc = main(["sweep", "--out-root", root, "--only", only,
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert lines[-1]["sweep"] == {"done": 2, "skipped": 0, "errors": 0,
+                                  "total": 2}
+    tc = pq.read_table(f"{root}/token_count")
+    assert tc.num_rows == 500
+    assert (tmp_path / "sweep/token_count/_SUCCESS").exists()
+
+    # delete ONE sentinel: the re-run must recompute only that query
+    (tmp_path / "sweep/doc_length_histogram/_SUCCESS").unlink()
+    rc = main(["sweep", "--out-root", root, "--only", only,
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    statuses = {l["query"]: l["status"] for l in lines if "query" in l}
+    assert statuses == {"token_count": "skipped",
+                        "doc_length_histogram": "done"}
