@@ -128,6 +128,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_topk": textops.bigram_topk,
         "doc_length_histogram": textops.doc_length_histogram,
         "global_length_rank": textops.global_length_rank,
+        "curation_pipeline": textops.curation_pipeline,
         "bpe_tokenize": tokenize.bpe_tokenize,   # rows-only (iterative
                                                  # merge training)
         "dsir_resample": dsir.dsir_resample,     # rows-only (hashed
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_topk": textops.BIGRAM_TOPK_SQL,
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "global_length_rank": textops.GLOBAL_LENGTH_RANK_SQL,
+        "curation_pipeline": textops.CURATION_PIPELINE_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,

@@ -459,6 +459,15 @@ CORPUS_LANG = "en"
 
 def corpus_filter(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
                   lang: str = CORPUS_LANG, threshold: float = 0.5):
+    """Collected, doc_id-ordered form of _corpus_filter_ds (the driver/
+    oracle surface; the composable distributed form is the _ds)."""
+    out = _corpus_filter_ds(sf_dir, min_tokens, lang, threshold)
+    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"))})
+
+
+def _corpus_filter_ds(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
+                      lang: str = CORPUS_LANG, threshold: float = 0.5):
     """(doc_id) of documents kept by the full cleaning pipeline:
 
     1. gates: predicted language == ``lang`` (stopword-hit heuristic,
@@ -541,10 +550,8 @@ def corpus_filter(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
         keep = (gate == 1) & (exact == 1) & (drop == 0)
         return pd.DataFrame({"doc_id": p.index[keep].astype("int64")})
 
-    out = gates.union(kept_exact).union(drops) \
+    return gates.union(kept_exact).union(drops) \
         .groupby("bucket").map_groups(decide, batch_format="pandas")
-    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"))})
 
 
 CORPUS_FILTER_SQL = f"""
@@ -1162,4 +1169,108 @@ GLOBAL_LENGTH_RANK_SQL = """
 SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        row_number() OVER (ORDER BY length(text) DESC, doc_id ASC) AS rank
 FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# curation_pipeline: the composed END-TO-END training-set assembly —
+# corpus_filter survivors (language + length gates ∩ exact-dedup reps −
+# near-dup drops, the full cleaning stack) sequence-packed per source.
+# Demonstrates stage composition as one lazy Dataset DAG: the survivor id
+# set is corpus-scale, so it semi-joins the documents read through one
+# doc_id-hash bucket shuffle (never a driver-side set), then the pack is
+# the sequence_pack kernel over source buckets.
+# --------------------------------------------------------------------------
+def curation_pipeline(sf_dir: str, budget: int = PACK_BUDGET):
+    """(doc_id, source, n_tokens, seq_id) over corpus_filter survivors."""
+    import pyarrow.compute as pc
+
+    from .analytics import _n_join_buckets
+    n_buckets = _n_join_buckets()
+
+    keep = _corpus_filter_ds(sf_dir)
+
+    def tag_keep(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy().astype("int64")
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "source": pa.array([""] * len(d), pa.string()),
+            "n_tokens": pa.array(np.full(len(d), -1, dtype="int64")),
+            "jbucket": pa.array(
+                (d.astype("uint64") % np.uint64(n_buckets))
+                .astype("int64"), pa.int64()),
+        })
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        d = t["doc_id"].to_numpy().astype("int64")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "n_tokens": n,
+            "jbucket": pa.array(
+                (d.astype("uint64") % np.uint64(n_buckets))
+                .astype("int64"), pa.int64()),
+        })
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        have = g.loc[g["n_tokens"] == -1, "doc_id"].to_numpy()
+        rows = g[g["n_tokens"] >= 0]
+        keep_rows = rows[rows["doc_id"].isin(have)]
+        return keep_rows[["doc_id", "source", "n_tokens"]]
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"]) \
+        .map_batches(tag_docs, batch_format="pyarrow")
+    survivors = keep.map_batches(tag_keep, batch_format="pyarrow") \
+        .union(docs) \
+        .groupby("jbucket").map_groups(semi, batch_format="pandas")
+
+    def bucket_src(df: pd.DataFrame) -> pd.DataFrame:
+        import zlib
+        uniq, inv = np.unique(df["source"].to_numpy(),
+                              return_inverse=True)
+        bmap = np.array([zlib.crc32(s.encode()) & 63 for s in uniq],
+                        dtype=np.int64)
+        df = df.copy()
+        df["bucket"] = bmap[inv]
+        return df
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["source", "doc_id"])
+        tok = g["n_tokens"].to_numpy()
+        cum = np.cumsum(tok)
+        start = cum - tok
+        src = g["source"].to_numpy()
+        boundary = np.r_[True, src[1:] != src[:-1]]
+        base = np.where(boundary, start, 0)
+        np.maximum.accumulate(base, out=base)
+        start = start - base
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype("int64"),
+            "source": src,
+            "n_tokens": tok.astype("int64"),
+            "seq_id": (start // budget).astype("int64")})
+
+    return survivors.map_batches(bucket_src, batch_format="pandas") \
+        .groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+CURATION_PIPELINE_SQL = f"""
+WITH keep AS ({CORPUS_FILTER_SQL}),
+toks AS (
+  SELECT d.doc_id, d.source,
+         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents d JOIN keep k ON k.doc_id = d.doc_id
+), cums AS (
+  SELECT doc_id, source, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS start_tok
+  FROM toks
+)
+SELECT doc_id, source, n_tokens,
+       CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS seq_id
+FROM cums
 """
