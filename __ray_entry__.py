@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_agg": analytics.props_key_agg,
         "urgent_revenue_bloom_join": analytics.urgent_revenue_bloom_join,
         "user_event_path": analytics.user_event_path,
+        "rolling_7d_active_users": analytics.rolling_7d_active_users,
         "purchasers_no_errors": analytics.purchasers_no_errors,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "source_label_profile": ann.source_label_profile,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "props_key_agg": analytics.PROPS_KEY_AGG_SQL,
         "urgent_revenue_bloom_join": analytics.URGENT_REVENUE_BLOOM_SQL,
         "user_event_path": analytics.USER_EVENT_PATH_SQL,
+        "rolling_7d_active_users": analytics.ROLLING_7D_ACTIVE_SQL,
         "purchasers_no_errors": analytics.PURCHASERS_NO_ERRORS_SQL,
         "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
         "source_label_profile": ann.SOURCE_LABEL_PROFILE_SQL,

@@ -2886,3 +2886,86 @@ def value_quantiles_sketch(sf_dir: str):
 
     return ds.map_batches(partial, batch_format="pandas") \
         .repartition(1).map_batches(finalize, batch_format="pandas")
+
+
+# --------------------------------------------------------------------------
+# rolling_7d_active_users: EXACT sliding-window COUNT(DISTINCT) — 7-day
+# trailing active users per day. Window distinct doesn't decompose like a
+# sum, so the scale shape is bounded explosion: dedup (user, day) pairs
+# (shuffle ∝ distinct pairs), explode each pair to the ≤7 window-end days
+# it serves, dedup (user, window_day) in a second bucket shuffle, then
+# count per day. Every stage's volume is ≤ 7 × distinct (user, day) —
+# never ∝ raw events. Output days are gated to days that actually appear
+# (a bounded set — the time span — broadcast once).
+# --------------------------------------------------------------------------
+ROLLING_WINDOW_DAYS = 7
+
+
+def rolling_7d_active_users(sf_dir: str):
+    """(day, n_users7): day = epoch day, n_users7 = distinct users active
+    in [day-6, day]."""
+    import ray
+    n_buckets = _n_join_buckets()
+    w = ROLLING_WINDOW_DAYS
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+
+    def pair_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        day = (us // (86_400 * 10**6)).astype("int64")
+        t = pd.DataFrame({"user_id": df["user_id"].astype("int64"),
+                          "day": day}).drop_duplicates()
+        u = t["user_id"].to_numpy().astype("uint64")
+        d = t["day"].to_numpy().astype("uint64")
+        t["bucket"] = ((u * np.uint64(0x9E3779B97F4A7C15) + d)
+                       % np.uint64(n_buckets)).astype("int64")
+        return t
+
+    pairs = ds.map_batches(pair_dedup, batch_format="pandas") \
+        .groupby("bucket").map_groups(
+            lambda g: g[["user_id", "day"]].drop_duplicates(),
+            batch_format="pandas").materialize()
+
+    # the distinct-day set is bounded by the corpus time span — tiny
+    days = np.unique(pairs.select_columns(["day"]).to_pandas()
+                     ["day"].to_numpy())
+    days_ref = ray.put(days)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        u = np.repeat(df["user_id"].to_numpy().astype("int64"), w)
+        wd = (np.repeat(df["day"].to_numpy().astype("int64"), w)
+              + np.tile(np.arange(w, dtype="int64"), n))
+        keep = np.isin(wd, ray.get(days_ref))  # gate to days that exist
+        u, wd = u[keep], wd[keep]
+        out = pd.DataFrame({"user_id": u, "wday": wd}).drop_duplicates()
+        uu = out["user_id"].to_numpy().astype("uint64")
+        dd = out["wday"].to_numpy().astype("uint64")
+        out["bucket"] = ((uu * np.uint64(0x9E3779B97F4A7C15) + dd)
+                         % np.uint64(n_buckets)).astype("int64")
+        return out
+
+    def count_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        c = g.drop_duplicates(["user_id", "wday"]) \
+            .groupby("wday", as_index=False).size()
+        return pd.DataFrame({"day": c["wday"].astype("int64"),
+                             "n_users7": c["size"].astype("int64")})
+
+    from ray.data.aggregate import Sum
+    return pairs.map_batches(explode, batch_format="pandas") \
+        .groupby("bucket").map_groups(count_bucket,
+                                      batch_format="pandas") \
+        .groupby("day").aggregate(Sum("n_users7", alias_name="n_users7"))
+
+
+ROLLING_7D_ACTIVE_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT user_id,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day
+  FROM events
+), days AS (SELECT DISTINCT day FROM du)
+SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT) AS n_users7
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - {ROLLING_WINDOW_DAYS - 1} AND d.day
+GROUP BY d.day
+"""
