@@ -163,18 +163,43 @@ def cmd_crawl(args) -> int:
             ray.shutdown()
 
 
+def _load_queries():
+    """Import the driver-contract module from the repo root; None if not
+    runnable from here."""
+    if "." not in sys.path:
+        sys.path.insert(0, ".")
+    try:
+        import __ray_entry__ as entrymod
+        return entrymod.queries()
+    except ModuleNotFoundError:
+        print("run from the repo root (needs __ray_entry__.py)",
+              file=sys.stderr)
+        return None
+
+
+def _write_result(res, path: str):
+    """Write a Dataset / pa.Table / DataFrame result as parquet; returns
+    the row count when known without consuming the Dataset."""
+    if hasattr(res, "write_parquet"):
+        res.write_parquet(path)
+        return None
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
+    import os
+    target = (os.path.join(path, "part-0.parquet")
+              if os.path.isdir(path) else path)
+    pq.write_table(tbl, target)
+    return tbl.num_rows
+
+
 def cmd_query(args) -> int:
     owns_ray = _ray_init(args.num_cpus)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import ray
-    sys.path.insert(0, ".")
-    try:
-        import __ray_entry__ as entrymod
-        qs = entrymod.queries()
-    except ModuleNotFoundError:
-        print("run from the repo root (needs __ray_entry__.py)",
-              file=sys.stderr)
+    qs = _load_queries()
+    if qs is None:
         return 2
     if args.name not in qs:
         print(f"unknown query {args.name!r}; available: "
@@ -183,15 +208,7 @@ def cmd_query(args) -> int:
     t0 = time.perf_counter()
     res = qs[args.name](args.sf_dir)
     if args.out:
-        if hasattr(res, "write_parquet"):
-            res.write_parquet(args.out)
-            n = None
-        else:
-            import pyarrow as pa
-            import pyarrow.parquet as pq
-            tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
-            pq.write_table(tbl, args.out)
-            n = tbl.num_rows
+        n = _write_result(res, args.out)
     else:
         df = res.to_pandas() if hasattr(res, "to_pandas") else res
         n = len(df)
@@ -212,20 +229,17 @@ def cmd_sweep(args) -> int:
     only what is missing."""
     import json as _json
     import os
+    import shutil
 
     owns_ray = _ray_init(args.num_cpus)
     from ray.data import DataContext
     DataContext.get_current().enable_progress_bars = False
     import ray
-    sys.path.insert(0, ".")
-    try:
-        import __ray_entry__ as entrymod
-        qs = entrymod.queries()
-    except ModuleNotFoundError:
-        print("run from the repo root (needs __ray_entry__.py)",
-              file=sys.stderr)
+    qs = _load_queries()
+    if qs is None:
         return 2
-    names = sorted(qs) if not args.only else args.only.split(",")
+    names = (sorted(qs) if not args.only
+             else [n.strip() for n in args.only.split(",") if n.strip()])
     unknown = [n for n in names if n not in qs]
     if unknown:
         print(f"unknown queries: {unknown}", file=sys.stderr)
@@ -235,25 +249,24 @@ def cmd_sweep(args) -> int:
         outdir = os.path.join(args.out_root, name)
         sentinel = os.path.join(outdir, "_SUCCESS")
         if os.path.exists(sentinel):
-            n_skip += 1
-            print(_json.dumps({"query": name, "status": "skipped"}),
-                  flush=True)
-            continue
+            # a sentinel from a DIFFERENT sf_dir is stale, not done —
+            # skipping it would silently hand back wrong-scale results
+            with open(sentinel) as f:
+                meta = _json.load(f)
+            if meta.get("sf_dir") == args.sf_dir:
+                n_skip += 1
+                print(_json.dumps({"query": name, "status": "skipped"}),
+                      flush=True)
+                continue
         t0 = time.perf_counter()
         try:
             res = qs[name](args.sf_dir)
+            # clear leftovers from a killed earlier attempt: Ray's
+            # write_parquet APPENDS, so stale partial files would ride
+            # along and the sentinel would bless duplicated rows
+            shutil.rmtree(outdir, ignore_errors=True)
             os.makedirs(outdir, exist_ok=True)
-            if hasattr(res, "write_parquet"):
-                res.write_parquet(outdir)
-                n_rows = None
-            else:
-                import pyarrow as pa
-                import pyarrow.parquet as pq
-                tbl = (res if isinstance(res, pa.Table)
-                       else pa.Table.from_pandas(res))
-                pq.write_table(tbl,
-                               os.path.join(outdir, "part-0.parquet"))
-                n_rows = tbl.num_rows
+            n_rows = _write_result(res, outdir)
             # the sentinel is written LAST: its presence proves the
             # partition's data files are complete
             with open(sentinel, "w") as f:

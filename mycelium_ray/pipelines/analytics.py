@@ -2926,9 +2926,13 @@ def rolling_7d_active_users(sf_dir: str):
             lambda g: g[["user_id", "day"]].drop_duplicates(),
             batch_format="pandas").materialize()
 
-    # the distinct-day set is bounded by the corpus time span — tiny
-    days = np.unique(pairs.select_columns(["day"]).to_pandas()
-                     ["day"].to_numpy())
+    # the distinct-day set is bounded by the corpus time span — tiny;
+    # reduce to one row per day DISTRIBUTED first (a groupby-count), so
+    # the driver never sees the (user, day) pair set itself
+    from ray.data.aggregate import Count
+    days = np.unique(
+        pairs.groupby("day").aggregate(Count(alias_name="c"))
+        .select_columns(["day"]).to_pandas()["day"].to_numpy())
     days_ref = ray.put(days)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:

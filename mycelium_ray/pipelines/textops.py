@@ -642,6 +642,35 @@ FROM documents
 """
 
 
+def _source_bucket_ids(sources: np.ndarray) -> np.ndarray:
+    """crc32&63 bucket per source, looping only over UNIQUE sources."""
+    import zlib
+    uniq, inv = np.unique(sources, return_inverse=True)
+    bmap = np.array([zlib.crc32(str(s).encode()) & 63 for s in uniq],
+                    dtype=np.int64)
+    return bmap[inv]
+
+
+def _pack_group(g: pd.DataFrame, budget: int) -> pd.DataFrame:
+    """The sequence-packing kernel shared by sequence_pack and
+    curation_pipeline: per-source prefix sums (vectorized reset at source
+    boundaries within the bucket), seq_id = floor(prefix_before / budget)."""
+    g = g.sort_values(["source", "doc_id"])
+    tok = g["n_tokens"].to_numpy()
+    cum = np.cumsum(tok)
+    start = cum - tok  # prefix sum BEFORE each doc
+    src = g["source"].to_numpy()
+    boundary = np.r_[True, src[1:] != src[:-1]]
+    base = np.where(boundary, start, 0)
+    np.maximum.accumulate(base, out=base)
+    start = start - base
+    return pd.DataFrame({
+        "doc_id": g["doc_id"].astype("int64"),
+        "source": src,
+        "n_tokens": tok.astype("int64"),
+        "seq_id": (start // budget).astype("int64")})
+
+
 def sequence_pack(sf_dir: str, budget: int = PACK_BUDGET):
     """(doc_id, source, n_tokens, seq_id) — concat-and-chunk sequence
     packing for LM training: docs are laid out per source in doc_id order
@@ -659,37 +688,17 @@ def sequence_pack(sf_dir: str, budget: int = PACK_BUDGET):
     import pyarrow.compute as pc
 
     def counts(t: pa.Table) -> pa.Table:
-        import zlib
         text = pc.fill_null(t["text"], "")
         n = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
-        src_np = t["source"].to_numpy(zero_copy_only=False)
-        uniq, inv = np.unique(src_np, return_inverse=True)
-        bmap = np.array([zlib.crc32(s.encode()) & 63 for s in uniq],
-                        dtype=np.int64)  # loop over UNIQUE sources only
+        b = _source_bucket_ids(t["source"].to_numpy(zero_copy_only=False))
         return pa.table({"doc_id": t["doc_id"], "source": t["source"],
                          "n_tokens": n,
-                         "bucket": pa.array(bmap[inv], pa.int64())})
-
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["source", "doc_id"])
-        tok = g["n_tokens"].to_numpy()
-        cum = np.cumsum(tok)
-        start = cum - tok  # prefix sum BEFORE each doc
-        # reset the prefix at each source boundary within the bucket
-        src = g["source"].to_numpy()
-        boundary = np.r_[True, src[1:] != src[:-1]]
-        base = np.where(boundary, start, 0)
-        np.maximum.accumulate(base, out=base)
-        start = start - base
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "source": src,
-            "n_tokens": tok.astype("int64"),
-            "seq_id": (start // budget).astype("int64")})
+                         "bucket": pa.array(b, pa.int64())})
 
     return _read(sf_dir, "documents", ["doc_id", "source", "text"]) \
         .map_batches(counts, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(pack, batch_format="pandas")
+        .groupby("bucket").map_groups(lambda g: _pack_group(g, budget),
+                                      batch_format="pandas")
 
 
 SEQUENCE_PACK_SQL = f"""
@@ -1227,33 +1236,13 @@ def curation_pipeline(sf_dir: str, budget: int = PACK_BUDGET):
         .groupby("jbucket").map_groups(semi, batch_format="pandas")
 
     def bucket_src(df: pd.DataFrame) -> pd.DataFrame:
-        import zlib
-        uniq, inv = np.unique(df["source"].to_numpy(),
-                              return_inverse=True)
-        bmap = np.array([zlib.crc32(s.encode()) & 63 for s in uniq],
-                        dtype=np.int64)
         df = df.copy()
-        df["bucket"] = bmap[inv]
+        df["bucket"] = _source_bucket_ids(df["source"].to_numpy())
         return df
 
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["source", "doc_id"])
-        tok = g["n_tokens"].to_numpy()
-        cum = np.cumsum(tok)
-        start = cum - tok
-        src = g["source"].to_numpy()
-        boundary = np.r_[True, src[1:] != src[:-1]]
-        base = np.where(boundary, start, 0)
-        np.maximum.accumulate(base, out=base)
-        start = start - base
-        return pd.DataFrame({
-            "doc_id": g["doc_id"].astype("int64"),
-            "source": src,
-            "n_tokens": tok.astype("int64"),
-            "seq_id": (start // budget).astype("int64")})
-
     return survivors.map_batches(bucket_src, batch_format="pandas") \
-        .groupby("bucket").map_groups(pack, batch_format="pandas")
+        .groupby("bucket").map_groups(lambda g: _pack_group(g, budget),
+                                      batch_format="pandas")
 
 
 CURATION_PIPELINE_SQL = f"""

@@ -102,3 +102,32 @@ def test_cli_sweep_resumable(ray_session, tmp_path, capsys, monkeypatch):
     statuses = {l["query"]: l["status"] for l in lines if "query" in l}
     assert statuses == {"token_count": "skipped",
                         "doc_length_histogram": "done"}
+
+
+def test_cli_sweep_no_duplicate_rows_after_partial_failure(
+        ray_session, tmp_path, capsys, monkeypatch):
+    """A killed attempt leaves data files but no sentinel; the re-run
+    must OVERWRITE them (Ray write_parquet appends by default), and a
+    sentinel from a different sf_dir must not be treated as done."""
+    monkeypatch.chdir("/root/repo")
+    root = str(tmp_path / "sweep")
+    rc = main(["sweep", "--out-root", root, "--only", "token_count",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    capsys.readouterr()
+    # simulate the kill: sentinel gone, stale data files remain
+    (tmp_path / "sweep/token_count/_SUCCESS").unlink()
+    rc = main(["sweep", "--out-root", root, "--only", "token_count",
+               "--sf-dir", "/root/testdata/sf0.001"])
+    assert rc == 0
+    capsys.readouterr()
+    assert pq.read_table(f"{root}/token_count").num_rows == 500  # not 1000
+
+    # stale-scale sentinel: requesting another sf_dir must recompute
+    rc = main(["sweep", "--out-root", root, "--only", "token_count",
+               "--sf-dir", "/root/testdata/sf0.01"])
+    assert rc == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    statuses = {l["query"]: l["status"] for l in lines if "query" in l}
+    assert statuses == {"token_count": "done"}
