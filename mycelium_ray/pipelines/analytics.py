@@ -2973,3 +2973,81 @@ FROM days d
 JOIN du u ON u.day BETWEEN d.day - {ROLLING_WINDOW_DAYS - 1} AND d.day
 GROUP BY d.day
 """
+
+
+# --------------------------------------------------------------------------
+# events_outliers: per-group anomaly gate (value > mean + 3σ of its
+# event_type) — the two-pass broadcast-scalar-per-group filter shape:
+# pass 1 folds exact int64 moments per type (same partials as
+# event_type_value_stats, rows ∝ groups), the per-type thresholds (a few
+# doubles) broadcast via ray.put, pass 2 filters MAP-SIDE — no shuffle
+# touches the row set at all. Every float op (operand rounding, one
+# division, one sqrt, one multiply-add chain) is mirrored verbatim in
+# the oracle SQL, and IEEE /, sqrt, * and + are correctly rounded, so
+# the comparison is bit-deterministic on both sides.
+# --------------------------------------------------------------------------
+def events_outliers(sf_dir: str):
+    """(event_id, user_id, event_type, cents) of rows whose cents exceed
+    their type's mean + 3·stddev_pop."""
+    import ray
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type",
+                                  "value"])
+
+    def moments(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        t = pd.DataFrame({"event_type": df["event_type"],
+                          "c": cents, "c2": cents * cents})
+        g = t.groupby("event_type", as_index=False).agg(
+            n=("c", "size"), s=("c", "sum"), s2=("c2", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    m = ds.map_batches(moments, batch_format="pandas").to_pandas() \
+        .groupby("event_type", as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum"), s2=("s2", "sum"))
+    n = m["n"].to_numpy().astype("float64")
+    s = m["s"].to_numpy().astype("float64")
+    s2 = m["s2"].to_numpy().astype("float64")
+    thresh = s / n + 3.0 * np.sqrt((s2 - s * s / n) / n)
+    th_ref = ray.put(dict(zip(m["event_type"], thresh)))
+
+    def gate(df: pd.DataFrame) -> pd.DataFrame:
+        th = ray.get(th_ref)
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        lim = df["event_type"].map(th).to_numpy().astype("float64")
+        keep = cents.astype("float64") > lim
+        out = df[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype("int64"),
+            "user_id": out["user_id"].astype("int64"),
+            "event_type": out["event_type"].astype("object"),
+            "cents": cents[keep],
+        })
+
+    return ds.map_batches(gate, batch_format="pandas")
+
+
+EVENTS_OUTLIERS_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), m AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS s,
+         CAST(sum(cents * cents) AS BIGINT) AS s2
+  FROM e GROUP BY event_type
+), t AS (
+  SELECT event_type,
+         CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+         + 3.0 * sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+           AS thresh
+  FROM m
+)
+SELECT e.event_id, e.user_id, e.event_type, e.cents
+FROM e JOIN t USING (event_type)
+WHERE CAST(e.cents AS DOUBLE) > t.thresh
+"""
