@@ -2780,15 +2780,19 @@ def purchasers_no_errors(sf_dir: str):
                        % np.uint64(n_buckets)).astype("int64")
         return t
 
-    def diff_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def diff_bucket(g: pd.DataFrame):
+        import pyarrow as pa
         pos = g[g["side"] == 0][["user_id", "week_day"]].drop_duplicates()
         neg = g[g["side"] == 1][["user_id", "week_day"]]
         m = pos.merge(neg, on=["user_id", "week_day"], how="left",
                       indicator=True)
         keep = m[m["_merge"] == "left_only"]
-        return pd.DataFrame({
-            "user_id": keep["user_id"].to_numpy().astype("int64"),
-            "week_day": keep["week_day"].to_numpy().astype("int64"),
+        # typed Arrow so an empty difference keeps its schema
+        return pa.table({
+            "user_id": pa.array(keep["user_id"].to_numpy()
+                                .astype("int64"), pa.int64()),
+            "week_day": pa.array(keep["week_day"].to_numpy()
+                                 .astype("int64"), pa.int64()),
         })
 
     return ds.map_batches(tag, batch_format="pandas") \
@@ -3012,17 +3016,22 @@ def events_outliers(sf_dir: str):
     thresh = s / n + 3.0 * np.sqrt((s2 - s * s / n) / n)
     th_ref = ray.put(dict(zip(m["event_type"], thresh)))
 
-    def gate(df: pd.DataFrame) -> pd.DataFrame:
+    def gate(df: pd.DataFrame):
+        import pyarrow as pa
         th = ray.get(th_ref)
         cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
         lim = df["event_type"].map(th).to_numpy().astype("float64")
         keep = cents.astype("float64") > lim
         out = df[keep]
-        return pd.DataFrame({
-            "event_id": out["event_id"].astype("int64"),
-            "user_id": out["user_id"].astype("int64"),
-            "event_type": out["event_type"].astype("object"),
-            "cents": cents[keep],
+        # typed Arrow output: an all-empty result still carries its
+        # schema through to_pandas (empty pandas blocks would not)
+        return pa.table({
+            "event_id": pa.array(out["event_id"].to_numpy()
+                                 .astype("int64"), pa.int64()),
+            "user_id": pa.array(out["user_id"].to_numpy()
+                                .astype("int64"), pa.int64()),
+            "event_type": pa.array(out["event_type"], pa.string()),
+            "cents": pa.array(cents[keep], pa.int64()),
         })
 
     return ds.map_batches(gate, batch_format="pandas")

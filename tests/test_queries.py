@@ -18,7 +18,12 @@ def _to_pandas(obj) -> pd.DataFrame:
         return obj
     if isinstance(obj, pa.Table):
         return obj.to_pandas()
-    return obj.to_pandas()  # ray Dataset
+    df = obj.to_pandas()  # ray Dataset
+    if df.shape[1] == 0:  # all-empty blocks drop columns; schema survives
+        sch = obj.schema()
+        df = pa.Table.from_arrays([pa.array([], t) for t in sch.types],
+                                  names=sch.names).to_pandas()
+    return df
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:

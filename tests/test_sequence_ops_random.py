@@ -66,3 +66,50 @@ def test_sequence_ops_match_duckdb_on_random_tables(
         want = _norm(con.execute(oracles[key]).df())
         pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                       obj=key)
+
+
+def _ds_to_pdf(ds) -> pd.DataFrame:
+    df = ds.to_pandas()
+    if df.shape[1] == 0:  # all-empty blocks; schema still known
+        sch = ds.schema()
+        df = pa.Table.from_arrays([pa.array([], t) for t in sch.types],
+                                  names=sch.names).to_pandas()
+    return df
+
+
+@pytest.mark.parametrize("seed,n", [(11, 500), (12, 41), (13, 1200),
+                                    (14, 5)])
+def test_window_ops_match_duckdb_on_random_tables(
+        ray_session, tmp_path, seed, n):
+    """Randomized parity for the round-3 window/sliding ops — heavy ts
+    ties stress LAG/cumsum tie-breaks, the coarse day grid stresses the
+    7-day sliding-distinct window, and tiny tables stress empty buckets."""
+    from mycelium_ray.pipelines import analytics
+    import __ray_entry__ as em
+
+    sf_dir = str(tmp_path / f"randw{seed}")
+    os.makedirs(sf_dir)
+    t = _gen_events(seed, n)
+    pq.write_table(t, f"{sf_dir}/events.parquet")
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'")
+    oracles = em.oracle_sql()
+    for key, fn in (
+            ("events_lag_diff", analytics.events_lag_diff),
+            ("user_cumulative_value", analytics.user_cumulative_value),
+            ("user_mode_event_type", analytics.user_mode_event_type),
+            ("rolling_7d_active_users",
+             analytics.rolling_7d_active_users),
+            ("distinct_users_per_type",
+             analytics.distinct_users_per_type),
+            ("user_event_path", analytics.user_event_path),
+            ("purchasers_no_errors", analytics.purchasers_no_errors),
+            ("event_type_value_stats",
+             analytics.event_type_value_stats),
+            ("events_outliers", analytics.events_outliers)):
+        got = _norm(_ds_to_pdf(fn(sf_dir)))
+        want = _norm(con.execute(oracles[key]).df())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                      obj=key)

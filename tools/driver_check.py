@@ -25,12 +25,25 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _empty_typed(ds) -> "pd.DataFrame":
+    """Typed empty DataFrame from a Dataset's schema — ds.to_pandas()
+    returns a column-less frame when every block is empty, even though
+    the schema is known (Arrow-typed batches preserve it)."""
+    sch = ds.schema()
+    import pyarrow as pa
+    return pa.Table.from_arrays(
+        [pa.array([], t) for t in sch.types], names=sch.names).to_pandas()
+
+
 def to_pandas(res) -> pd.DataFrame:
     import pyarrow as pa
     import ray.data
 
     if isinstance(res, ray.data.Dataset):
-        return res.to_pandas()
+        df = res.to_pandas()
+        if df.shape[1] == 0:
+            return _empty_typed(res)
+        return df
     if isinstance(res, pa.Table):
         return res.to_pandas()
     return res
