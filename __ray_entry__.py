@@ -25,9 +25,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mycelium_ray.pipelines import (analytics, ann, cleaning, cluster,
-                                        dedup, dsir, embed, graph, textops,
-                                        tokenize, urlops)
+    from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
+                                        cluster, dedup, dsir, embed, graph,
+                                        textops, tokenize, urlops)
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
         image_phash_neardup as _image_phash_neardup,
@@ -140,6 +140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _image_resize,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
+        "audio_features": audio.audio_features_pipeline,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -149,8 +150,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mycelium_ray.pipelines import (analytics, ann, cleaning, dedup,
-                                        flagship, graph, textops, urlops)
+    from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
+                                        dedup, flagship, graph, textops,
+                                        urlops)
 
     return {
         "pii_redact": cleaning.PII_REDACT_SQL,
@@ -227,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
+        "audio_features": audio.AUDIO_FEATURES_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

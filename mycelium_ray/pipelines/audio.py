@@ -1,0 +1,94 @@
+"""Audio-payload pipeline over derived FLAC clips — the compressed-audio
+analog of flagship.py's image derivation: each document seeds a
+deterministic sine clip, encoded with the from-scratch FLAC encoder
+(mycelium_ray/flac.py, RFC 9639) and REALLY decoded back by the
+AudioFeatures actor stage (CRC-8/CRC-16/MD5-verified), so the driver's
+oracle gate exercises the full encode→decode path end to end. The clip
+LENGTH derives from doc_id by pure integer arithmetic mirrored in the
+SQL oracle, so duration_ms and sample counts are provably exact while
+the decode work is real.
+
+Reference analog: M19 transcode (src/html_lexer/Unicode_wrap.cc:141-228)
+on the audio axis; reference has no audio path — this is build-brief
+multimodal coverage.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+SR = 8000
+_KNUTH = 2654435761  # same multiplicative-hash constant as sample_per_source
+
+
+def synth_audio_row(doc_id: int) -> tuple[bytes, int]:
+    """Deterministic FLAC clip for a doc: n_samples and pitch derive from
+    doc_id by integer arithmetic (SQL-expressible); waveform is a pure
+    sine, so the encoder sees realistic smooth data (fixed predictors +
+    Rice actually compress)."""
+    k = (doc_id * _KNUTH) % (1 << 32)
+    n_samples = SR + k % SR              # 1.0 – 2.0 s
+    freq = 100 + (k >> 16) % 400
+    t = np.arange(n_samples, dtype=np.float64)
+    x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
+        .astype(np.int16)
+    from ..flac import encode_flac
+    return encode_flac(x, SR), n_samples
+
+
+def derive_audio_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    blobs = [synth_audio_row(d) for d in ids]
+    return pa.table({
+        "audio_id": pa.array([f"http://aud.test/d/{d}" for d in ids],
+                             pa.string()),
+        "doc_id": pa.array(ids, pa.int64()),
+        "audio": pa.array([b[0] for b in blobs], pa.binary()),
+    })
+
+
+def audio_features_pipeline(sf_dir: str):
+    """(audio_id, doc_id, duration_ms, sample_rate, audio_ok) — derive →
+    REAL FLAC decode (actor pool) → features. duration_ms is exact
+    integer arithmetic on the decoded sample count, mirrored in SQL."""
+    from ..stages.media import AudioFeatures
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    ds = ds.map_batches(derive_audio_batch, batch_format="pyarrow",
+                        batch_size=256)
+    feats = ds.map_batches(AudioFeatures(), batch_format="pyarrow",
+                           batch_size=128, concurrency=4)
+
+    def attach(t: pa.Table) -> pa.Table:
+        # audio_id is 'http://aud.test/d/<doc_id>' — recover doc_id
+        ids = [int(s.rsplit("/", 1)[1]) for s in
+               t["audio_id"].to_pylist()]
+        return pa.table({
+            "audio_id": t["audio_id"],
+            "doc_id": pa.array(ids, pa.int64()),
+            "duration_ms": t["duration_ms"],
+            "sample_rate": pa.array(
+                t["sample_rate"].to_numpy().astype("int64"), pa.int64()),
+            "audio_ok": t["audio_ok"],
+        })
+
+    return feats.map_batches(attach, batch_format="pyarrow")
+
+
+AUDIO_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         {SR} + (doc_id * {_KNUTH}) % {1 << 32} % {SR} AS n_samples
+  FROM documents
+)
+SELECT 'http://aud.test/d/' || CAST(doc_id AS VARCHAR) AS audio_id,
+       doc_id,
+       CAST(n_samples * 1000 // {SR} AS BIGINT) AS duration_ms,
+       CAST({SR} AS BIGINT) AS sample_rate,
+       TRUE AS audio_ok
+FROM d
+"""
