@@ -30,7 +30,9 @@ def synth_audio_row(doc_id: int) -> tuple[bytes, int]:
     sine, so the encoder sees realistic smooth data (fixed predictors +
     Rice actually compress)."""
     k = (doc_id * _KNUTH) % (1 << 32)
-    n_samples = SR + k % SR              # 1.0 – 2.0 s
+    n_samples = SR // 2 + k % (SR // 2)  # 0.5 – 1.0 s (the pure-python
+    # Rice bit-writer costs ~5 ms/ksample; this bounds the driver's
+    # per-query wall at ~12 s for 500 clips)
     freq = 100 + (k >> 16) % 400
     t = np.arange(n_samples, dtype=np.float64)
     x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
@@ -82,7 +84,8 @@ def audio_features_pipeline(sf_dir: str):
 AUDIO_FEATURES_SQL = f"""
 WITH d AS (
   SELECT doc_id,
-         {SR} + (doc_id * {_KNUTH}) % {1 << 32} % {SR} AS n_samples
+         {SR // 2} + (doc_id * {_KNUTH}) % {1 << 32} % {SR // 2}
+           AS n_samples
   FROM documents
 )
 SELECT 'http://aud.test/d/' || CAST(doc_id AS VARCHAR) AS audio_id,
