@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": textops.doc_length_histogram,
         "global_length_rank": textops.global_length_rank,
         "curation_pipeline": textops.curation_pipeline,
+        "source_mix_weights": textops.source_mix_weights,
         "bpe_tokenize": tokenize.bpe_tokenize,   # rows-only (iterative
                                                  # merge training)
         "dsir_resample": dsir.dsir_resample,     # rows-only (hashed
@@ -217,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_histogram": textops.DOC_LENGTH_HISTOGRAM_SQL,
         "global_length_rank": textops.GLOBAL_LENGTH_RANK_SQL,
         "curation_pipeline": textops.CURATION_PIPELINE_SQL,
+        "source_mix_weights": textops.SOURCE_MIX_WEIGHTS_SQL,
         "pagerank": graph.PAGERANK_SQL,
         "triangle_count": graph.TRIANGLE_COUNT_SQL,
         "word_count_topk": textops.WORD_COUNT_SQL,

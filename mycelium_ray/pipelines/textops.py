@@ -1263,3 +1263,56 @@ SELECT doc_id, source, n_tokens,
        CAST(start_tok // {PACK_BUDGET} AS BIGINT) AS seq_id
 FROM cums
 """
+
+
+# --------------------------------------------------------------------------
+# source_mix_weights: domain-mixture weights ∝ token mass per source —
+# the sampling-weights table a pretraining data mix is built from.
+# Integer partials per (source, batch); the total crosses the driver as
+# ONE int; each weight is a single operand-rounded IEEE division
+# mirrored in the oracle.
+# --------------------------------------------------------------------------
+def source_mix_weights(sf_dir: str):
+    """(source, n_docs, n_tokens, weight) with weight = source token
+    share of the corpus."""
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = pc.cast(pc.count_substring_regex(
+            pc.fill_null(t["text"], ""), r"\S+"), pa.int64())
+        one = pa.array(np.ones(len(t), dtype="int64"))
+        g = pa.table({"source": t["source"], "n": n, "one": one}) \
+            .group_by("source").aggregate([("one", "sum"), ("n", "sum")])
+        return pa.table({"source": g["source"],
+                         "n_docs": pc.cast(g["one_sum"], pa.int64()),
+                         "n_tokens": pc.cast(g["n_sum"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    agg = _read(sf_dir, "documents", ["source", "text"]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n_docs", alias_name="n_docs"),
+                                     Sum("n_tokens",
+                                         alias_name="n_tokens"))
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        total = float(int(df["n_tokens"].sum()))
+        df = df.copy()
+        df["weight"] = df["n_tokens"].to_numpy().astype("float64") / total
+        return df
+
+    # the per-source table is bounded (sources ≪ docs): one-task combine
+    return agg.repartition(1).map_batches(finalize, batch_format="pandas")
+
+
+SOURCE_MIX_WEIGHTS_SQL = """
+WITH t AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens AS DOUBLE) / (SELECT CAST(sum(n_tokens) AS DOUBLE)
+                                   FROM t) AS weight
+FROM t
+"""
