@@ -178,18 +178,22 @@ def _load_queries():
 
 
 def _write_result(res, path: str):
-    """Write a Dataset / pa.Table / DataFrame result as parquet; returns
-    the row count when known without consuming the Dataset."""
+    """Write a Dataset / pa.Table / DataFrame result as a parquet
+    DIRECTORY, overwriting any previous contents (Ray's write_parquet
+    APPENDS by default — leftover files from an earlier run would ride
+    along as duplicated rows). Returns the row count when known without
+    consuming the Dataset."""
+    import os
+    import shutil
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
     if hasattr(res, "write_parquet"):
         res.write_parquet(path)
         return None
     import pyarrow as pa
     import pyarrow.parquet as pq
     tbl = res if isinstance(res, pa.Table) else pa.Table.from_pandas(res)
-    import os
-    target = (os.path.join(path, "part-0.parquet")
-              if os.path.isdir(path) else path)
-    pq.write_table(tbl, target)
+    pq.write_table(tbl, os.path.join(path, "part-0.parquet"))
     return tbl.num_rows
 
 
@@ -229,7 +233,6 @@ def cmd_sweep(args) -> int:
     only what is missing."""
     import json as _json
     import os
-    import shutil
 
     owns_ray = _ray_init(args.num_cpus)
     from ray.data import DataContext
@@ -250,9 +253,13 @@ def cmd_sweep(args) -> int:
         sentinel = os.path.join(outdir, "_SUCCESS")
         if os.path.exists(sentinel):
             # a sentinel from a DIFFERENT sf_dir is stale, not done —
-            # skipping it would silently hand back wrong-scale results
-            with open(sentinel) as f:
-                meta = _json.load(f)
+            # skipping it would silently hand back wrong-scale results;
+            # an unreadable sentinel (killed mid-write) is also stale
+            try:
+                with open(sentinel) as f:
+                    meta = _json.load(f)
+            except (ValueError, OSError):
+                meta = {}
             if meta.get("sf_dir") == args.sf_dir:
                 n_skip += 1
                 print(_json.dumps({"query": name, "status": "skipped"}),
@@ -261,12 +268,7 @@ def cmd_sweep(args) -> int:
         t0 = time.perf_counter()
         try:
             res = qs[name](args.sf_dir)
-            # clear leftovers from a killed earlier attempt: Ray's
-            # write_parquet APPENDS, so stale partial files would ride
-            # along and the sentinel would bless duplicated rows
-            shutil.rmtree(outdir, ignore_errors=True)
-            os.makedirs(outdir, exist_ok=True)
-            n_rows = _write_result(res, outdir)
+            n_rows = _write_result(res, outdir)  # overwrites leftovers
             # the sentinel is written LAST: its presence proves the
             # partition's data files are complete
             with open(sentinel, "w") as f:

@@ -3013,7 +3013,11 @@ def events_outliers(sf_dir: str):
     n = m["n"].to_numpy().astype("float64")
     s = m["s"].to_numpy().astype("float64")
     s2 = m["s2"].to_numpy().astype("float64")
-    thresh = s / n + 3.0 * np.sqrt((s2 - s * s / n) / n)
+    # clamp at 0 BEFORE the sqrt: fl(s*s)/n can round above s2 for a
+    # zero-variance group past 2^53, and np.sqrt(neg) is NaN while the
+    # oracle's sqrt() ERRORS — greatest(0, ·) mirrored in the SQL keeps
+    # both sides total and identical
+    thresh = s / n + 3.0 * np.sqrt(np.maximum((s2 - s * s / n) / n, 0.0))
     th_ref = ray.put(dict(zip(m["event_type"], thresh)))
 
     def gate(df: pd.DataFrame):
@@ -3050,9 +3054,9 @@ WITH e AS (
 ), t AS (
   SELECT event_type,
          CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-         + 3.0 * sqrt((CAST(s2 AS DOUBLE)
+         + 3.0 * sqrt(greatest((CAST(s2 AS DOUBLE)
                        - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
-                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE))
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 0.0))
            AS thresh
   FROM m
 )

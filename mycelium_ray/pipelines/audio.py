@@ -24,7 +24,7 @@ SR = 8000
 _KNUTH = 2654435761  # same multiplicative-hash constant as sample_per_source
 
 
-def synth_audio_row(doc_id: int) -> tuple[bytes, int]:
+def synth_audio_row(doc_id: int) -> bytes:
     """Deterministic FLAC clip for a doc: n_samples and pitch derive from
     doc_id by integer arithmetic (SQL-expressible); waveform is a pure
     sine, so the encoder sees realistic smooth data (fixed predictors +
@@ -38,7 +38,7 @@ def synth_audio_row(doc_id: int) -> tuple[bytes, int]:
     x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
         .astype(np.int16)
     from ..flac import encode_flac
-    return encode_flac(x, SR), n_samples
+    return encode_flac(x, SR)
 
 
 def derive_audio_batch(batch: pa.Table) -> pa.Table:
@@ -48,7 +48,7 @@ def derive_audio_batch(batch: pa.Table) -> pa.Table:
         "audio_id": pa.array([f"http://aud.test/d/{d}" for d in ids],
                              pa.string()),
         "doc_id": pa.array(ids, pa.int64()),
-        "audio": pa.array([b[0] for b in blobs], pa.binary()),
+        "audio": pa.array(blobs, pa.binary()),
     })
 
 

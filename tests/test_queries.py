@@ -13,17 +13,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def _to_pandas(obj) -> pd.DataFrame:
-    import pyarrow as pa
-    if isinstance(obj, pd.DataFrame):
-        return obj
-    if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    df = obj.to_pandas()  # ray Dataset
-    if df.shape[1] == 0:  # all-empty blocks drop columns; schema survives
-        sch = obj.schema()
-        df = pa.Table.from_arrays([pa.array([], t) for t in sch.types],
-                                  names=sch.names).to_pandas()
-    return df
+    from .conftest import ds_to_pandas
+    return ds_to_pandas(obj)
 
 
 def _norm(df: pd.DataFrame) -> pd.DataFrame:

@@ -69,12 +69,8 @@ def test_sequence_ops_match_duckdb_on_random_tables(
 
 
 def _ds_to_pdf(ds) -> pd.DataFrame:
-    df = ds.to_pandas()
-    if df.shape[1] == 0:  # all-empty blocks; schema still known
-        sch = ds.schema()
-        df = pa.Table.from_arrays([pa.array([], t) for t in sch.types],
-                                  names=sch.names).to_pandas()
-    return df
+    from .conftest import ds_to_pandas
+    return ds_to_pandas(ds)
 
 
 @pytest.mark.parametrize("seed,n", [(11, 500), (12, 41), (13, 1200),
