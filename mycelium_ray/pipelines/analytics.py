@@ -1968,7 +1968,9 @@ FROM j
 # all-to-all exchange touches the big tables beyond the one bucketed
 # pre-aggregation.
 # --------------------------------------------------------------------------
-LARGE_ORDER_QTY_C = 29000  # qty*100 > 290 units ≈ 99.6th pct of the corpus
+LARGE_ORDER_QTY_C = 30000  # qty*100 > 300 units ≈ 99.7th pct — the
+# winner set must stay broadcast-small at any scale (TPC-H Q18 uses the
+# same >300 bar); non-vacuous at every test sf (5 rows at sf0.001)
 
 
 def large_orders(sf_dir: str, qty_c: int = LARGE_ORDER_QTY_C):
