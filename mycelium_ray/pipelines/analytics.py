@@ -2023,15 +2023,23 @@ def large_orders(sf_dir: str, qty_c: int = LARGE_ORDER_QTY_C):
     cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                            columns=["c_custkey", "c_name"])
 
-    def attach_cust(df: pd.DataFrame) -> pd.DataFrame:
+    def attach_cust(df: pd.DataFrame):
+        import pyarrow as pa
         b = ray.get(big_ref)
         m = df.merge(b, left_on="c_custkey", right_on="o_custkey")
-        return pd.DataFrame({
-            "c_custkey": m["c_custkey"].astype("int64"),
-            "c_name": m["c_name"].astype("object"),
-            "o_orderkey": m["o_orderkey"].astype("int64"),
-            "total_qty_c": m["total_qty_c"].astype("int64"),
-            "o_totalprice_cents": m["o_totalprice_cents"].astype("int64"),
+        # typed Arrow: an all-empty result (threshold above every order)
+        # still carries its schema through to_pandas
+        return pa.table({
+            "c_custkey": pa.array(m["c_custkey"].to_numpy()
+                                  .astype("int64"), pa.int64()),
+            "c_name": pa.array(m["c_name"], pa.string()),
+            "o_orderkey": pa.array(m["o_orderkey"].to_numpy()
+                                   .astype("int64"), pa.int64()),
+            "total_qty_c": pa.array(m["total_qty_c"].to_numpy()
+                                    .astype("int64"), pa.int64()),
+            "o_totalprice_cents": pa.array(
+                m["o_totalprice_cents"].to_numpy().astype("int64"),
+                pa.int64()),
         })
 
     return cust.map_batches(attach_cust, batch_format="pandas")
@@ -2347,13 +2355,16 @@ def rich_idle_customers(sf_dir: str):
                        % np.uint64(n_buckets)).astype("int64"),
         })
 
-    def anti(g: pd.DataFrame) -> pd.DataFrame:
+    def anti(g: pd.DataFrame):
+        import pyarrow as pa
         have = g.loc[g["side"] == 1, "key"].to_numpy()
         c = g[g["side"] == 0]
         keep = c[~c["key"].isin(have)]
-        return pd.DataFrame({
-            "c_custkey": keep["key"].to_numpy().astype("int64"),
-            "acctbal_cents": keep["cents"].to_numpy().astype("int64"),
+        return pa.table({
+            "c_custkey": pa.array(keep["key"].to_numpy()
+                                  .astype("int64"), pa.int64()),
+            "acctbal_cents": pa.array(keep["cents"].to_numpy()
+                                      .astype("int64"), pa.int64()),
         })
 
     return cust_bal.map_batches(tag_cust, batch_format="pandas") \
