@@ -116,6 +116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_path": analytics.user_event_path,
         "rolling_7d_active_users": analytics.rolling_7d_active_users,
         "events_outliers": analytics.events_outliers,
+        "events_time_rollup": analytics.events_time_rollup,
         "purchasers_no_errors": analytics.purchasers_no_errors,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "source_label_profile": ann.source_label_profile,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "user_event_path": analytics.USER_EVENT_PATH_SQL,
         "rolling_7d_active_users": analytics.ROLLING_7D_ACTIVE_SQL,
         "events_outliers": analytics.EVENTS_OUTLIERS_SQL,
+        "events_time_rollup": analytics.EVENTS_TIME_ROLLUP_SQL,
         "purchasers_no_errors": analytics.PURCHASERS_NO_ERRORS_SQL,
         "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
         "source_label_profile": ann.SOURCE_LABEL_PROFILE_SQL,

@@ -3077,3 +3077,78 @@ SELECT e.event_id, e.user_id, e.event_type, e.cents
 FROM e JOIN t USING (event_type)
 WHERE CAST(e.cents AS DOUBLE) > t.thresh
 """
+
+
+# --------------------------------------------------------------------------
+# events_time_rollup: the streaming-metrics time hierarchy — counts and
+# exact cents sums at HOUR, DAY, and WEEK granularity from ONE scan.
+# Per-batch partials key on the hour bucket (the finest level); the hour
+# table is bounded by the corpus time span, so day and week levels are
+# re-aggregated FROM IT (the orders_rollup pattern on a time hierarchy)
+# — the raw events shuffle once, coarser levels cost ~nothing.
+# --------------------------------------------------------------------------
+def events_time_rollup(sf_dir: str):
+    """(level, bucket, n, sum_cents) with level ∈ {'hour','day','week'};
+    bucket = epoch hours / epoch days / Monday epoch-day respectively."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "value"])
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        cents = np.rint(df["value"].to_numpy() * 100).astype("int64")
+        hour = us // (3_600 * 10**6)
+        g = pd.DataFrame({"hour": hour, "cents": cents}) \
+            .groupby("hour", as_index=False).agg(n=("cents", "size"),
+                                                 sum_cents=("cents", "sum"))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    from ray.data.aggregate import Sum
+    hours = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("hour").aggregate(Sum("n", alias_name="n"),
+                                   Sum("sum_cents",
+                                       alias_name="sum_cents"))
+
+    def rollup(df: pd.DataFrame) -> pd.DataFrame:
+        h = df.copy()
+        day = h["hour"].to_numpy() // 24
+        week = day - (day + 3) % 7        # Monday truncation (_week_day)
+        out = [pd.DataFrame({"level": "hour", "bucket": h["hour"],
+                             "n": h["n"], "sum_cents": h["sum_cents"]})]
+        for name, key in (("day", day), ("week", week)):
+            g = pd.DataFrame({"bucket": key, "n": h["n"],
+                              "sum_cents": h["sum_cents"]}) \
+                .groupby("bucket", as_index=False).sum()
+            g.insert(0, "level", name)
+            out.append(g)
+        r = pd.concat(out, ignore_index=True)
+        r["bucket"] = r["bucket"].astype("int64")
+        r["n"] = r["n"].astype("int64")
+        r["sum_cents"] = r["sum_cents"].astype("int64")
+        return r
+
+    # the hour table is bounded by the time span — one-task rollup
+    return hours.repartition(1).map_batches(rollup, batch_format="pandas")
+
+
+EVENTS_TIME_ROLLUP_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+), h AS (
+  SELECT hour, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(cents) AS BIGINT) AS sum_cents
+  FROM e GROUP BY hour
+)
+SELECT 'hour' AS level, CAST(hour AS BIGINT) AS bucket, n, sum_cents
+FROM h
+UNION ALL
+SELECT 'day', CAST(hour // 24 AS BIGINT),
+       CAST(sum(n) AS BIGINT), CAST(sum(sum_cents) AS BIGINT)
+FROM h GROUP BY hour // 24
+UNION ALL
+SELECT 'week', CAST(hour // 24 - (hour // 24 + 3) % 7 AS BIGINT),
+       CAST(sum(n) AS BIGINT), CAST(sum(sum_cents) AS BIGINT)
+FROM h GROUP BY hour // 24 - (hour // 24 + 3) % 7
+"""
