@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_outliers": analytics.events_outliers,
         "events_time_rollup": analytics.events_time_rollup,
         "purchasers_no_errors": analytics.purchasers_no_errors,
+        "purchasers_with_errors": analytics.purchasers_with_errors,
         "embedding_dim_minmax": ann.embedding_dim_minmax,
         "source_label_profile": ann.source_label_profile,
         "pagerank": graph.pagerank,
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "events_outliers": analytics.EVENTS_OUTLIERS_SQL,
         "events_time_rollup": analytics.EVENTS_TIME_ROLLUP_SQL,
         "purchasers_no_errors": analytics.PURCHASERS_NO_ERRORS_SQL,
+        "purchasers_with_errors": analytics.PURCHASERS_WITH_ERRORS_SQL,
         "embedding_dim_minmax": ann.EMBEDDING_DIM_MINMAX_SQL,
         "source_label_profile": ann.SOURCE_LABEL_PROFILE_SQL,
         "bigram_topk": textops.BIGRAM_TOPK_SQL,

@@ -3152,3 +3152,61 @@ SELECT 'week', CAST(hour // 24 - (hour // 24 + 3) % 7 AS BIGINT),
        CAST(sum(n) AS BIGINT), CAST(sum(sum_cents) AS BIGINT)
 FROM h GROUP BY hour // 24 - (hour // 24 + 3) % 7
 """
+
+
+def purchasers_with_errors(sf_dir: str):
+    """Distributed SET INTERSECTION — (user_id, week_day) pairs present
+    on BOTH derived sides (a purchase AND an error in the same week);
+    completes the set-op family next to purchasers_no_errors (EXCEPT).
+    Same one-scan/tag/bucket shape; the per-bucket resolve keeps rows
+    whose (user, week) appears on both sides."""
+    import pyarrow.compute as pc
+    n_buckets = _n_join_buckets()
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts"],
+        filter=pc.field("event_type").isin(["purchase", "error"]))
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        us = df["ts"].astype("datetime64[us]").astype("int64")
+        t = pd.DataFrame({
+            "user_id": df["user_id"].astype("int64"),
+            "week_day": _week_day(us.to_numpy()),
+            "side": (df["event_type"] == "error").to_numpy()
+            .astype("int64"),
+        }).drop_duplicates()
+        u = t["user_id"].to_numpy().astype("uint64")
+        t["bucket"] = (u.astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64")
+        return t
+
+    def inter_bucket(g: pd.DataFrame):
+        import pyarrow as pa
+        pos = g[g["side"] == 0][["user_id", "week_day"]].drop_duplicates()
+        neg = g[g["side"] == 1][["user_id", "week_day"]].drop_duplicates()
+        m = pos.merge(neg, on=["user_id", "week_day"])
+        return pa.table({
+            "user_id": pa.array(m["user_id"].to_numpy()
+                                .astype("int64"), pa.int64()),
+            "week_day": pa.array(m["week_day"].to_numpy()
+                                 .astype("int64"), pa.int64()),
+        })
+
+    return ds.map_batches(tag, batch_format="pandas") \
+        .groupby("bucket").map_groups(inter_bucket, batch_format="pandas")
+
+
+PURCHASERS_WITH_ERRORS_SQL = """
+WITH w AS (
+  SELECT user_id, event_type,
+         datediff('day', DATE '1970-01-01',
+                  CAST(date_trunc('week', ts) AS DATE)) AS week_day
+  FROM events
+)
+SELECT DISTINCT user_id, CAST(week_day AS BIGINT) AS week_day
+FROM w WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id, CAST(week_day AS BIGINT) AS week_day
+FROM w WHERE event_type = 'error'
+"""
