@@ -182,10 +182,28 @@ def _write_result(res, path: str):
     DIRECTORY, overwriting any previous contents (Ray's write_parquet
     APPENDS by default — leftover files from an earlier run would ride
     along as duplicated rows). Returns the row count when known without
-    consuming the Dataset."""
+    consuming the Dataset. Refuses to clobber a path that doesn't look
+    like prior query output — `--out .` must never delete the user's
+    working tree."""
     import os
     import shutil
-    shutil.rmtree(path, ignore_errors=True)
+    if os.path.isfile(path):
+        # previous single-file output format (or an unrelated file):
+        # replace the file, never rmtree around it
+        os.remove(path)
+    elif os.path.isdir(path):
+        entries = os.listdir(path)
+        # prior output = empty, or nothing but parquet parts + markers
+        looks_like_output = all(
+            e in ("_SUCCESS", "_metadata", "_common_metadata")
+            or e.endswith(".parquet") or e.endswith(".crc")
+            for e in entries)
+        if not looks_like_output:
+            raise SystemExit(
+                f"--out {path!r} exists and doesn't look like prior query "
+                "output (no _SUCCESS / part-*.parquet); refusing to delete "
+                "it — pick an empty or new directory")
+        shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
     if hasattr(res, "write_parquet"):
         res.write_parquet(path)

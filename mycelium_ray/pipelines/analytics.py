@@ -1945,8 +1945,9 @@ WITH j AS (
 SELECT CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS BIGINT)
          AS promo_revenue_cents,
        CAST(sum(rev_c) AS BIGINT) AS total_revenue_cents,
-       CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS DOUBLE)
-         / CAST(sum(rev_c) AS DOUBLE) AS promo_share
+       coalesce(CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS DOUBLE)
+                  / nullif(CAST(sum(rev_c) AS DOUBLE), 0), 0.0)
+         AS promo_share
 FROM j
 """
 
@@ -2378,7 +2379,10 @@ WITH c AS (
          CAST(round(c_acctbal * 100) AS BIGINT) AS cents
   FROM customer
 ), t AS (
-  SELECT CAST(sum(cents) AS DOUBLE) / count(*) AS thresh
+  -- mirror the pipeline's empty-input fallback (thresh = 0.0 when no
+  -- positive balances) so both sides agree on degenerate input
+  SELECT coalesce(CAST(sum(cents) AS DOUBLE) / nullif(count(*), 0), 0.0)
+           AS thresh
   FROM c WHERE cents > 0
 )
 SELECT c.c_custkey, c.cents AS acctbal_cents

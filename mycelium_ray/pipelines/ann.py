@@ -52,8 +52,7 @@ def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
                       columns=["vec_id", "embedding"])
     mask = pc.less(t["vec_id"], N_QUERIES)
     t = t.filter(mask).sort_by("vec_id")
-    q = np.stack([np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()])
-    return t["vec_id"].to_numpy(), q
+    return t["vec_id"].to_numpy(), emb_matrix(t["embedding"])
 
 
 def _topk_idx(sims: np.ndarray, vids: np.ndarray, k: int) -> np.ndarray:
@@ -105,11 +104,28 @@ def _score_candidates(mn: np.ndarray, vids: np.ndarray, qids: np.ndarray,
     return out
 
 
-def _batch_sims(df: pd.DataFrame, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
+def _emb_vids(t: pa.Table, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow batch → (L2-normalized (n, dim) float64 matrix, vec_ids) via
+    the vectorized emb_matrix — empty-batch safe (Arrow can't tell us the
+    list width of zero rows, hence the explicit ``dim``)."""
+    if t.num_rows == 0:
+        return (np.empty((0, dim), dtype="float64"),
+                np.empty(0, dtype="int64"))
+    m = emb_matrix(t["embedding"])
+    return (m / np.linalg.norm(m, axis=1, keepdims=True),
+            t["vec_id"].to_numpy())
+
+
+def _batch_sims(t: pa.Table, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Arrow batch → (vec_ids, (rows, n_queries) cosine sims). Vectorized
+    emb_matrix (flatten+reshape on list offsets) — no per-row stacking."""
+    if t.num_rows == 0:
+        return (np.empty(0, dtype="int64"),
+                np.empty((0, q.shape[0]), dtype="float64"))
+    m = emb_matrix(t["embedding"])
     qn = q / np.linalg.norm(q, axis=1, keepdims=True)
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-    return df["vec_id"].to_numpy(), mn @ qn.T  # (rows, n_queries)
+    return t["vec_id"].to_numpy(), mn @ qn.T  # (rows, n_queries)
 
 
 def _merge_topk(parts_ds, k: int, with_stats: bool):
@@ -165,9 +181,9 @@ def ann_topk(sf_dir: str, k: int = TOPK):
     qids, q = _query_matrix(sf_dir)
     q_ref = ray.put(q)
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
+    def partial_topk(t: pa.Table) -> pd.DataFrame:
         qm = ray.get(q_ref)
-        vids, sims = _batch_sims(df, qm)
+        vids, sims = _batch_sims(t, qm)
         rows = {"query_id": [], "vec_id": [], "sim": []}
         for qi in range(sims.shape[1]):
             s = sims[:, qi]
@@ -178,7 +194,7 @@ def ann_topk(sf_dir: str, k: int = TOPK):
         return pd.DataFrame(rows)
 
     parts = _read_emb(sf_dir).map_batches(partial_topk,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
     table, _ = _merge_topk(parts, k, with_stats=False)
     return table
 
@@ -242,13 +258,11 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
     qn_ref = ray.put(qn)
     qsig_ref = ray.put(qsig)
 
-    def bucket_and_score(df: pd.DataFrame) -> pd.DataFrame:
+    def bucket_and_score(t: pa.Table) -> pd.DataFrame:
         pl = ray.get(planes_ref)
         qnm = ray.get(qn_ref)
         qs = ray.get(qsig_ref)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
+        mn, vids = _emb_vids(t, qnm.shape[1])
         sigs = _signatures(mn, pl)  # (rows, N_TABLES)
         # exact sims for the CANDIDATES only — the pruned matmul
         return _score_candidates(
@@ -256,7 +270,7 @@ def ann_topk_lsh(sf_dir: str, k: int = TOPK, with_stats: bool = False):
             lambda qi: (sigs == qs[qi][None, :]).any(axis=1), with_stats)
 
     parts = _read_emb(sf_dir).map_batches(bucket_and_score,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
     table, stats = _merge_topk(parts, k, with_stats)
     return (table, stats) if with_stats else table
 
@@ -288,8 +302,7 @@ def _train_centroids(sf_dir: str, seed: int = 42) -> np.ndarray:
         filter=pc.bit_wise_and(pc.field("vec_id"),
                                TRAIN_SAMPLE_STRIDE - 1) == 0)
     t = t.sort_by("vec_id").slice(0, 200_000)  # hard training-row cap
-    x = np.stack([np.asarray(v, dtype=np.float64)
-                  for v in t["embedding"].to_pylist()])
+    x = emb_matrix(t["embedding"])
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     rng = np.random.default_rng(seed)
     cent = xn[rng.choice(len(xn), size=min(N_CENTROIDS, len(xn)),
@@ -324,20 +337,18 @@ def ann_topk_ivf(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
     qn_ref = ray.put(qn)
     qcells_ref = ray.put(qcells)
 
-    def probe_and_score(df: pd.DataFrame) -> pd.DataFrame:
+    def probe_and_score(t: pa.Table) -> pd.DataFrame:
         ct = ray.get(cent_ref)
         qnm = ray.get(qn_ref)
         qc = ray.get(qcells_ref)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in df["embedding"]])
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
+        mn, vids = _emb_vids(t, qnm.shape[1])
         cells = np.argmax(mn @ ct.T, axis=1)  # (rows,)
         return _score_candidates(mn, vids, qids, qnm, k,
                                  lambda qi: np.isin(cells, qc[qi]),
                                  with_stats)
 
     parts = _read_emb(sf_dir).map_batches(probe_and_score,
-                                          batch_format="pandas")
+                                          batch_format="pyarrow")
     table, stats = _merge_topk(parts, k, with_stats)
     return (table, stats) if with_stats else table
 
@@ -369,9 +380,7 @@ def ann_index_build(sf_dir: str, index_dir: str) -> np.ndarray:
 
     def assign(t: pa.Table) -> pa.Table:
         ct = ray.get(cent_ref)
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in t["embedding"].to_pylist()])
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        mn, _ = _emb_vids(t, ct.shape[1])
         cells = np.argmax(mn @ ct.T, axis=1).astype("int64")
         return t.append_column("cell", pa.array(cells, pa.int64()))
 
@@ -416,21 +425,18 @@ def ann_topk_indexed(sf_dir: str, k: int = TOPK, nprobe: int = NPROBE,
     qn_ref = ray.put(qn)
     qcells_ref = ray.put(qcells)
 
-    def probe(df: pd.DataFrame) -> pd.DataFrame:
+    def probe(t: pa.Table) -> pd.DataFrame:
         ct = ray.get(cent_ref)
         qnm = ray.get(qn_ref)
         qc = ray.get(qcells_ref)
-        m = np.stack([np.asarray(v, dtype=np.float64)
-                      for v in df["embedding"]])
-        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-        vids = df["vec_id"].to_numpy()
+        mn, vids = _emb_vids(t, qnm.shape[1])
         cells = np.argmax(mn @ ct.T, axis=1)
         return _score_candidates(mn, vids, qids, qnm, k,
                                  lambda qi: np.isin(cells, qc[qi]),
                                  with_stats)
 
     parts = rd.read_parquet(files, columns=["vec_id", "embedding"]) \
-        .map_batches(probe, batch_format="pandas")
+        .map_batches(probe, batch_format="pyarrow")
     table, stats = _merge_topk(parts, k, with_stats)
     if with_stats:
         stats["n_cells_read"] = len(dirs)
@@ -460,13 +466,19 @@ def embedding_neardup(sf_dir: str, threshold: float = NEARDUP_THRESHOLD):
     needed while per-label vectors fit a worker heap). sim_micro =
     floor(sim * 1e6) as int64 — float-hash-safe vs the oracle (which casts
     the float32 lists to DOUBLE so both sides sum in f64)."""
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+    empty = pa.table({"vec_id_a": pa.array([], pa.int64()),
+                      "vec_id_b": pa.array([], pa.int64()),
+                      "sim_micro": pa.array([], pa.int64())})
+
+    def pairs(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return empty
+        m = emb_matrix(g["embedding"])
         mn = m / np.linalg.norm(m, axis=1, keepdims=True)
         ids = g["vec_id"].to_numpy()
         n = len(ids)
         block = max(16, NEARDUP_BLOCK_ELEMS // max(n, 1))
-        outs = []
+        a_out, b_out, s_out = [], [], []
         for i0 in range(0, n, block):
             i1 = min(i0 + block, n)
             # rectangle (rows i0:i1) × (cols i0:n); keep col > row only
@@ -475,27 +487,23 @@ def embedding_neardup(sf_dir: str, threshold: float = NEARDUP_THRESHOLD):
             keep = (c + i0) > (r + i0)  # strict upper triangle, global idx
             r, c = r[keep], c[keep]
             gi, gj = ids[r + i0], ids[c + i0]
-            outs.append(pd.DataFrame({
-                "vec_id_a": np.minimum(gi, gj).astype("int64"),
-                "vec_id_b": np.maximum(gi, gj).astype("int64"),
-                "sim_micro": np.floor(sims[r, c] * 1e6).astype("int64"),
-            }))
-        if not outs:
-            return pd.DataFrame({"vec_id_a": pd.Series([], dtype="int64"),
-                                 "vec_id_b": pd.Series([], dtype="int64"),
-                                 "sim_micro": pd.Series([], dtype="int64")})
-        return pd.concat(outs, ignore_index=True)
+            a_out.append(np.minimum(gi, gj).astype("int64"))
+            b_out.append(np.maximum(gi, gj).astype("int64"))
+            s_out.append(np.floor(sims[r, c] * 1e6).astype("int64"))
+        if not a_out:
+            return empty
+        return pa.table({
+            "vec_id_a": pa.array(np.concatenate(a_out), pa.int64()),
+            "vec_id_b": pa.array(np.concatenate(b_out), pa.int64()),
+            "sim_micro": pa.array(np.concatenate(s_out), pa.int64()),
+        })
 
-    ds = _read_emb(sf_dir).groupby("label").map_groups(
-        pairs, batch_format="pandas")
-    pdf = ds.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"vec_id_a": pa.array([], pa.int64()),
-                         "vec_id_b": pa.array([], pa.int64()),
-                         "sim_micro": pa.array([], pa.int64())})
-    pdf = pdf.sort_values(["vec_id_a", "vec_id_b"]).astype("int64")
-    return pa.Table.from_pandas(pdf.reset_index(drop=True),
-                                preserve_index=False)
+    # Distributed final order — the pair set is data-dependent and
+    # unbounded at 100 TB, so it must never collect on the driver; the
+    # Arrow-typed group output keeps the schema stable even when every
+    # block is empty.
+    return _read_emb(sf_dir).groupby("label").map_groups(
+        pairs, batch_format="pyarrow").sort(["vec_id_a", "vec_id_b"])
 
 
 EMBEDDING_NEARDUP_SQL = f"""

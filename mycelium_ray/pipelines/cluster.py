@@ -156,10 +156,15 @@ def embedding_kmeans(sf_dir: str, k: int = K_CLUSTERS,
     return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow")
 
 
-def _cluster_pairs(g: pd.DataFrame, threshold: float) -> pd.DataFrame:
+def _cluster_pairs(g: pa.Table, threshold: float) -> pd.DataFrame:
     """Blockwise within-cluster cosine pairs (same bounded-memory shape as
-    ann.embedding_neardup)."""
-    m = np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]])
+    ann.embedding_neardup). Arrow in (vectorized emb_matrix, no per-row
+    stacking); narrow pair rows out."""
+    from .ann import emb_matrix
+    if g.num_rows == 0:
+        return pd.DataFrame({"doc_id_a": pd.Series([], dtype="int64"),
+                             "doc_id_b": pd.Series([], dtype="int64")})
+    m = emb_matrix(g["embedding"])
     mn = m / np.linalg.norm(m, axis=1, keepdims=True)
     ids = g["vec_id"].to_numpy().astype("int64")
     n = len(ids)
@@ -204,7 +209,7 @@ def semantic_dedup(sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD,
     clustered = _read_emb(sf_dir).map_batches(assign,
                                               batch_format="pyarrow")
     pairs = clustered.groupby("cluster").map_groups(
-        lambda g: _cluster_pairs(g, threshold), batch_format="pandas")
+        lambda g: _cluster_pairs(g, threshold), batch_format="pyarrow")
     comps = connected_components(pairs)  # (node, label) for paired nodes
 
     # join the component labels back to ALL vec_ids (bucketed, like the

@@ -161,22 +161,24 @@ def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
     # pair-key reduce is narrower, but one width for both passes is fine
     nb = _U64(_adaptive_buckets(_doc_count(sf_dir) * 64))
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        hs = _doc_shingle_hashes(df["text"].tolist())
+    def explode(t: pa.Table) -> pa.Table:
+        # Arrow in/out: the wide text column never round-trips through
+        # pandas — only the narrow exploded hash rows do downstream
+        hs = _doc_shingle_hashes(t["text"].to_pylist())
         lens = np.array([len(h) for h in hs], dtype="int64")
         sh = (np.concatenate(hs).astype("int64") if hs
               else np.array([], dtype="int64"))
-        out = pd.DataFrame({
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), lens),
-            "sh": sh,
-            "n_sh": np.repeat(lens, lens),
-        })
+        doc_id = np.repeat(t["doc_id"].to_numpy(), lens)
         # coarse bucketing: grouping by raw shingle would make ~n_docs ×
-        # n_shingles tiny Ray groups; 256 hash buckets keep the shuffle
+        # n_shingles tiny Ray groups; hash buckets keep the shuffle
         # coarse with vectorized per-shingle pairing inside each bucket
-        out["bucket"] = (out["sh"].to_numpy().astype("uint64")
-                         % nb).astype("int64")
-        return out
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "sh": pa.array(sh, pa.int64()),
+            "n_sh": pa.array(np.repeat(lens, lens), pa.int64()),
+            "bucket": pa.array((sh.astype("uint64") % nb).astype("int64"),
+                               pa.int64()),
+        })
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         m = g.merge(g, on="sh")
@@ -196,9 +198,11 @@ def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
                      % nb).astype("int64")
         return out
 
-    def reduce_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def reduce_pairs(g: pd.DataFrame) -> pa.Table:
         # all partials of one pair land in this bucket (bucketed by pair
-        # key); sum intersections, one division, threshold — distributed
+        # key); sum intersections, one division, threshold — distributed.
+        # Arrow-typed output keeps the schema stable when every bucket
+        # filters to zero pairs.
         agg = g.groupby("key", as_index=False).agg(
             n_inter=("n_inter", "sum"), na=("na", "first"),
             nb=("nb", "first"))
@@ -206,32 +210,26 @@ def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
         ni = agg["n_inter"].to_numpy()
         jac = ni / (agg["na"].to_numpy() + agg["nb"].to_numpy() - ni)
         keep = jac >= threshold
-        return pd.DataFrame({
-            "doc_id_a": (key[keep] >> 32).astype("int64"),
-            "doc_id_b": (key[keep] & 0xFFFFFFFF).astype("int64"),
-            "jaccard": jac[keep].astype("float64"),
+        return pa.table({
+            "doc_id_a": pa.array((key[keep] >> 32).astype("int64"),
+                                 pa.int64()),
+            "doc_id_b": pa.array((key[keep] & 0xFFFFFFFF).astype("int64"),
+                                 pa.int64()),
+            "jaccard": pa.array(jac[keep].astype("float64"), pa.float64()),
         })
 
-    return docs.map_batches(explode, batch_format="pandas") \
+    return docs.map_batches(explode, batch_format="pyarrow") \
         .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
         .groupby("kb").map_groups(reduce_pairs, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     """All pairs (doc_id_a < doc_id_b) with trigram-set Jaccard ≥ threshold
-    (see _jaccard_pairs_ds for the distributed shape)."""
-    out = _jaccard_pairs_ds(sf_dir, threshold)
-    pdf = out.to_pandas()  # final thresholded pairs only — the query result
-    if len(pdf) == 0:
-        return pa.table({"doc_id_a": pa.array([], pa.int64()),
-                         "doc_id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pdf = pdf.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
-    return pa.table({
-        "doc_id_a": pa.array(pdf["doc_id_a"].astype("int64")),
-        "doc_id_b": pa.array(pdf["doc_id_b"].astype("int64")),
-        "jaccard": pa.array(pdf["jaccard"].astype("float64")),
-    })
+    (see _jaccard_pairs_ds for the distributed shape). The pair set is
+    data-dependent and unbounded at scale, so the final order is a
+    distributed sort — nothing row-shaped collects on the driver."""
+    return _jaccard_pairs_ds(sf_dir, threshold) \
+        .sort(["doc_id_a", "doc_id_b"])
 
 
 NGRAM_JACCARD_SQL = """
@@ -303,9 +301,10 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
     """
     seeds = splitmix64(np.arange(1, N_PERM + 1, dtype=_U64) * _U64(0x9E3779B97F4A7C15))
 
-    def sign(df: pd.DataFrame) -> pa.Table:
+    def sign(t: pa.Table) -> pa.Table:
         rows = {"doc_id": [], "band_id": [], "band_hash": [], "shingles": []}
-        for doc_id, text in zip(df["doc_id"], df["text"]):
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
             grams = sorted(set(_trigrams((text or "").split())))
             sh = url_hash64_many(grams)
             sig = _minhash_sig(sh, seeds)
@@ -326,7 +325,7 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
         })
 
     signed = _read_docs(sf_dir).map_batches(
-        sign, batch_format="pandas").materialize()
+        sign, batch_format="pyarrow").materialize()
     # signed rows = docs × N_BANDS exactly; parquet footer metadata gives
     # the doc count for free (no count() pass over the materialized set)
     nb = _U64(_adaptive_buckets(_doc_count(sf_dir) * N_BANDS))
@@ -458,18 +457,20 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
 # --------------------------------------------------------------------------
 # SimHash near-dup
 # --------------------------------------------------------------------------
-def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
+def simhash_batch(t: pa.Table) -> pa.Table:
     """64-bit SimHash over token hashes (weight 1 per occurrence).
 
-    The per-doc loop here is deliberate: ~75% of the stage is the token
-    hashing itself (measured 0.29 s of 0.40 s on 500k tokens), and a
-    whole-batch flat vectorization (unpackbits + reduceat over doc
-    boundaries) was measured SLOWER (0.51 s) because the (n_tokens × 64)
-    bit-matrix traffic exceeds the loop overhead it removes. Per-doc
-    arrays amortize numpy fine at ~100 tokens/doc and stay in cache."""
-    sims = np.zeros(len(df), dtype="int64")
-    for i, text in enumerate(df["text"].fillna("")):
-        ws = text.split()
+    Arrow in/out (no pandas round-trip of the text column). The per-doc
+    loop here is deliberate: ~75% of the stage is the token hashing
+    itself (measured 0.29 s of 0.40 s on 500k tokens), and a whole-batch
+    flat vectorization (unpackbits + reduceat over doc boundaries) was
+    measured SLOWER (0.51 s) because the (n_tokens × 64) bit-matrix
+    traffic exceeds the loop overhead it removes. Per-doc arrays
+    amortize numpy fine at ~100 tokens/doc and stay in cache."""
+    texts = t["text"].to_pylist()
+    sims = np.zeros(len(texts), dtype="int64")
+    for i, text in enumerate(texts):
+        ws = (text or "").split()
         if not ws:
             continue
         hs = url_hash64_many(ws)
@@ -477,11 +478,13 @@ def simhash_batch(df: pd.DataFrame) -> pd.DataFrame:
         acc = (2 * bits - 1).sum(axis=0)
         val = int((acc > 0).astype(np.uint64) @ (np.uint64(1) << np.arange(64, dtype=_U64)))
         sims[i] = val - (1 << 64) if val >= (1 << 63) else val
-    return pd.DataFrame({"doc_id": df["doc_id"], "simhash": sims})
+    return pa.table({"doc_id": t["doc_id"],
+                     "simhash": pa.array(sims, pa.int64())})
 
 
 def simhash(sf_dir: str):
-    return _read_docs(sf_dir).map_batches(simhash_batch, batch_format="pandas")
+    return _read_docs(sf_dir).map_batches(simhash_batch,
+                                          batch_format="pyarrow")
 
 
 def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
@@ -839,9 +842,10 @@ def substring_dedup(sf_dir: str, w: int = SUBSTR_W):
     nb = _U64(_adaptive_buckets(n_docs * 64))
     nd = _U64(_adaptive_buckets(n_docs))
 
-    def wins_of(df: pd.DataFrame) -> pa.Table:
+    def wins_of(t: pa.Table) -> pa.Table:
         ids, poss, keys = [], [], []
-        for doc_id, text in zip(df["doc_id"], df["text"]):
+        for doc_id, text in zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist()):
             wk = _window_keys((text or "").split(), mult)
             if len(wk) == 0:
                 continue
@@ -861,24 +865,34 @@ def substring_dedup(sf_dir: str, w: int = SUBSTR_W):
             "wbucket": pa.array((wk % nb).astype("int64"), pa.int64()),
         })
 
-    def dup_starts(g: pd.DataFrame) -> pd.DataFrame:
+    def dup_starts(g: pd.DataFrame) -> pa.Table:
+        # Arrow-typed output: the downstream union with the Arrow doc_side
+        # stream must be block-type homogeneous for Ray's shuffle sampler
         ndist = g.groupby("wkey")["doc_id"].transform("nunique")
         hit = g[ndist.to_numpy() > 1]
         ids = hit["doc_id"].to_numpy().astype("int64")
-        return pd.DataFrame({
-            "doc_id": ids,
-            "pos": hit["pos"].to_numpy().astype("int64"),
-            "text": pd.Series([""] * len(hit), dtype="object"),
-            "dbucket": (ids.astype("uint64") % nd).astype("int64"),
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "pos": pa.array(hit["pos"].to_numpy().astype("int64"),
+                            pa.int64()),
+            "text": pa.array([""] * len(hit), pa.string()),
+            "dbucket": pa.array((ids.astype("uint64") % nd).astype("int64"),
+                                pa.int64()),
         })
 
-    def doc_side(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "pos": np.full(len(df), -1, dtype="int64"),
-            "text": df["text"].fillna("").astype("object"),
-            "dbucket": (df["doc_id"].to_numpy().astype("uint64")
-                        % nd).astype("int64"),
+    def doc_side(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        doc_id = t["doc_id"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "pos": pa.array(np.full(len(doc_id), -1, dtype="int64"),
+                            pa.int64()),
+            "text": pc.coalesce(
+                t["text"].combine_chunks()
+                if isinstance(t["text"], pa.ChunkedArray) else t["text"],
+                pa.scalar("", pa.string())),
+            "dbucket": pa.array((doc_id.astype("uint64")
+                                 % nd).astype("int64"), pa.int64()),
         })
 
     def rebuild(g: pd.DataFrame) -> pd.DataFrame:
@@ -913,9 +927,9 @@ def substring_dedup(sf_dir: str, w: int = SUBSTR_W):
         })
 
     docs = _read_docs(sf_dir)
-    dup = docs.map_batches(wins_of, batch_format="pandas") \
+    dup = docs.map_batches(wins_of, batch_format="pyarrow") \
         .groupby("wbucket").map_groups(dup_starts, batch_format="pandas")
-    sides = docs.map_batches(doc_side, batch_format="pandas")
+    sides = docs.map_batches(doc_side, batch_format="pyarrow")
     return sides.union(dup) \
         .groupby("dbucket").map_groups(rebuild, batch_format="pandas")
 

@@ -62,7 +62,8 @@ def token_count(sf_dir: str):
 
 TOKEN_COUNT_SQL = """
 SELECT doc_id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+       len(list_filter(string_split_regex(trim(text), '\\s+'),
+                       x -> x <> '')) AS n_tokens
 FROM documents
 """
 
@@ -167,16 +168,18 @@ FROM t
 # --------------------------------------------------------------------------
 # fingerprint: rolling-hash document fingerprint (non-SQL; rows-only check)
 # --------------------------------------------------------------------------
-def fingerprint_batch(df: pd.DataFrame, window: int = 4) -> pd.DataFrame:
+def fingerprint_batch(t: pa.Table, window: int = 4) -> pa.Table:
     """Winnowing-style fingerprint: min rolling hash over token windows.
 
     64-bit FNV-1a over each token window; the doc fingerprint is the MIN
     window hash (deterministic, order-sensitive, content-addressed).
+    Arrow in/out — the per-doc window loop is inherent to the op, the
+    pandas conversion of the wide text column around it was not.
     """
-    out = np.zeros(len(df), dtype=np.uint64)
-    texts = df["text"].fillna("").tolist()
+    texts = t["text"].to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
     for i, text in enumerate(texts):
-        ws = text.split()
+        ws = (text or "").split()
         if not ws:
             continue
         if len(ws) < window:
@@ -186,30 +189,32 @@ def fingerprint_batch(df: pd.DataFrame, window: int = 4) -> pd.DataFrame:
                      for j in range(len(ws) - window + 1)]
         h = url_hash64_many(grams)
         out[i] = h.min()
-    return pd.DataFrame({"doc_id": df["doc_id"],
-                         "fingerprint": out.astype("int64")})
+    return pa.table({"doc_id": t["doc_id"],
+                     "fingerprint": pa.array(out.astype("int64"),
+                                             pa.int64())})
 
 
 def fingerprint(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(fingerprint_batch, batch_format="pandas")
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
 # stem_stats: Porter-stemmed token statistics (M26; non-SQL → rows-only —
 # the container's DuckDB cannot load the fts extension offline)
 # --------------------------------------------------------------------------
-def stem_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+def stem_stats_batch(t: pa.Table) -> pa.Table:
     """(doc_id, n_tokens, n_distinct_stems, top_stem) per document using
     the from-scratch Porter stemmer (functions/stemmer.py). The distinct-
     value memo inside porter_stem_many makes the per-token cost ~a dict
-    hit on Zipfian text."""
+    hit on Zipfian text. Arrow in/out; the per-doc stem loop is the op."""
     from collections import Counter
 
     from ..functions.stemmer import porter_stem_many
-    toks = _tokens(df["text"])
+    texts = t["text"].to_pylist()
     n_tok, n_stem, top = [], [], []
-    for ws in toks:
+    for text in texts:
+        ws = (text or "").split()
         stems = porter_stem_many([w.lower() for w in ws])
         n_tok.append(len(ws))
         n_stem.append(len(set(stems)))
@@ -218,17 +223,17 @@ def stem_stats_batch(df: pd.DataFrame) -> pd.DataFrame:
             top.append(min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0])
         else:
             top.append("")
-    return pd.DataFrame({
-        "doc_id": df["doc_id"],
-        "n_tokens": pd.Series(n_tok, dtype="int64"),
-        "n_distinct_stems": pd.Series(n_stem, dtype="int64"),
-        "top_stem": pd.Series(top, dtype="str"),
+    return pa.table({
+        "doc_id": t["doc_id"],
+        "n_tokens": pa.array(n_tok, pa.int64()),
+        "n_distinct_stems": pa.array(n_stem, pa.int64()),
+        "top_stem": pa.array(top, pa.string()),
     })
 
 
 def stem_stats(sf_dir: str):
     return _read(sf_dir, "documents", ["doc_id", "text"]) \
-        .map_batches(stem_stats_batch, batch_format="pandas")
+        .map_batches(stem_stats_batch, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -413,13 +418,13 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
             {"doc_id": "int64", "tf": "int64", "df": "int64",
              "rank": "int64"})
 
-    out = _read(sf_dir, "documents", ["doc_id", "text"]) \
+    # Distributed final order: the result is k rows per surviving doc —
+    # corpus-sized, so it must not collect on the driver for the sort.
+    return _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(postings, batch_format="pyarrow") \
         .groupby("tbucket").map_groups(attach_df, batch_format="pandas") \
-        .groupby("dbucket").map_groups(doc_topk, batch_format="pandas")
-    pdf = out.to_pandas().sort_values(["doc_id", "rank"]) \
-        .reset_index(drop=True)
-    return pa.Table.from_pandas(pdf, preserve_index=False)
+        .groupby("dbucket").map_groups(doc_topk, batch_format="pandas") \
+        .sort(["doc_id", "rank"])
 
 
 TFIDF_SQL = f"""
@@ -704,7 +709,8 @@ def sequence_pack(sf_dir: str, budget: int = PACK_BUDGET):
 SEQUENCE_PACK_SQL = f"""
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+         CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                              x -> x <> '')) AS BIGINT)
            AS n_tokens
   FROM documents
 ), cums AS (
@@ -1249,7 +1255,8 @@ CURATION_PIPELINE_SQL = f"""
 WITH keep AS ({CORPUS_FILTER_SQL}),
 toks AS (
   SELECT d.doc_id, d.source,
-         CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)
+         CAST(len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                              x -> x <> '')) AS BIGINT)
            AS n_tokens
   FROM documents d JOIN keep k ON k.doc_id = d.doc_id
 ), cums AS (
@@ -1307,7 +1314,8 @@ def source_mix_weights(sf_dir: str):
 SOURCE_MIX_WEIGHTS_SQL = """
 WITH t AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+         CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x <> ''))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY source
 )

@@ -22,6 +22,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
 from ..frontier import UrlClassifier, FrontierEmpty
@@ -122,7 +123,15 @@ def robots_filter(sf_dir: str):
                 allowed[m] = r.path_allowed_many("*", path[m])
             return pd.DataFrame({"doc_id": df["doc_id"], "allowed": allowed})
 
-    return ds.map_batches(RobotsGate, batch_format="pandas", concurrency=2)
+    # Pool sized to the cluster: the actor state is a 3-entry immutable
+    # robots cache (cheap to replicate), so the gate must never be the
+    # narrow stage — scale the pool with CPUs instead of a fixed width.
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return ds.map_batches(RobotsGate, batch_format="pandas",
+                          concurrency=(1, max(2, cpus)))
 
 
 ROBOTS_FILTER_SQL = """
