@@ -27,7 +27,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
                                         cluster, dedup, dsir, embed, graph,
-                                        textops, tokenize, urlops)
+                                        textops, tokenize, urlops, videoops)
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
         image_phash_neardup as _image_phash_neardup,
@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         "audio_features": audio.audio_features_pipeline,
+        "video_frame_sample": videoops.video_frame_sample,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -155,7 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
                                         dedup, flagship, graph, textops,
-                                        urlops)
+                                        urlops, videoops)
 
     return {
         "pii_redact": cleaning.PII_REDACT_SQL,
@@ -236,6 +237,7 @@ def oracle_sql() -> dict[str, str]:
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
+        "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

@@ -36,6 +36,11 @@ class ContentType(IntEnum):
     IMAGE_PNG = 8
     IMAGE_WEBP = 9
     EMPTY = 10
+    # video containers sit past EMPTY on purpose: `acceptable` keeps the
+    # reference crawler's gate (html/text/pdf/images only — the reference
+    # had no video path), while the sniffer still types the bytes
+    VIDEO_AVI = 11
+    VIDEO_Y4M = 12
 
 
 def acceptable(ctype: ContentType) -> bool:
@@ -121,18 +126,23 @@ _MAGIC = [
     (b"\xff\xd8\xff", "jpeg"),
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"RIFF", "webp"),        # RIFF....WEBP checked below
+    (b"RIFF", "avi"),         # RIFF....AVI  checked below
     (b"%PDF-", "pdf"),
+    (b"YUV4MPEG2", "y4m"),
     (b"FAKEJPG1", "jpeg"),    # deterministic stub codec (imaging.py)
     (b"FAKEWEBP", "webp"),
 ]
+
+_RIFF_KIND = {"webp": b"WEBP", "avi": b"AVI "}
 
 
 def sniff_format(data: bytes) -> str:
     """Magic-byte format sniff (graft analog of utils.cc:445-481)."""
     for magic, fmt in _MAGIC:
         if data.startswith(magic):
-            if fmt == "webp" and magic == b"RIFF":
-                if len(data) < 12 or data[8:12] != b"WEBP":
+            if magic == b"RIFF":
+                # RIFF is a container family: bytes 8:12 name the kind
+                if len(data) < 12 or data[8:12] != _RIFF_KIND[fmt]:
                     continue
             return fmt
     return "unknown"
@@ -143,5 +153,7 @@ FMT_TO_CTYPE = {
     "png": ContentType.IMAGE_PNG,
     "webp": ContentType.IMAGE_WEBP,
     "pdf": ContentType.APPLICATION_PDF,
+    "avi": ContentType.VIDEO_AVI,
+    "y4m": ContentType.VIDEO_Y4M,
     "unknown": ContentType.UNRECOGNIZED,
 }

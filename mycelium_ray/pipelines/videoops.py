@@ -1,0 +1,122 @@
+"""Video-payload pipeline over derived clips — the video analog of
+audio.py: each document seeds a deterministic short clip, muxed with the
+from-scratch container writers (mycelium_ray/video.py: MJPEG AVI for
+even doc_ids, YUV4MPEG2 for odd) and REALLY demuxed + frame-decoded by
+the SampleFrames actor stage, so the driver's oracle gate exercises the
+full mux→demux→JPEG/Y4M-decode path end to end.
+
+Clip geometry (frame count, width, height) derives from doc_id by pure
+integer arithmetic mirrored in the SQL oracle, so the sampled frame
+indices and dimensions are provably exact while the codec work is real.
+
+Reference analog: none (larroy/mycelium has no video path); this is the
+build brief's multimodal frame-sample story made concrete.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+_KNUTH = 2654435761  # same multiplicative-hash constant as audio.py
+N_SAMPLES = 4
+
+
+def _clip_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_frames, w, h) — integer arithmetic only (SQL-expressible)."""
+    k = (doc_id * _KNUTH) % (1 << 32)
+    n_frames = 2 + (k // 16) % 7        # 2..8
+    w = 16 + 8 * (k % 3)                # 16/24/32 (even: C420-safe)
+    h = 16 + 8 * ((k // 256) % 2)       # 16/24
+    return n_frames, w, h
+
+
+def _frame_px(doc_id: int, i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic smooth gradient frame (JPEG-friendly)."""
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    r = np.clip(gx + 10.0 * i, 0, 255)
+    g = np.clip(gy + 5.0 * (doc_id % 16), 0, 255)
+    b = np.clip((gx + gy) / 2.0, 0, 255)
+    return np.dstack([np.broadcast_to(r, (h, w)),
+                      np.broadcast_to(g, (h, w)),
+                      np.broadcast_to(b, (h, w))]).astype(np.uint8)
+
+
+def synth_video_row(doc_id: int) -> bytes:
+    """Deterministic clip bytes: MJPEG AVI (even doc_id) / Y4M (odd)."""
+    from ..video import encode_y4m, mux_avi_mjpeg
+    n, w, h = _clip_params(doc_id)
+    frames = [_frame_px(doc_id, i, w, h) for i in range(n)]
+    if doc_id % 2 == 0:
+        from ..jpeg import encode_jpeg
+        return mux_avi_mjpeg([encode_jpeg(f) for f in frames], w, h)
+    return encode_y4m(frames, colorspace="C420jpeg")
+
+
+def derive_video_batch(batch: pa.Table) -> pa.Table:
+    ids = batch["doc_id"].to_pylist()
+    return pa.table({
+        "video_id": pa.array([f"http://vid.test/d/{d}" for d in ids],
+                             pa.string()),
+        "video": pa.array([synth_video_row(d) for d in ids], pa.binary()),
+    })
+
+
+def video_frame_sample(sf_dir: str):
+    """(video_id, doc_id, frame_idx, w, h, sample_ok) — one row per
+    sampled frame (≤ N_SAMPLES evenly-spaced indices per clip), via the
+    REAL container demux + frame decode in the SampleFrames actor pool.
+    Everything but the codec work is integer arithmetic mirrored in the
+    oracle, which therefore checks the demuxed frame dims and the exact
+    sampling rule."""
+    from ..stages.media import SampleFrames
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+    ds = ds.map_batches(derive_video_batch, batch_format="pyarrow",
+                        batch_size=128)
+    frames = ds.map_batches(SampleFrames(n_samples=N_SAMPLES),
+                            batch_format="pyarrow", batch_size=64,
+                            concurrency=4)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = [int(s.rsplit("/", 1)[1]) for s in
+               t["video_id"].to_pylist()]
+        return pa.table({
+            "video_id": t["video_id"],
+            "doc_id": pa.array(ids, pa.int64()),
+            "frame_idx": t["frame_idx"],
+            "w": pa.array(t["w"].to_numpy().astype("int64"), pa.int64()),
+            "h": pa.array(t["h"].to_numpy().astype("int64"), pa.int64()),
+            "sample_ok": t["sample_ok"],
+        })
+
+    return frames.map_batches(attach, batch_format="pyarrow")
+
+
+VIDEO_FRAME_SAMPLE_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k FROM documents
+), p AS (
+  SELECT doc_id,
+         2 + (k // 16) % 7 AS n_frames,
+         16 + 8 * (k % 3) AS w,
+         16 + 8 * ((k // 256) % 2) AS h
+  FROM d
+), s AS (
+  SELECT doc_id, n_frames, w, h,
+         unnest(generate_series(0, CAST(least({N_SAMPLES}, n_frames)
+                                        AS BIGINT) - 1)) AS i
+  FROM p
+)
+SELECT 'http://vid.test/d/' || CAST(doc_id AS VARCHAR) AS video_id,
+       doc_id,
+       CAST(i * n_frames // least({N_SAMPLES}, n_frames) AS BIGINT)
+         AS frame_idx,
+       CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h,
+       TRUE AS sample_ok
+FROM s
+"""

@@ -4,13 +4,12 @@ resize / frame-sample as actor-pool map_batches stages").
 
 ``ResizeImages`` is REAL: block-mean downscale in pure numpy (the same
 bucketed-index reduction as imaging.phash64's 8×8 step, generalized to any
-target), re-encoded with the available codecs. ``SampleFrames`` has REAL
-Ray-side plumbing (schema, batching, actor signature, deterministic frame
-selection, output layout) with the video DECODER stubbed — no
-libav/ffmpeg/PyAV exists in this container, so actual codec work raises
-NotImplementedError unless the payload uses the fixture container format
-below (a trivial concatenation of encoded frames used by the tests to
-drive the plumbing end-to-end).
+target), re-encoded with the available codecs. ``SampleFrames`` is REAL
+for MJPEG AVI and YUV4MPEG2 payloads (from-scratch container parsers in
+mycelium_ray.video, frames decoded by the in-repo JPEG / BT.601 paths)
+plus the FAKEVID1 fixture; mp4/webm remain NotImplementedError — their
+inter-frame codecs need ffmpeg-class decoders absent from this
+container — and surface as explicit sample_ok=False rows.
 
 Fixture video container (``FAKEVID1``): magic ``FAKEVID1`` + uint32 frame
 count + frames, each uint32 length + encoded-image bytes (any
@@ -100,6 +99,25 @@ def _decode_fixture_video(data: bytes) -> list[bytes]:
         frames.append(data[off:off + ln])
         off += ln
     return frames
+
+
+class FixtureClip:
+    """Clip adapter for the FAKEVID1 fixture container (same n_frames /
+    frame_rgb / frame_encoded protocol as video.AviClip / Y4mClip)."""
+
+    def __init__(self, data: bytes):
+        self._frames = _decode_fixture_video(data)
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def frame_encoded(self, i: int) -> bytes:
+        return self._frames[i]
+
+    def frame_rgb(self, i: int):
+        px, _fmt = decode_image(self._frames[i])
+        return px
 
 
 class AudioFeatures:
@@ -197,32 +215,34 @@ class SampleFrames:
 
     Deterministic sampling: ``n_samples`` frame indices evenly spaced
     over the clip (same rule a production pipeline uses for thumbnail /
-    embedding extraction). The CODEC is the stub boundary: real
-    containers (mp4/webm/...) raise NotImplementedError — PyAV/ffmpeg are
-    absent here — while the plumbing (flat_map batching: 1 row in → k
-    frame rows out, schema, id layout) is real and tested via the
-    FAKEVID1 fixture container.
+    embedding extraction). REAL containers: MJPEG AVI (RIFF) and
+    YUV4MPEG2 via the from-scratch parsers in mycelium_ray.video, plus
+    the FAKEVID1 test fixture. Sampling picks indices BEFORE any frame
+    decode (the clip readers are lazy), so cost ∝ n_samples, not clip
+    length. mp4/webm stay NotImplementedError — inter-frame codecs need
+    ffmpeg-class decoders absent from this environment — and produce an
+    explicit error row instead of failing the batch.
     """
 
     def __init__(self, n_samples: int = 4):
         self.n_samples = n_samples
 
     def _frames(self, data: bytes) -> list[bytes]:
-        if data.startswith(VIDEO_MAGIC):
-            return _decode_fixture_video(data)
-        raise NotImplementedError(
-            "real video containers need PyAV/ffmpeg (absent from this "
-            "container); only the FAKEVID1 fixture format is decodable")
+        """Back-compat shim (tests): all frames of a decodable clip."""
+        from ..video import open_video
+        clip = open_video(data)
+        return [clip.frame_encoded(i) for i in range(clip.n_frames)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..video import VideoFormatError, open_video
         vids = batch["video_id"].to_pylist()
         blobs = batch["video"].to_pylist()
         out = {"video_id": [], "frame_idx": [], "frame": [],
                "w": [], "h": [], "sample_ok": []}
         for vid, data in zip(vids, blobs):
             try:
-                frames = self._frames(data)
-            except NotImplementedError:
+                clip = open_video(data)
+            except (NotImplementedError, VideoFormatError):
                 out["video_id"].append(vid)
                 out["frame_idx"].append(-1)
                 out["frame"].append(b"")
@@ -230,11 +250,11 @@ class SampleFrames:
                 out["h"].append(-1)
                 out["sample_ok"].append(False)
                 continue
-            n = len(frames)
+            n = clip.n_frames
             take = min(self.n_samples, n)
             idxs = (np.arange(take) * n // take) if take else []
             for i in idxs:
-                fb = frames[int(i)]
+                fb = clip.frame_encoded(int(i))
                 px, _fmt = decode_image(fb)
                 out["video_id"].append(vid)
                 out["frame_idx"].append(int(i))

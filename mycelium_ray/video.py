@@ -1,0 +1,398 @@
+"""From-scratch video container support: AVI (RIFF) MJPEG and YUV4MPEG2.
+
+Two REAL, publicly-specified container formats so the video
+frame-sampling stage (stages/media.SampleFrames) runs on genuine video
+bytes instead of only the test fixture:
+
+- **AVI / MJPEG** — the RIFF 'AVI ' container (Microsoft AVI RIFF File
+  Reference; OpenDML AVI extensions) carrying one Motion-JPEG video
+  stream: each '00dc' chunk inside the 'movi' LIST is a complete
+  baseline JPEG image, decoded by the in-repo from-scratch JPEG codec
+  (mycelium_ray.jpeg, ITU-T T.81). The muxer writes a standards-shaped
+  file (hdrl/avih/strl/strh/strf + movi + idx1) so the demuxer is
+  exercised against realistic structure, and the demuxer is a tolerant
+  chunk walk (skips unknown chunks, accepts '00db' raw-DIB-style ids,
+  handles odd-size padding) as real AVI readers must be.
+
+- **YUV4MPEG2 (.y4m)** — the mjpegtools uncompressed interchange
+  format: an ASCII header line ("YUV4MPEG2 W.. H.. F..:.. Ip A..:..
+  C..\\n") followed by per-frame "FRAME\\n" + raw planar YCbCr.
+  Supports C444 and C420/C420jpeg/C420mpeg2 (2x2 chroma subsampling),
+  with ITU-R BT.601 *limited-range* matrixing (Y 16..235, C 16..240) —
+  the wire convention for y4m. Round-trip PSNR ≥ 40 dB is asserted in
+  tests (the same bar the north rule sets for lossy image formats).
+
+Frame *pixels* never leave the stage that decodes them; sampling
+selects frame indices BEFORE decode so a 10k-frame clip with
+n_samples=4 decodes 4 frames, not 10k (the reason the demux returns
+offsets, not materialized frames).
+
+Unsupported real-world containers (mp4/ftyp, webm/EBML, mpeg-ts) still
+raise NotImplementedError — compressed inter-frame codecs (H.264 etc.)
+are out of scope without ffmpeg and are stubbed honestly.
+
+Reference parity note: larroy/mycelium has no video path at all; this
+module exists for the build brief's multimodal-column story.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = [
+    "VideoFormatError", "probe_video", "open_video",
+    "mux_avi_mjpeg", "AviClip",
+    "encode_y4m", "Y4mClip",
+    "rgb_to_ycbcr601", "ycbcr601_to_rgb",
+]
+
+
+class VideoFormatError(ValueError):
+    pass
+
+
+# ==========================================================================
+# BT.601 limited-range colour matrixing (shared by Y4M; JPEG uses the
+# full-range variant inside mycelium_ray.jpeg)
+# ==========================================================================
+_KR, _KG, _KB = 0.299, 0.587, 0.114
+
+
+def rgb_to_ycbcr601(px: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(h, w, 3) uint8 RGB → limited-range (Y, Cb, Cr) uint8 planes."""
+    r = px[..., 0].astype(np.float64) / 255.0
+    g = px[..., 1].astype(np.float64) / 255.0
+    b = px[..., 2].astype(np.float64) / 255.0
+    ey = _KR * r + _KG * g + _KB * b
+    epb = 0.5 * (b - ey) / (1.0 - _KB)
+    epr = 0.5 * (r - ey) / (1.0 - _KR)
+    y = np.clip(np.rint(16.0 + 219.0 * ey), 16, 235).astype(np.uint8)
+    cb = np.clip(np.rint(128.0 + 224.0 * epb), 16, 240).astype(np.uint8)
+    cr = np.clip(np.rint(128.0 + 224.0 * epr), 16, 240).astype(np.uint8)
+    return y, cb, cr
+
+
+def ycbcr601_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Limited-range (Y, Cb, Cr) planes (same shape) → (h, w, 3) uint8."""
+    ey = (y.astype(np.float64) - 16.0) / 219.0
+    epb = (cb.astype(np.float64) - 128.0) / 224.0
+    epr = (cr.astype(np.float64) - 128.0) / 224.0
+    r = ey + 2.0 * (1.0 - _KR) * epr
+    b = ey + 2.0 * (1.0 - _KB) * epb
+    g = (ey - _KR * r - _KB * b) / _KG
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(out * 255.0), 0, 255).astype(np.uint8)
+
+
+# ==========================================================================
+# AVI (RIFF) — MJPEG
+# ==========================================================================
+def _fourcc(tag: bytes) -> bytes:
+    assert len(tag) == 4
+    return tag
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return _fourcc(tag) + struct.pack("<I", len(payload)) + payload + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", _fourcc(kind) + payload)
+
+
+def mux_avi_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                  fps: int = 25) -> bytes:
+    """Mux pre-encoded JPEG frames into a single-stream MJPEG AVI.
+
+    Every frame chunk is '00dc' (stream 0, compressed video) with an
+    idx1 keyframe entry (MJPEG frames are all intra). Header fields
+    follow the AVI RIFF reference: avih (MainAVIHeader, 56 bytes),
+    strh (AVIStreamHeader 'vids'/'MJPG', 56 bytes), strf
+    (BITMAPINFOHEADER, biCompression='MJPG').
+    """
+    n = len(jpeg_frames)
+    max_bytes = max((len(f) for f in jpeg_frames), default=0)
+    usec_per_frame = int(round(1_000_000 / fps)) if fps else 0
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,            # dwMicroSecPerFrame
+        max_bytes * fps,           # dwMaxBytesPerSec (approx)
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        n,                         # dwTotalFrames
+        0,                         # dwInitialFrames
+        1,                         # dwStreams
+        max_bytes,                 # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0)                # dwReserved[4]
+
+    strh = (b"vids" + b"MJPG"
+            + struct.pack("<IHHIIIIIIII",
+                          0,       # dwFlags
+                          0, 0,    # wPriority, wLanguage
+                          0,       # dwInitialFrames
+                          1,       # dwScale
+                          fps,     # dwRate (rate/scale = fps)
+                          0,       # dwStart
+                          n,       # dwLength (frames)
+                          max_bytes,  # dwSuggestedBufferSize
+                          0xFFFFFFFF,  # dwQuality (default)
+                          0)       # dwSampleSize (0 = varies)
+            + struct.pack("<4H", 0, 0, width, height))  # rcFrame
+
+    strf = struct.pack("<IiiHH4sIiiII",
+                       40,                 # biSize
+                       width, height,
+                       1, 24,              # biPlanes, biBitCount
+                       b"MJPG",            # biCompression
+                       width * height * 3,  # biSizeImage
+                       0, 0, 0, 0)
+
+    hdrl = _list(b"hdrl",
+                 _chunk(b"avih", avih)
+                 + _list(b"strl", _chunk(b"strh", strh)
+                         + _chunk(b"strf", strf)))
+
+    movi_parts = []
+    idx_entries = []
+    # idx1 offsets are relative to the start of the 'movi' fourcc
+    off = 4
+    for f in jpeg_frames:
+        movi_parts.append(_chunk(b"00dc", f))
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(f)))
+        off += 8 + len(f) + (len(f) % 2)
+    movi = _list(b"movi", b"".join(movi_parts))
+    idx1 = _chunk(b"idx1", b"".join(idx_entries))
+
+    body = _fourcc(b"AVI ") + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class AviClip:
+    """Lazy MJPEG AVI reader: one tolerant chunk walk records (offset,
+    length, fourcc) of every frame chunk; frame bytes/pixels are sliced
+    and decoded on demand (a sampler touching 4 of 10k frames decodes
+    4)."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+            raise VideoFormatError("not a RIFF/AVI file")
+        self._data = data
+        self.width = self.height = 0
+        self._frames: list[tuple[int, int]] = []  # (offset, length)
+        self._walk(data)
+        if not self._frames:
+            raise VideoFormatError("AVI contains no video frame chunks")
+
+    # -- parsing ----------------------------------------------------------
+    def _walk(self, data: bytes) -> None:
+        end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
+        pos = 12
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body0 = pos + 8
+            if tag == b"LIST":
+                kind = data[body0:body0 + 4]
+                if kind in (b"hdrl", b"movi", b"strl", b"rec "):
+                    self._walk_list(data, body0 + 4, body0 + size)
+            elif tag == b"avih" and size >= 40:
+                w, h = struct.unpack("<II", data[body0 + 32:body0 + 40])
+                self.width, self.height = int(w), int(h)
+            pos = body0 + size + (size % 2)
+
+    def _walk_list(self, data: bytes, pos: int, end: int) -> None:
+        end = min(end, len(data))
+        while pos + 8 <= end:
+            tag = data[pos:pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+            body0 = pos + 8
+            if tag == b"LIST":
+                kind = data[body0:body0 + 4]
+                if kind in (b"hdrl", b"movi", b"strl", b"rec "):
+                    self._walk_list(data, body0 + 4, body0 + size)
+            elif tag == b"avih" and size >= 40:
+                w, h = struct.unpack("<II", data[body0 + 32:body0 + 40])
+                self.width, self.height = int(w), int(h)
+            elif tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
+                self._frames.append((body0, size))
+            pos = body0 + size + (size % 2)
+
+    # -- access -----------------------------------------------------------
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def frame_encoded(self, i: int) -> bytes:
+        off, ln = self._frames[i]
+        return self._data[off:off + ln]
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        from .imaging import decode_image
+        px, _fmt = decode_image(self.frame_encoded(i))
+        return px
+
+
+# ==========================================================================
+# YUV4MPEG2
+# ==========================================================================
+_Y4M_MAGIC = b"YUV4MPEG2"
+_FRAME_MAGIC = b"FRAME"
+
+
+def encode_y4m(frames_rgb: list[np.ndarray], fps: tuple[int, int] = (25, 1),
+               colorspace: str = "C444") -> bytes:
+    """RGB frames → YUV4MPEG2 bytes (limited-range BT.601).
+
+    C444 stores full-resolution chroma; C420 variants subsample chroma
+    2x2 by plane mean (width/height must be even).
+    """
+    if not frames_rgb:
+        raise VideoFormatError("need at least one frame")
+    h, w, _ = frames_rgb[0].shape
+    sub = colorspace.startswith("C420")
+    if sub and (w % 2 or h % 2):
+        raise VideoFormatError("C420 needs even dimensions")
+    out = [b"%s W%d H%d F%d:%d Ip A1:1 %s\n"
+           % (_Y4M_MAGIC, w, h, fps[0], fps[1], colorspace.encode())]
+    for px in frames_rgb:
+        if px.shape != (h, w, 3):
+            raise VideoFormatError("all frames must share dimensions")
+        y, cb, cr = rgb_to_ycbcr601(px)
+        if sub:
+            cb = _subsample2x2(cb)
+            cr = _subsample2x2(cr)
+        out.append(_FRAME_MAGIC + b"\n")
+        out.append(y.tobytes())
+        out.append(cb.tobytes())
+        out.append(cr.tobytes())
+    return b"".join(out)
+
+
+def _subsample2x2(plane: np.ndarray) -> np.ndarray:
+    h, w = plane.shape
+    p = plane.astype(np.float64).reshape(h // 2, 2, w // 2, 2)
+    return np.clip(np.rint(p.mean(axis=(1, 3))), 0, 255).astype(np.uint8)
+
+
+def _upsample2x2(plane: np.ndarray) -> np.ndarray:
+    return np.repeat(np.repeat(plane, 2, axis=0), 2, axis=1)
+
+
+class Y4mClip:
+    """Lazy YUV4MPEG2 reader: the header parse records every frame's
+    byte offset; planes are materialized per frame_rgb() call only."""
+
+    def __init__(self, data: bytes):
+        if not data.startswith(_Y4M_MAGIC):
+            raise VideoFormatError("not a YUV4MPEG2 stream")
+        nl = data.find(b"\n")
+        if nl < 0:
+            raise VideoFormatError("truncated y4m header")
+        self._data = data
+        self.width = self.height = 0
+        self.colorspace = "C420jpeg"  # the y4m default when C is absent
+        for tok in data[len(_Y4M_MAGIC):nl].split():
+            c, v = tok[:1], tok[1:]
+            if c == b"W":
+                self.width = int(v)
+            elif c == b"H":
+                self.height = int(v)
+            elif c == b"C":
+                self.colorspace = tok.decode("ascii")
+        if self.width <= 0 or self.height <= 0:
+            raise VideoFormatError("y4m header missing W/H")
+        cs = self.colorspace
+        if cs.startswith("C444"):
+            self._sub = False
+        elif cs.startswith("C420"):
+            self._sub = True
+        else:
+            raise VideoFormatError(f"unsupported y4m colorspace {cs!r}")
+        ysz = self.width * self.height
+        csz = ysz // 4 if self._sub else ysz
+        self._plane_sizes = (ysz, csz, csz)
+        frame_bytes = ysz + 2 * csz
+        self._offsets: list[int] = []
+        pos = nl + 1
+        n = len(data)
+        while pos < n:
+            # per-frame header: "FRAME[ params]\n"
+            if data[pos:pos + len(_FRAME_MAGIC)] != _FRAME_MAGIC:
+                raise VideoFormatError("corrupt y4m frame header")
+            fnl = data.find(b"\n", pos)
+            if fnl < 0 or fnl + 1 + frame_bytes > n:
+                raise VideoFormatError("truncated y4m frame")
+            self._offsets.append(fnl + 1)
+            pos = fnl + 1 + frame_bytes
+        if not self._offsets:
+            raise VideoFormatError("y4m stream contains no frames")
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._offsets)
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        off = self._offsets[i]
+        w, h = self.width, self.height
+        ysz, csz, _ = self._plane_sizes
+        y = np.frombuffer(self._data, np.uint8, ysz, off).reshape(h, w)
+        cb = np.frombuffer(self._data, np.uint8, csz, off + ysz)
+        cr = np.frombuffer(self._data, np.uint8, csz, off + ysz + csz)
+        if self._sub:
+            cb = _upsample2x2(cb.reshape(h // 2, w // 2))
+            cr = _upsample2x2(cr.reshape(h // 2, w // 2))
+        else:
+            cb = cb.reshape(h, w)
+            cr = cr.reshape(h, w)
+        return ycbcr601_to_rgb(y, cb, cr)
+
+    def frame_encoded(self, i: int) -> bytes:
+        """Sampled frames re-encode as PNG (lossless, in-repo codec) —
+        y4m frames have no per-frame compressed representation to
+        pass through."""
+        from .imaging import encode_png
+        return encode_png(self.frame_rgb(i))
+
+
+# ==========================================================================
+# probing / dispatch
+# ==========================================================================
+def probe_video(data: bytes) -> str | None:
+    """'avi' | 'y4m' | 'fakevid' | 'mp4' | 'webm' | None (unknown)."""
+    if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
+        return "avi"
+    if data.startswith(_Y4M_MAGIC):
+        return "y4m"
+    if data.startswith(b"FAKEVID1"):
+        return "fakevid"
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        return "mp4"
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        return "webm"
+    return None
+
+
+def open_video(data: bytes):
+    """Dispatch to a clip reader (n_frames / frame_rgb / frame_encoded).
+
+    mp4/webm raise NotImplementedError (inter-frame codecs need
+    ffmpeg-class decoders); unknown bytes raise VideoFormatError.
+    """
+    kind = probe_video(data)
+    if kind == "avi":
+        return AviClip(data)
+    if kind == "y4m":
+        return Y4mClip(data)
+    if kind == "fakevid":
+        from .stages.media import FixtureClip
+        return FixtureClip(data)
+    if kind in ("mp4", "webm"):
+        raise NotImplementedError(
+            f"{kind} needs an inter-frame codec (ffmpeg/PyAV, absent "
+            "here); supported real containers: MJPEG AVI, YUV4MPEG2")
+    raise VideoFormatError("unrecognized video container")

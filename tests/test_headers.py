@@ -71,4 +71,6 @@ def test_sniff_magic():
     assert sniff_format(b"\xff\xd8\xff\xe0rest") == "jpeg"
     assert sniff_format(b"%PDF-1.4") == "pdf"
     assert sniff_format(b"RIFFxxxxWEBPrest") == "webp"
-    assert sniff_format(b"RIFFxxxxAVI rest") == "unknown"
+    assert sniff_format(b"RIFFxxxxAVI rest") == "avi"   # r4: real demuxer
+    assert sniff_format(b"YUV4MPEG2 W2 H2 C444\n") == "y4m"
+    assert sniff_format(b"RIFFxxxxWAVErest") == "unknown"

@@ -1,0 +1,201 @@
+"""From-scratch video container tests: MJPEG AVI (RIFF) and YUV4MPEG2.
+
+The north-rule bar for lossy media is decoded-pixel PSNR ≥ 40 dB; both
+container paths are held to it end-to-end (mux → demux → decode).
+"""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mycelium_ray.http_headers import sniff_format
+from mycelium_ray.imaging import decode_image
+from mycelium_ray.jpeg import encode_jpeg
+from mycelium_ray.video import (AviClip, VideoFormatError, Y4mClip,
+                                encode_y4m, mux_avi_mjpeg, open_video,
+                                probe_video, rgb_to_ycbcr601,
+                                ycbcr601_to_rgb)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(float) - b.astype(float)) ** 2)
+    return float("inf") if mse == 0 else 10 * np.log10(255.0 ** 2 / mse)
+
+
+def _smooth_frame(i, w=48, h=32):
+    gx = np.linspace(0, 255, w)[None, :]
+    gy = np.linspace(0, 255, h)[:, None]
+    r = np.clip(gx + 9.0 * i, 0, 255)
+    g = np.clip(gy + 4.0 * i, 0, 255)
+    b = np.clip((gx + gy) / 2.0, 0, 255)
+    return np.dstack([np.broadcast_to(r, (h, w)),
+                      np.broadcast_to(g, (h, w)),
+                      np.broadcast_to(b, (h, w))]).astype(np.uint8)
+
+
+FRAMES = [_smooth_frame(i) for i in range(7)]
+
+
+# --------------------------------------------------------------------------
+# AVI / MJPEG
+# --------------------------------------------------------------------------
+def test_avi_mux_demux_bit_exact_frames():
+    jpegs = [encode_jpeg(f) for f in FRAMES]
+    avi = mux_avi_mjpeg(jpegs, 48, 32, fps=30)
+    clip = AviClip(avi)
+    assert clip.n_frames == len(jpegs)
+    assert (clip.width, clip.height) == (48, 32)
+    # the demuxed chunk payloads are the muxed JPEG bytes, bit-exact
+    for i, j in enumerate(jpegs):
+        assert clip.frame_encoded(i) == j
+
+
+def test_avi_decoded_pixels_meet_psnr_bar():
+    avi = mux_avi_mjpeg([encode_jpeg(f) for f in FRAMES], 48, 32)
+    clip = AviClip(avi)
+    for i in (0, 3, 6):
+        assert _psnr(clip.frame_rgb(i), FRAMES[i]) >= 40.0
+
+
+def test_avi_odd_size_padding():
+    # force an odd-length frame payload: JPEG bytes + nothing we control,
+    # so craft one manually — the demuxer must honor even-padding
+    f1 = encode_jpeg(FRAMES[0])
+    if len(f1) % 2 == 0:
+        f1_odd = f1 + b""  # JPEG decoders ignore trailing byte after EOI
+        # ensure odd by appending a pad byte the JPEG decoder tolerates
+        f1_odd = f1 + b"\x00" if len(f1) % 2 == 0 else f1
+    else:
+        f1_odd = f1
+    f2 = encode_jpeg(FRAMES[1])
+    avi = mux_avi_mjpeg([f1_odd, f2], 48, 32)
+    clip = AviClip(avi)
+    assert clip.n_frames == 2
+    assert clip.frame_encoded(0) == f1_odd
+    assert clip.frame_encoded(1) == f2
+
+
+def test_avi_rejects_non_avi():
+    with pytest.raises(VideoFormatError):
+        AviClip(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(VideoFormatError):
+        AviClip(b"garbage")
+
+
+# --------------------------------------------------------------------------
+# YUV4MPEG2
+# --------------------------------------------------------------------------
+def test_y4m_c444_roundtrip_psnr():
+    clip = Y4mClip(encode_y4m(FRAMES, colorspace="C444"))
+    assert clip.n_frames == len(FRAMES)
+    for i in (0, 2, 6):
+        assert _psnr(clip.frame_rgb(i), FRAMES[i]) >= 40.0
+
+
+def test_y4m_c420_roundtrip_psnr():
+    clip = Y4mClip(encode_y4m(FRAMES, colorspace="C420jpeg"))
+    assert clip.colorspace == "C420jpeg"
+    for i in (0, 6):
+        assert _psnr(clip.frame_rgb(i), FRAMES[i]) >= 40.0
+
+
+def test_y4m_default_colorspace_is_c420():
+    # a header with no C token means C420jpeg per the y4m convention
+    data = encode_y4m(FRAMES[:2], colorspace="C420jpeg")
+    stripped = data.replace(b" C420jpeg", b"", 1)
+    clip = Y4mClip(stripped)
+    assert clip.n_frames == 2
+    assert _psnr(clip.frame_rgb(0), FRAMES[0]) >= 40.0
+
+
+def test_y4m_frame_encoded_is_lossless_png_of_decoded():
+    clip = Y4mClip(encode_y4m(FRAMES[:2], colorspace="C444"))
+    px, fmt = decode_image(clip.frame_encoded(1))
+    assert fmt == "png"
+    assert np.array_equal(px, clip.frame_rgb(1))
+
+
+def test_y4m_truncation_detected():
+    data = encode_y4m(FRAMES[:3], colorspace="C444")
+    with pytest.raises(VideoFormatError):
+        Y4mClip(data[:-5])
+
+
+def test_ycbcr601_limited_range_bounds():
+    px = np.stack(np.meshgrid(np.arange(0, 256, 51), np.arange(0, 256, 51),
+                              np.arange(0, 256, 51), indexing="ij"),
+                  axis=-1).reshape(1, -1, 3).astype(np.uint8)
+    y, cb, cr = rgb_to_ycbcr601(px)
+    assert y.min() >= 16 and y.max() <= 235
+    assert cb.min() >= 16 and cb.max() <= 240
+    assert cr.min() >= 16 and cr.max() <= 240
+    assert _psnr(ycbcr601_to_rgb(y, cb, cr), px) >= 40.0
+
+
+# --------------------------------------------------------------------------
+# probing / dispatch / sniffing
+# --------------------------------------------------------------------------
+def test_probe_and_open_dispatch():
+    avi = mux_avi_mjpeg([encode_jpeg(FRAMES[0])], 48, 32)
+    y4m = encode_y4m(FRAMES[:1])
+    assert probe_video(avi) == "avi"
+    assert probe_video(y4m) == "y4m"
+    assert probe_video(b"\x00\x00\x00\x18ftypmp42") == "mp4"
+    assert probe_video(b"\x1a\x45\xdf\xa3xxxx") == "webm"
+    assert probe_video(b"nonsense") is None
+    assert open_video(avi).n_frames == 1
+    assert open_video(y4m).n_frames == 1
+    with pytest.raises(NotImplementedError):
+        open_video(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(VideoFormatError):
+        open_video(b"nonsense")
+
+
+def test_sniff_format_video_kinds():
+    avi = mux_avi_mjpeg([encode_jpeg(FRAMES[0])], 48, 32)
+    assert sniff_format(avi) == "avi"
+    assert sniff_format(encode_y4m(FRAMES[:1])) == "y4m"
+    # RIFF dispatch still distinguishes webp
+    assert sniff_format(b"RIFF\x00\x00\x00\x00WEBPVP8L") == "webp"
+
+
+# --------------------------------------------------------------------------
+# SampleFrames over REAL containers
+# --------------------------------------------------------------------------
+def test_sample_frames_real_avi_and_y4m(ray_session):
+    import ray.data as rd
+
+    from mycelium_ray.stages.media import SampleFrames
+    avi = mux_avi_mjpeg([encode_jpeg(f) for f in FRAMES], 48, 32)
+    y4m = encode_y4m(FRAMES, colorspace="C420jpeg")
+    ds = rd.from_arrow(pa.table({
+        "video_id": pa.array(["a.avi", "b.y4m"]),
+        "video": pa.array([avi, y4m], pa.binary()),
+    }))
+    out = ds.map_batches(SampleFrames(n_samples=4),
+                         batch_format="pyarrow").to_pandas()
+    ok = out[out["sample_ok"]]
+    assert ok.groupby("video_id").size().to_dict() == {"a.avi": 4,
+                                                       "b.y4m": 4}
+    # evenly spaced over 7 frames: i*7//4
+    assert ok[ok["video_id"] == "a.avi"]["frame_idx"].tolist() == [0, 1, 3, 5]
+    # every sampled frame decodes to the clip dims
+    assert set(zip(ok["w"], ok["h"])) == {(48, 32)}
+    # AVI samples pass through the muxed JPEG bytes; y4m samples are PNG
+    a0 = ok[ok["video_id"] == "a.avi"]["frame"].iloc[0]
+    b0 = ok[ok["video_id"] == "b.y4m"]["frame"].iloc[0]
+    assert sniff_format(bytes(a0)) == "jpeg"
+    assert sniff_format(bytes(b0)) == "png"
+
+
+def test_video_frame_sample_pipeline_vs_params(ray_session):
+    """Pipeline output matches the arithmetic clip parameters for every
+    doc (dims + exact sampling rule + all frames decodable)."""
+    from mycelium_ray.pipelines.videoops import (N_SAMPLES, _clip_params,
+                                                 video_frame_sample)
+    df = video_frame_sample("/root/testdata/sf0.001").to_pandas()
+    assert df["sample_ok"].all()
+    for doc_id, g in df.groupby("doc_id"):
+        n, w, h = _clip_params(int(doc_id))
+        take = min(N_SAMPLES, n)
+        assert sorted(g["frame_idx"]) == [i * n // take for i in range(take)]
+        assert set(zip(g["w"], g["h"])) == {(w, h)}
