@@ -25,11 +25,15 @@ Fixture-only affordances (each marked on the wire with an ``X-`` header):
 
 from __future__ import annotations
 
+import gzip as _gzip
 import json
 import threading
+import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from .corpus import SiteGraph
+from .corpus import CONTENT_SIZE_LIMIT, SiteGraph
+
+_CHUNK = 1024  # chunked-transfer frame size (wire artifact only)
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -123,7 +127,47 @@ class _Handler(BaseHTTPRequestHandler):
         if not_modified:
             self._send(304, hdrs, b"", True)
             return
+        # Wire-encoding exercise (GET 200 with a body only): a
+        # deterministic per-URL choice serves ~1/4 of pages chunked and
+        # ~1/4 gzip (when the client advertises Accept-Encoding), so the
+        # socket-transport parity tests cover HTTP/1.1 chunked framing
+        # and content decompression end-to-end — the two wire behaviors
+        # a real-internet fetch hits first. The LOGICAL response
+        # (status, decoded body, normalized headers) is unchanged.
+        # (over-limit pages stay identity-encoded: the client-side cutoff
+        # aborts mid-body, and only an identity response lets the saved
+        # header block still carry the true Content-Length for parity)
+        if resp.status == 200 and resp.content and not head_only \
+                and len(resp.content) <= CONTENT_SIZE_LIMIT:
+            enc = zlib.crc32(url.encode()) % 4
+            if enc == 2:
+                self._send_chunked(resp.status, hdrs, resp.content)
+                return
+            if enc == 3 and "gzip" in (
+                    self.headers.get("Accept-Encoding") or ""):
+                gz = _gzip.compress(resp.content, compresslevel=6, mtime=0)
+                if len(gz) <= CONTENT_SIZE_LIMIT:
+                    wire = [(k, v) for k, v in hdrs
+                            if k.lower() != "content-length"]
+                    wire.append(("Content-Encoding", "gzip"))
+                    wire.append(("Content-Length", str(len(gz))))
+                    self._send(resp.status, wire, gz, False)
+                    return
         self._send(resp.status, hdrs, resp.content, head_only)
+
+    def _send_chunked(self, status: int,
+                      headers: list[tuple[str, str]], body: bytes) -> None:
+        self.send_response_only(status, "X")
+        for k, v in headers:
+            if k.lower() == "content-length":
+                continue  # chunked framing forbids Content-Length
+            self.send_header(k, v)
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        for off in range(0, len(body), _CHUNK):
+            part = body[off:off + _CHUNK]
+            self.wfile.write(b"%x\r\n" % len(part) + part + b"\r\n")
+        self.wfile.write(b"0\r\n\r\n")
 
     def _host_known(self, host: str) -> bool:
         site = self.server.site  # type: ignore[attr-defined]

@@ -35,6 +35,7 @@ CURLE_OK = 0
 CURLE_COULDNT_RESOLVE_HOST = 6
 CURLE_WRITE_ERROR = 23
 CURLE_TOO_MANY_REDIRECTS = 47
+CURLE_BAD_CONTENT_ENCODING = 61  # unrecognized/corrupt Content-Encoding
 
 
 @dataclass
@@ -163,6 +164,10 @@ class SocketTransport:
                 conn.putrequest(method, path, skip_host=True,
                                 skip_accept_encoding=True)
                 conn.putheader("Host", host)
+                # advertise decompression support (curl's --compressed /
+                # CURLOPT_ACCEPT_ENCODING); the server may then answer
+                # with Content-Encoding: gzip
+                conn.putheader("Accept-Encoding", "gzip")
                 for k, v in extra.items():
                     conn.putheader(k, v)
                 conn.endheaders()
@@ -172,7 +177,9 @@ class SocketTransport:
                 if method != "HEAD" and r.status != 304:
                     # client-side content cap: stop READING past the
                     # limit (curl's write-callback abort) — the extra
-                    # byte detects truncation
+                    # byte detects truncation. http.client de-frames
+                    # Transfer-Encoding: chunked transparently, so the
+                    # cap applies to de-chunked bytes, like curl.
                     body = r.read(CONTENT_SIZE_LIMIT + 1)
                     if len(body) > CONTENT_SIZE_LIMIT:
                         conn.close()
@@ -185,15 +192,43 @@ class SocketTransport:
                 if attempt:
                     raise
 
-    def _rebuild_headers(self, status: int, pairs) -> str:
+    def _rebuild_headers(self, status: int, pairs,
+                         decoded_len: int | None = None) -> str:
         """Reconstruct the SiteGraph.headers_for block byte-for-byte from
         the wire headers (parity surface for the saved-row `headers`
-        column)."""
+        column).
+
+        When the wire response was transfer- or content-encoded
+        (``decoded_len`` is not None), the block is normalized to the
+        LOGICAL representation: Transfer-Encoding / Content-Encoding
+        lines drop and Content-Length reflects the decoded body — the
+        same view curl's --compressed hands the application, and the
+        form headers_for emits."""
+        wire_artifacts = {"transfer-encoding", "content-encoding"}
         lines = [f"HTTP/1.1 {status} X"]
+        cl_emitted = False
         for k, v in pairs:
-            if k.lower() in self._SKIP_HDRS:
+            kl = k.lower()
+            if kl in self._SKIP_HDRS:
                 continue
+            if decoded_len is not None:
+                if kl in wire_artifacts:
+                    continue
+                if kl == "content-length":
+                    if not cl_emitted:
+                        lines.append(f"Content-Length: {decoded_len}")
+                        cl_emitted = True
+                    continue
+                if not cl_emitted and kl in ("etag", "last-modified",
+                                             "location"):
+                    # chunked responses carry no wire Content-Length;
+                    # restore it at its logical position (headers_for
+                    # order: ... Content-Type, Content-Length, ETag, ...)
+                    lines.append(f"Content-Length: {decoded_len}")
+                    cl_emitted = True
             lines.append(f"{k}: {v}")
+        if decoded_len is not None and not cl_emitted:
+            lines.append(f"Content-Length: {decoded_len}")
         return "\r\n".join(lines) + "\r\n"
 
     def request(self, url: str, method: str = "GET",
@@ -229,10 +264,31 @@ class SocketTransport:
                 from urllib.parse import urljoin
                 cur = urljoin(cur, hmap["location"]).split("#", 1)[0]
                 continue
+            # decode wire encodings (gzip content-coding; chunked framing
+            # is already de-framed by http.client) and normalize the
+            # saved header block to the logical representation
+            decoded_len = None
+            if method != "HEAD" and status != 304:
+                cenc = hmap.get("content-encoding", "").lower()
+                if cenc:
+                    if cenc != "gzip":
+                        return FetchResult(
+                            CURLE_BAD_CONTENT_ENCODING, status, cur, "", b"",
+                            f"Unrecognized content encoding: {cenc}")
+                    try:
+                        import gzip as _gzip
+                        body = _gzip.decompress(body)
+                    except Exception:
+                        return FetchResult(
+                            CURLE_BAD_CONTENT_ENCODING, status, cur, "", b"",
+                            "Error while processing content unencoding")
+                if cenc or "chunked" in hmap.get("transfer-encoding",
+                                                 "").lower():
+                    decoded_len = len(body)
             # fixture semantics: a 304's header block is headers_for of
             # the underlying resource, whose own status line is 200
             headers = self._rebuild_headers(200 if status == 304 else status,
-                                            pairs)
+                                            pairs, decoded_len)
             if method == "HEAD" or status == 304:
                 return FetchResult(CURLE_OK, status, cur, headers, b"")
             if len(body) > CONTENT_SIZE_LIMIT:

@@ -159,3 +159,105 @@ def test_robots_error_paths_over_socket():
         # ...while a PLAIN request for the same URL serves the Response
         assert t.request("http://s.test/robots.txt").content == \
             fx.request("http://s.test/robots.txt").content == b"NOT THE RULES"
+
+
+def test_wire_encodings_chunked_and_gzip():
+    """The fixture server serves a deterministic per-URL mix of identity /
+    chunked / gzip wire encodings; the transport must hand back the
+    identical LOGICAL response (decoded body + normalized headers ==
+    FixtureTransport) for every choice — and this test pins that the
+    chunked and gzip paths are actually exercised on the wire (no
+    vacuous parity)."""
+    import http.client
+    import zlib
+
+    site = SiteGraph()
+    site.hosts = ["h.test"]
+    site.robots["h.test"] = "User-agent: *\n"
+    paths = ["/p1", "/p2", "/p4", "/p5", "/p6"]  # crc32%4: 1,3,2,0,2
+    for p in paths:
+        site.responses[f"http://h.test{p}"] = Response(
+            status=200, content=(b"\x89PNG" + p.encode() * 700),
+            content_type="image/png",
+            etag=f'"{p[1:]}"')
+    wire_enc = {f"http://h.test{p}": zlib.crc32(
+        f"http://h.test{p}".encode()) % 4 for p in paths}
+    assert sorted(wire_enc.values()) == [0, 1, 2, 2, 3]  # all kinds hit
+
+    with FixtureHTTPServer(site) as srv:
+        t = SocketTransport(srv.addr)
+        fx = FixtureTransport(site)
+        for p in paths:
+            url = f"http://h.test{p}"
+            rs, rf = t.request(url), fx.request(url)
+            assert rs == rf, (p, wire_enc[url])
+
+        # raw-wire probe: confirm the server really framed /p4 chunked
+        # and really gzip-compressed /p2 for a gzip-accepting client
+        conn = http.client.HTTPConnection(*srv.addr)
+        conn.putrequest("GET", "/p4", skip_host=True,
+                        skip_accept_encoding=True)
+        conn.putheader("Host", "h.test")
+        conn.endheaders()
+        r = conn.getresponse()
+        hmap = {k.lower(): v for k, v in r.getheaders()}
+        assert hmap.get("transfer-encoding") == "chunked"
+        assert "content-length" not in hmap
+        r.read()
+        conn.putrequest("GET", "/p2", skip_host=True,
+                        skip_accept_encoding=True)
+        conn.putheader("Host", "h.test")
+        conn.putheader("Accept-Encoding", "gzip")
+        conn.endheaders()
+        r = conn.getresponse()
+        hmap = {k.lower(): v for k, v in r.getheaders()}
+        body = r.read()
+        assert hmap.get("content-encoding") == "gzip"
+        assert body[:2] == b"\x1f\x8b"  # gzip magic on the wire
+        conn.close()
+
+        # ...and that a client NOT advertising gzip gets identity (server
+        # must never force an encoding the client didn't offer)
+        conn = http.client.HTTPConnection(*srv.addr)
+        conn.putrequest("GET", "/p2", skip_host=True,
+                        skip_accept_encoding=True)
+        conn.putheader("Host", "h.test")
+        conn.putheader("Accept-Encoding", "identity")
+        conn.endheaders()
+        r = conn.getresponse()
+        hmap = {k.lower(): v for k, v in r.getheaders()}
+        assert "content-encoding" not in hmap
+        assert r.read() == site.responses["http://h.test/p2"].content
+        conn.close()
+
+
+def test_unknown_content_encoding_maps_to_curl_61():
+    """An undecodable Content-Encoding must surface as curl's
+    CURLE_BAD_CONTENT_ENCODING (61), not a crash or silent garbage."""
+    import socket
+    import threading
+
+    from mycelium_ray.transport import CURLE_BAD_CONTENT_ENCODING
+
+    payload = (b"HTTP/1.1 200 X\r\nServer: raw\r\n"
+               b"Content-Encoding: br\r\nContent-Length: 4\r\n"
+               b"Connection: close\r\n\r\nABCD")
+
+    srv = socket.create_server(("127.0.0.1", 0))
+    addr = srv.getsockname()
+
+    def one_shot():
+        c, _ = srv.accept()
+        c.recv(65536)
+        c.sendall(payload)
+        c.close()
+
+    th = threading.Thread(target=one_shot, daemon=True)
+    th.start()
+    try:
+        t = SocketTransport(addr)
+        r = t.request("http://raw.test/x")
+        assert r.curl_code == CURLE_BAD_CONTENT_ENCODING
+        assert r.content == b""
+    finally:
+        srv.close()
