@@ -144,6 +144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         "audio_features": audio.audio_features_pipeline,
+        "audio_metadata": audio.audio_metadata,
         "video_frame_sample": videoops.video_frame_sample,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
+        "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,

@@ -95,3 +95,111 @@ SELECT 'http://aud.test/d/' || CAST(doc_id AS VARCHAR) AS audio_id,
        TRUE AS audio_ok
 FROM d
 """
+
+
+# --------------------------------------------------------------------------
+# audio_metadata: container-level triage across five formats (wav, flac,
+# ogg-vorbis, ogg-opus, mp3). Per-doc container choice + geometry derive
+# from doc_id by integer arithmetic, so the oracle checks the parsers'
+# outputs exactly while the container walking (RIFF chunks, STREAMINFO
+# bits, Ogg pages + CRC, MP3 frame-header sums) is real work.
+# --------------------------------------------------------------------------
+def _meta_params(doc_id: int) -> tuple[str, int, int]:
+    """(fmt, sample_rate, n_units) — integer arithmetic only."""
+    k = (doc_id * _KNUTH) % (1 << 32)
+    kind = doc_id % 5
+    if kind == 0:
+        return "wav", 16000, 8000 + k % 8000
+    if kind == 1:
+        return "flac", 22050, 11025 + k % 22050
+    if kind == 2:
+        return "ogg-vorbis", 44100, 22050 + k % 44100
+    if kind == 3:
+        return "ogg-opus", 48000, 24000 + k % 48000
+    return "mp3", 44100, 10 + k % 40  # n_units = frames
+
+
+def synth_audio_meta_row(doc_id: int) -> bytes:
+    from ..audiometa import (write_flac_streaminfo_skeleton,
+                             write_mp3_skeleton, write_ogg_opus_skeleton,
+                             write_ogg_vorbis_skeleton, write_wav_skeleton)
+    fmt, sr, n = _meta_params(doc_id)
+    if fmt == "wav":
+        return write_wav_skeleton(sr, 1, n)
+    if fmt == "flac":
+        return write_flac_streaminfo_skeleton(sr, 1, n)
+    if fmt == "ogg-vorbis":
+        return write_ogg_vorbis_skeleton(sr, 1, n)
+    if fmt == "ogg-opus":
+        return write_ogg_opus_skeleton(1, n)
+    return write_mp3_skeleton(sr, 128, n, mono=True)
+
+
+def audio_metadata(sf_dir: str):
+    """(audio_id, doc_id, fmt, sample_rate, channels, duration_ms,
+    meta_ok) via the REAL container parsers in audiometa.py (AudioProbe
+    actor pool — no sample decode)."""
+    from ..stages.media import AudioProbe
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "audio_id": pa.array([f"http://aud.test/m/{d}" for d in ids],
+                                 pa.string()),
+            "audio": pa.array([synth_audio_meta_row(d) for d in ids],
+                              pa.binary()),
+        })
+
+    probed = ds.map_batches(derive, batch_format="pyarrow",
+                            batch_size=256) \
+        .map_batches(AudioProbe(), batch_format="pyarrow",
+                     batch_size=128, concurrency=4)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = [int(s.rsplit("/", 1)[1]) for s in
+               t["audio_id"].to_pylist()]
+        return pa.table({
+            "audio_id": t["audio_id"],
+            "doc_id": pa.array(ids, pa.int64()),
+            "fmt": t["fmt"],
+            "sample_rate": t["sample_rate"],
+            "channels": t["channels"],
+            "duration_ms": t["duration_ms"],
+            "meta_ok": t["meta_ok"],
+        })
+
+    return probed.map_batches(attach, batch_format="pyarrow")
+
+
+AUDIO_METADATA_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 5 AS kind
+  FROM documents
+), p AS (
+  SELECT doc_id, kind,
+         CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                   WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'ogg-opus'
+                   ELSE 'mp3' END AS fmt,
+         CASE kind WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                   WHEN 2 THEN 44100 WHEN 3 THEN 48000
+                   ELSE 44100 END AS sample_rate,
+         CASE kind WHEN 0 THEN 8000 + k % 8000
+                   WHEN 1 THEN 11025 + k % 22050
+                   WHEN 2 THEN 22050 + k % 44100
+                   WHEN 3 THEN 24000 + k % 48000
+                   ELSE 10 + k % 40 END AS n_units
+  FROM d
+)
+SELECT 'http://aud.test/m/' || CAST(doc_id AS VARCHAR) AS audio_id,
+       doc_id, fmt,
+       CAST(sample_rate AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(CASE WHEN fmt = 'mp3' THEN n_units * 1152 * 1000 // 44100
+                 ELSE n_units * 1000 // sample_rate END AS BIGINT)
+         AS duration_ms,
+       TRUE AS meta_ok
+FROM p
+"""

@@ -120,6 +120,46 @@ class FixtureClip:
         return px
 
 
+class AudioProbe:
+    """audio:binary → container-metadata row, NO sample decode.
+
+    The triage pass a 100-TB audio corpus runs first: duration / sample
+    rate / channels straight from the container layer (WAV fmt chunk,
+    FLAC STREAMINFO, Ogg page granules incl. vorbis+opus, MP3 frame-
+    header walk — mycelium_ray/audiometa.py, all from public specs), so
+    filtering by length/rate never pays codec cost. Unparseable bytes
+    surface as meta_ok=False rows.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..audiometa import AudioMetaError, probe_audio
+        ids = batch["audio_id"].to_pylist()
+        blobs = batch["audio"].to_pylist()
+        out = {"audio_id": [], "fmt": [], "sample_rate": [],
+               "channels": [], "duration_ms": [], "meta_ok": []}
+        for aid, data in zip(ids, blobs):
+            try:
+                m = probe_audio(data)
+                row = (m.fmt, m.sample_rate, m.channels, m.duration_ms,
+                       True)
+            except (AudioMetaError, Exception):
+                row = ("unknown", -1, -1, -1, False)
+            out["audio_id"].append(aid)
+            out["fmt"].append(row[0])
+            out["sample_rate"].append(row[1])
+            out["channels"].append(row[2])
+            out["duration_ms"].append(row[3])
+            out["meta_ok"].append(row[4])
+        return pa.table({
+            "audio_id": pa.array(out["audio_id"], pa.string()),
+            "fmt": pa.array(out["fmt"], pa.string()),
+            "sample_rate": pa.array(out["sample_rate"], pa.int64()),
+            "channels": pa.array(out["channels"], pa.int64()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int64()),
+            "meta_ok": pa.array(out["meta_ok"], pa.bool_()),
+        })
+
+
 class AudioFeatures:
     """audio:binary → per-clip features (duration, rms, peak,
     zero-crossing rate). WAV/PCM decode is REAL (stdlib ``wave`` +
