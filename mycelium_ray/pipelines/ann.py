@@ -499,11 +499,13 @@ def embedding_neardup(sf_dir: str, threshold: float = NEARDUP_THRESHOLD):
         })
 
     # Distributed final order — the pair set is data-dependent and
-    # unbounded at 100 TB, so it must never collect on the driver; the
-    # Arrow-typed group output keeps the schema stable even when every
-    # block is empty.
-    return _read_emb(sf_dir).groupby("label").map_groups(
-        pairs, batch_format="pyarrow").sort(["vec_id_a", "vec_id_b"])
+    # unbounded at 100 TB, so it must never collect on the driver
+    # (sorted_or_empty keeps the typed schema when zero pairs exist).
+    from .dedup import sorted_or_empty
+    return sorted_or_empty(
+        _read_emb(sf_dir).groupby("label").map_groups(
+            pairs, batch_format="pyarrow"),
+        ["vec_id_a", "vec_id_b"], empty)
 
 
 EMBEDDING_NEARDUP_SQL = f"""

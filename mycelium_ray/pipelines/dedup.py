@@ -91,6 +91,20 @@ def _read_docs(sf_dir: str, n_blocks: int | None = None):
     return ds.repartition(n_blocks)
 
 
+def sorted_or_empty(ds, keys, empty: pa.Table):
+    """Distributed final order for a data-dependent (possibly empty)
+    result set: materialize the result blocks into the object store
+    (spillable, cluster-wide — NOT a driver collect), then either hand
+    back the typed empty table (Ray drops the schema of an all-empty
+    dataset through sort) or the distributed sort. Used by every pair-
+    emitting dedup/near-dup op so nothing row-shaped crosses the driver
+    regardless of result size."""
+    pre = ds.materialize()
+    if pre.count() == 0:
+        return empty
+    return pre.sort(keys)
+
+
 def _pack_pair(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a, b) → one int64 key (doc ids < 2^31 in the corpus design)."""
     return (a.astype("int64") << 32) | b.astype("int64")
@@ -228,8 +242,11 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
     (see _jaccard_pairs_ds for the distributed shape). The pair set is
     data-dependent and unbounded at scale, so the final order is a
     distributed sort — nothing row-shaped collects on the driver."""
-    return _jaccard_pairs_ds(sf_dir, threshold) \
-        .sort(["doc_id_a", "doc_id_b"])
+    return sorted_or_empty(
+        _jaccard_pairs_ds(sf_dir, threshold), ["doc_id_a", "doc_id_b"],
+        pa.table({"doc_id_a": pa.array([], pa.int64()),
+                  "doc_id_b": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())}))
 
 
 NGRAM_JACCARD_SQL = """
@@ -408,11 +425,11 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
         g = g.drop_duplicates(["pk", "side"])
         piv = g.pivot(index="pk", columns="side", values="shingles")
         n = len(piv)
-        if n == 0:
-            return pd.DataFrame({
-                "doc_id_a": pd.Series([], dtype="int64"),
-                "doc_id_b": pd.Series([], dtype="int64"),
-                "jaccard": pd.Series([], dtype="float64")})
+        if n == 0 or 0 not in piv.columns or 1 not in piv.columns:
+            return pa.table({
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())})
         blobs_a, blobs_b = piv[0].to_numpy(), piv[1].to_numpy()
         la = np.fromiter((len(b) for b in blobs_a), dtype="int64",
                          count=n) // 8
@@ -432,26 +449,24 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
                         where=union > 0)
         keep = jac >= threshold
         pk = piv.index.to_numpy()[keep].astype("int64")
-        return pd.DataFrame({
-            "doc_id_a": (pk >> 32).astype("int64"),
-            "doc_id_b": (pk & 0xFFFFFFFF).astype("int64"),
-            "jaccard": jac[keep].astype("float64"),
+        # Arrow-typed final: schema survives all-empty results
+        return pa.table({
+            "doc_id_a": pa.array((pk >> 32).astype("int64"), pa.int64()),
+            "doc_id_b": pa.array((pk & 0xFFFFFFFF).astype("int64"),
+                                 pa.int64()),
+            "jaccard": pa.array(jac[keep].astype("float64"), pa.float64()),
         })
 
-    out = sides.union(docs) \
+    # Distributed final order — the verified pair set is data-dependent
+    # and unbounded at 100 TB, so it never collects on the driver
+    verified = sides.union(docs) \
         .groupby("jbucket").map_groups(attach_blob, batch_format="pandas") \
         .groupby("pbucket").map_groups(verify, batch_format="pandas")
-    pdf = out.to_pandas()  # thresholded pairs only
-    if len(pdf) == 0:
-        return pa.table({"doc_id_a": pa.array([], pa.int64()),
-                         "doc_id_b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    pdf = pdf.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
-    return pa.table({
-        "doc_id_a": pa.array(pdf["doc_id_a"].astype("int64")),
-        "doc_id_b": pa.array(pdf["doc_id_b"].astype("int64")),
-        "jaccard": pa.array(pdf["jaccard"].astype("float64")),
-    })
+    return sorted_or_empty(
+        verified, ["doc_id_a", "doc_id_b"],
+        pa.table({"doc_id_a": pa.array([], pa.int64()),
+                  "doc_id_b": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())}))
 
 
 # --------------------------------------------------------------------------
@@ -565,29 +580,27 @@ def simhash_neardup_pairs(sims_ds, max_hamming: int = 3,
             "pbucket": (pk.astype("uint64") % _U64(nb)).astype("int64"),
         })
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_pairs(g: pd.DataFrame) -> pa.Table:
+        # Arrow-typed final: schema survives all-empty results
         g = g.drop_duplicates("pk")
         pk = g["pk"].to_numpy()
-        return pd.DataFrame({
-            "doc_id_a": (pk >> 32).astype("int64"),
-            "doc_id_b": (pk & 0xFFFFFFFF).astype("int64"),
-            "hamming": g["hamming"].to_numpy().astype("int64"),
+        return pa.table({
+            "doc_id_a": pa.array((pk >> 32).astype("int64"), pa.int64()),
+            "doc_id_b": pa.array((pk & 0xFFFFFFFF).astype("int64"),
+                                 pa.int64()),
+            "hamming": pa.array(g["hamming"].to_numpy().astype("int64"),
+                                pa.int64()),
         })
 
-    out = sims_ds.map_batches(explode_segments, batch_format="pandas") \
+    # Distributed final order (pair set is unbounded at scale)
+    pairs = sims_ds.map_batches(explode_segments, batch_format="pandas") \
         .groupby("bucket").map_groups(seg_pairs, batch_format="pandas") \
         .groupby("pbucket").map_groups(dedup_pairs, batch_format="pandas")
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"doc_id_a": pa.array([], pa.int64()),
-                         "doc_id_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    pdf = pdf.sort_values(["doc_id_a", "doc_id_b"]).reset_index(drop=True)
-    return pa.table({
-        "doc_id_a": pa.array(pdf["doc_id_a"].astype("int64")),
-        "doc_id_b": pa.array(pdf["doc_id_b"].astype("int64")),
-        "hamming": pa.array(pdf["hamming"].astype("int64")),
-    })
+    return sorted_or_empty(
+        pairs, ["doc_id_a", "doc_id_b"],
+        pa.table({"doc_id_a": pa.array([], pa.int64()),
+                  "doc_id_b": pa.array([], pa.int64()),
+                  "hamming": pa.array([], pa.int64())}))
 
 
 def simhash_neardup(sf_dir: str, max_hamming: int = 3):
@@ -745,15 +758,22 @@ def dedup_clusters(sf_dir: str, threshold: float = 0.5):
     that appear in ≥1 pair are emitted — singletons are trivially their
     own rep and would dominate the output without informing dedup."""
     labels = connected_components(_jaccard_pairs_ds(sf_dir, threshold))
-    pdf = labels.to_pandas()
-    if "node" not in pdf.columns:  # zero pairs → empty groupby, no schema
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "rep": pa.array([], pa.int64())})
-    pdf = pdf.sort_values("node").reset_index(drop=True)
-    return pa.table({
-        "doc_id": pa.array(pdf["node"].astype("int64")),
-        "rep": pa.array(pdf["label"].astype("int64")),
-    })
+
+    def rename(t: pa.Table) -> pa.Table:
+        # typed-Arrow final (schema survives the zero-pair case, where
+        # the empty groupby upstream yields schema-less blocks) + the
+        # final order is a distributed sort — the label set is
+        # corpus-sized, so it never collects on the driver
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rep": pa.array([], pa.int64())})
+        return pa.table({"doc_id": t["node"].cast(pa.int64()),
+                         "rep": t["label"].cast(pa.int64())})
+
+    return sorted_or_empty(
+        labels.map_batches(rename, batch_format="pyarrow"), "doc_id",
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "rep": pa.array([], pa.int64())}))
 
 
 DEDUP_CLUSTERS_SQL = """

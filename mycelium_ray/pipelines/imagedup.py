@@ -79,21 +79,23 @@ def phash_neardup(ds_or_table, max_hamming: int = 6,
                 index=False).to_numpy() % N_BUCKETS).astype("int64"),
         })
 
-    def dedup_pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def dedup_pairs(g: pd.DataFrame) -> pa.Table:
+        # Arrow-typed final: schema survives all-empty results
         g = g.drop_duplicates(subset=["id_a", "id_b"])
-        return g[["id_a", "id_b", "hamming"]]
+        return pa.table({
+            "id_a": pa.array(g["id_a"].astype(str), pa.string()),
+            "id_b": pa.array(g["id_b"].astype(str), pa.string()),
+            "hamming": pa.array(g["hamming"].to_numpy().astype("int64"),
+                                pa.int64()),
+        })
 
-    out = ds.map_batches(bands, batch_format="pandas") \
+    # Distributed final order (pair set is unbounded at scale)
+    from .dedup import sorted_or_empty
+    pairs = ds.map_batches(bands, batch_format="pandas") \
         .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
         .groupby("pbucket").map_groups(dedup_pairs, batch_format="pandas")
-    pdf = out.to_pandas()
-    if len(pdf) == 0:
-        return pa.table({"id_a": pa.array([], pa.string()),
-                         "id_b": pa.array([], pa.string()),
-                         "hamming": pa.array([], pa.int64())})
-    pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
-    return pa.table({
-        "id_a": pa.array(pdf["id_a"].astype(str)),
-        "id_b": pa.array(pdf["id_b"].astype(str)),
-        "hamming": pa.array(pdf["hamming"].astype("int64")),
-    })
+    return sorted_or_empty(
+        pairs, ["id_a", "id_b"],
+        pa.table({"id_a": pa.array([], pa.string()),
+                  "id_b": pa.array([], pa.string()),
+                  "hamming": pa.array([], pa.int64())}))

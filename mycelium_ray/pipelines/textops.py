@@ -420,11 +420,18 @@ def tfidf_top_terms(sf_dir: str, k: int = TFIDF_K):
 
     # Distributed final order: the result is k rows per surviving doc —
     # corpus-sized, so it must not collect on the driver for the sort.
-    return _read(sf_dir, "documents", ["doc_id", "text"]) \
+    from .dedup import sorted_or_empty
+    scored = _read(sf_dir, "documents", ["doc_id", "text"]) \
         .map_batches(postings, batch_format="pyarrow") \
         .groupby("tbucket").map_groups(attach_df, batch_format="pandas") \
-        .groupby("dbucket").map_groups(doc_topk, batch_format="pandas") \
-        .sort(["doc_id", "rank"])
+        .groupby("dbucket").map_groups(doc_topk, batch_format="pandas")
+    return sorted_or_empty(
+        scored, ["doc_id", "rank"],
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "term": pa.array([], pa.string()),
+                  "tf": pa.array([], pa.int64()),
+                  "df": pa.array([], pa.int64()),
+                  "rank": pa.array([], pa.int64())}))
 
 
 TFIDF_SQL = f"""
@@ -464,11 +471,21 @@ CORPUS_LANG = "en"
 
 def corpus_filter(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
                   lang: str = CORPUS_LANG, threshold: float = 0.5):
-    """Collected, doc_id-ordered form of _corpus_filter_ds (the driver/
-    oracle surface; the composable distributed form is the _ds)."""
+    """doc_id-ordered form of _corpus_filter_ds (the driver/oracle
+    surface; the composable distributed form is the _ds). The survivor
+    set is corpus-sized, so the order is a distributed sort — nothing
+    collects on the driver."""
     out = _corpus_filter_ds(sf_dir, min_tokens, lang, threshold)
-    pdf = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
-    return pa.table({"doc_id": pa.array(pdf["doc_id"].astype("int64"))})
+
+    def keep_only(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
+
+    from .dedup import sorted_or_empty
+    return sorted_or_empty(
+        out.map_batches(keep_only, batch_format="pyarrow"), "doc_id",
+        pa.table({"doc_id": pa.array([], pa.int64())}))
 
 
 def _corpus_filter_ds(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,

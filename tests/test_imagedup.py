@@ -12,9 +12,8 @@ def test_phash_neardup_finds_reused_pixels(ray_session):
     images, site, seeds = generate_corpus(n_hosts=8, pages_per_host=6, seed=42)
     # ground truth: decode every image, group by decoded-phash hamming
     rows = images.select(["image_id", "phash"])
-    out = phash_neardup(rows, max_hamming=6)
-    found = set(zip(out.column("id_a").to_pylist(),
-                    out.column("id_b").to_pylist()))
+    out = phash_neardup(rows, max_hamming=6).to_pandas()
+    found = set(zip(out["id_a"].tolist(), out["id_b"].tolist()))
 
     # brute-force ground truth from the table itself
     ids = images.column("image_id").to_pylist()
@@ -37,5 +36,9 @@ def test_phash_neardup_finds_reused_pixels(ray_session):
 
 def test_phash_neardup_empty(ray_session):
     t = pa.table({"image_id": ["a", "b"], "phash": [0, -1]})  # hamming 64
+    from tests.conftest import ds_to_pandas
     out = phash_neardup(t, max_hamming=4)
-    assert out.num_rows == 0
+    df = ds_to_pandas(out)
+    assert len(df) == 0
+    # the Arrow-typed final stage preserves the schema on empty results
+    assert list(df.columns) == ["id_a", "id_b", "hamming"]

@@ -184,9 +184,11 @@ def test_dedup_clusters_empty_pair_graph(ray_session):
     """Zero near-dup pairs (a clean corpus) must yield an empty result,
     not KeyError 'node' (confirmed review crash)."""
     from mycelium_ray.pipelines.dedup import dedup_clusters
+    from tests.conftest import ds_to_pandas
     t = dedup_clusters("/root/testdata/sf0.001", threshold=1.5)
-    assert t.num_rows == 0
-    assert t.schema.names == ["doc_id", "rep"]
+    df = ds_to_pandas(t)
+    assert len(df) == 0
+    assert list(df.columns) == ["doc_id", "rep"]
 
 
 def test_merge_topk_zero_partials(ray_session):
