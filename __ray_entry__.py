@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features": audio.audio_features_pipeline,
         "audio_metadata": audio.audio_metadata,
         "video_frame_sample": videoops.video_frame_sample,
+        "video_dup_groups": videoops.video_dup_groups,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
@@ -240,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
+        "video_dup_groups": videoops.VIDEO_DUP_GROUPS_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
     }

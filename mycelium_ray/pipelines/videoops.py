@@ -120,3 +120,101 @@ SELECT 'http://vid.test/d/' || CAST(doc_id AS VARCHAR) AS video_id,
        TRUE AS sample_ok
 FROM s
 """
+
+
+# --------------------------------------------------------------------------
+# video_dup_groups: video-level exact near-dup grouping — the multimodal
+# dedup pass over clips: sample frames (same rule as video_frame_sample),
+# decode them, and group videos by the content signature of their sampled
+# frames (container kind + per-frame dims + raw decoded pixels). Videos
+# with bit-identical sampled content collapse into one group; rep = min
+# doc_id (the kept representative). One bucketed groupby on the 64-bit
+# signature — the dedup_exact shuffle shape, rows ∝ videos.
+#
+# The oracle derives the same groups arithmetically: two derived clips
+# have identical sampled content iff they share (container kind, w, h,
+# pixel seed doc_id%16, sampled index list) — codec determinism makes
+# param-equality imply content-equality, and the container kind baked
+# into the signature plus dims/pixel hashing make the converse hold on
+# this corpus (a collision would fail the driver compare loudly).
+# --------------------------------------------------------------------------
+def _video_signature(data: bytes, n_samples: int = N_SAMPLES) -> int:
+    import hashlib
+
+    from ..video import open_video, probe_video
+    clip = open_video(data)
+    n = clip.n_frames
+    take = min(n_samples, n)
+    h = hashlib.blake2b(digest_size=8)
+    h.update((probe_video(data) or "?").encode())
+    for i in (j * n // take for j in range(take)):
+        px = clip.frame_rgb(i)
+        h.update(np.asarray(px.shape, dtype=np.int64).tobytes())
+        h.update(px.tobytes())
+    return int.from_bytes(h.digest(), "big") >> 1  # non-negative int64
+
+
+def video_dup_groups(sf_dir: str):
+    """(doc_id, rep, group_n) — every video assigned to its sampled-
+    content dup group; rep = min doc_id of the group."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sigs = [_video_signature(synth_video_row(d)) for d in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sig": pa.array(sigs, pa.int64()),
+        })
+
+    def group_rows(g) -> pa.Table:
+        ids = g["doc_id"].to_numpy()
+        rep = int(ids.min())
+        return pa.table({
+            "doc_id": pa.array(np.sort(ids).astype("int64"), pa.int64()),
+            "rep": pa.array(np.full(len(ids), rep, dtype="int64"),
+                            pa.int64()),
+            "group_n": pa.array(np.full(len(ids), len(ids), dtype="int64"),
+                                pa.int64()),
+        })
+
+    from .dedup import sorted_or_empty
+    grouped = ds.map_batches(sig_rows, batch_format="pyarrow",
+                             batch_size=128, concurrency=4) \
+        .groupby("sig").map_groups(group_rows, batch_format="pandas")
+    return sorted_or_empty(
+        grouped, "doc_id",
+        pa.table({"doc_id": pa.array([], pa.int64()),
+                  "rep": pa.array([], pa.int64()),
+                  "group_n": pa.array([], pa.int64())}))
+
+
+VIDEO_DUP_GROUPS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k FROM documents
+), p AS (
+  SELECT doc_id,
+         2 + (k // 16) % 7 AS n_frames,
+         16 + 8 * (k % 3) AS w,
+         16 + 8 * ((k // 256) % 2) AS h
+  FROM d
+), gk AS (
+  SELECT doc_id,
+         CAST(doc_id % 2 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
+           || CAST(h AS VARCHAR) || '|' || CAST(doc_id % 16 AS VARCHAR)
+           || '|' || array_to_string(
+                list_transform(
+                  generate_series(0, CAST(least({N_SAMPLES}, n_frames)
+                                          AS BIGINT) - 1),
+                  i -> CAST(i * n_frames
+                            // least({N_SAMPLES}, n_frames) AS VARCHAR)),
+                ',') AS gkey
+  FROM p
+)
+SELECT doc_id,
+       CAST(min(doc_id) OVER (PARTITION BY gkey) AS BIGINT) AS rep,
+       CAST(count(*) OVER (PARTITION BY gkey) AS BIGINT) AS group_n
+FROM gk
+ORDER BY doc_id
+"""

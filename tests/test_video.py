@@ -199,3 +199,34 @@ def test_video_frame_sample_pipeline_vs_params(ray_session):
         take = min(N_SAMPLES, n)
         assert sorted(g["frame_idx"]) == [i * n // take for i in range(take)]
         assert set(zip(g["w"], g["h"])) == {(w, h)}
+
+
+def test_video_dup_groups_match_param_groups(ray_session):
+    """Signature-based video dup groups must equal the arithmetic
+    parameter groups (container kind, w, h, pixel seed, sampled idx
+    list) — i.e. the codec path is deterministic and collision-free on
+    the derived corpus — and real dup groups must exist (non-vacuous)."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from mycelium_ray.pipelines.videoops import (N_SAMPLES, _clip_params,
+                                                 video_dup_groups)
+    sf = "/root/testdata/sf0.001"
+    df = video_dup_groups(sf).to_pandas()
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id"])
+    want_key = {}
+    for d in t["doc_id"].to_pylist():
+        n, w, h = _clip_params(d)
+        take = min(N_SAMPLES, n)
+        idxs = tuple(i * n // take for i in range(take))
+        want_key[d] = (d % 2, w, h, d % 16, idxs)
+    by_key = {}
+    for d, key in want_key.items():
+        by_key.setdefault(key, []).append(d)
+    want = {d: (min(mem), len(mem)) for key, mem in by_key.items()
+            for d in mem}
+    got = {int(r["doc_id"]): (int(r["rep"]), int(r["group_n"]))
+           for _, r in df.iterrows()}
+    assert got == want
+    assert Counter(n for _, n in want.values())[2] > 0  # real dups exist
