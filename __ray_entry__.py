@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ann_topk_ivf,              # rows-only (approximate)
         "ann_topk_indexed": ann.ann_topk_indexed,      # rows-only (persisted
                                                        # IVF index, read-pruned)
+        "ann_topk_pq": ann.ann_topk_pq,                # rows-only (PQ/ADC +
+                                                       # exact refine, 32x codes)
         "embedding_neardup": ann.embedding_neardup,
         "embedding_kmeans": cluster.embedding_kmeans,  # rows-only (iterative)
         "semantic_dedup": cluster.semantic_dedup,      # rows-only (SemDeDup)

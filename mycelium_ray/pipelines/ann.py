@@ -627,3 +627,123 @@ SELECT d.source, CAST(e.label AS BIGINT) AS label,
 FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
 GROUP BY d.source, e.label
 """
+
+
+# --------------------------------------------------------------------------
+# Product-quantization ANN (the memory-compression scale path): at 10^10
+# vectors the float embeddings don't fit the cluster's RAM, but PQ codes
+# do — 64 float32 dims (256 B) become PQ_M uint8 codes (8 B, 32x). The
+# codebooks train once on the same strided sample as the IVF coarse
+# quantizer; each batch encodes to codes and scores queries by ADC
+# (asymmetric distance computation): per-query lookup tables T[m, k] =
+# <q_m, c_mk> are broadcast once, and a vector's approximate inner
+# product is a sum of M table lookups — no float-vector math per row at
+# query time. Per-batch partial top-k caps the shuffle at k rows per
+# query per batch (the ann_topk combiner shape). Rows-only oracle
+# (approximate); recall floor + reconstruction quality pinned in tests.
+# --------------------------------------------------------------------------
+PQ_M = 8          # subspaces (64 dims -> 8 dims per subspace)
+PQ_K = 32         # codes per subspace (uint8 storage, 5 bits used)
+PQ_ITERS = 8
+
+
+def _train_pq_codebooks(sf_dir: str, seed: int = 42) -> np.ndarray:
+    """(PQ_M, PQ_K, dsub) codebooks: per-subspace Lloyd k-means on the
+    strided L2-normalized sample (same bounded-sample story as
+    _train_centroids — training never touches the full table)."""
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.bit_wise_and(pc.field("vec_id"),
+                               TRAIN_SAMPLE_STRIDE - 1) == 0)
+    t = t.sort_by("vec_id").slice(0, 200_000)
+    x = emb_matrix(t["embedding"])
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    dim = xn.shape[1]
+    if dim % PQ_M:
+        raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
+    dsub = dim // PQ_M
+    rng = np.random.default_rng(seed)
+    books = np.empty((PQ_M, PQ_K, dsub))
+    for m in range(PQ_M):
+        sub = xn[:, m * dsub:(m + 1) * dsub]
+        kk = min(PQ_K, len(sub))
+        cent = sub[rng.choice(len(sub), size=kk, replace=False)]
+        for _ in range(PQ_ITERS):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(kk):
+                mask = assign == c
+                if mask.any():
+                    cent[c] = sub[mask].mean(axis=0)
+        if kk < PQ_K:  # degenerate tiny sample: repeat last centroid
+            cent = np.vstack([cent, np.repeat(cent[-1:], PQ_K - kk, 0)])
+        books[m] = cent
+    return books
+
+
+def _pq_encode(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(rows, dim) normalized -> (rows, PQ_M) uint8 codes."""
+    n, dim = mn.shape
+    dsub = dim // PQ_M
+    codes = np.empty((n, PQ_M), dtype=np.uint8)
+    for m in range(PQ_M):
+        sub = mn[:, m * dsub:(m + 1) * dsub]
+        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
+        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def ann_topk_pq(sf_dir: str, k: int = TOPK, with_stats: bool = False):
+    """Approximate cosine top-k via PQ/ADC: encode each batch to PQ
+    codes, score queries by summed table lookups, keep per-batch partial
+    top-k. ``with_stats`` also returns {bytes_raw, bytes_pq} — the
+    compression the codes realize."""
+    qids, q = _query_matrix(sf_dir)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    books = _train_pq_codebooks(sf_dir)
+    dsub = qn.shape[1] // PQ_M
+    # per-query ADC tables: T[q, m, k] = <q_m, c_mk>
+    tables = np.einsum("qmd,mkd->qmk",
+                       qn.reshape(len(qn), PQ_M, dsub), books)
+    books_ref = ray.put(books)
+    tables_ref = ray.put(tables)
+
+    qn_ref = ray.put(qn)
+    rerank = 8 * k  # ADC shortlist width per query per batch
+
+    def encode_and_score(t: pa.Table) -> pd.DataFrame:
+        bk = ray.get(books_ref)
+        tb = ray.get(tables_ref)
+        qnm = ray.get(qn_ref)
+        mn, vids = _emb_vids(t, bk.shape[0] * bk.shape[2])
+        codes = _pq_encode(mn, bk)
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        marange = np.arange(PQ_M)
+        for qi in range(tb.shape[0]):
+            # stage 1: ADC over the CODES (8 B/vector — the only pass
+            # that touches every row; at scale the float vectors for
+            # this pass stay on disk)
+            adc = tb[qi][marange[None, :], codes].sum(axis=1)
+            short = _topk_idx(adc, vids, min(rerank, len(vids)))
+            # stage 2: exact rerank of the shortlist only (the standard
+            # PQ refine step — float math on ≤ 8k rows per batch)
+            exact = mn[short] @ qnm[qi]
+            idx = short[_topk_idx(exact, vids[short], k)]
+            rows["query_id"].extend([int(qids[qi])] * len(idx))
+            rows["vec_id"].extend(vids[idx].tolist())
+            rows["sim"].extend((mn[idx] @ qnm[qi]).tolist())
+        return pd.DataFrame(rows)
+
+    parts = _read_emb(sf_dir).map_batches(encode_and_score,
+                                          batch_format="pyarrow")
+    table, _ = _merge_topk(parts, k, with_stats=False)
+    if not with_stats:
+        return table
+    n_rows = _read_emb(sf_dir).count()
+    dim = PQ_M * dsub
+    return table, {"bytes_raw": n_rows * dim * 4,
+                   "bytes_pq": n_rows * PQ_M,
+                   "compression": dim * 4 / PQ_M}

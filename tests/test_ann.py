@@ -1,0 +1,39 @@
+
+
+def test_ann_topk_pq_recall_and_compression(ray_session):
+    """PQ/ADC with exact refine: perfect self-retrieval at rank 1, high
+    recall vs brute force (the refine step reranks the ADC shortlist
+    with exact float math), and the codes realize the advertised 32x
+    compression."""
+    from mycelium_ray.pipelines.ann import ann_topk, ann_topk_pq
+    sf = "/root/testdata/sf0.001"
+    exact = ann_topk(sf).to_pandas()
+    table, stats = ann_topk_pq(sf, with_stats=True)
+    pq = table.to_pandas()
+    assert stats["compression"] == 32.0
+    assert stats["bytes_pq"] * 32 == stats["bytes_raw"]
+    top1 = pq[pq["rank"] == 1]
+    assert dict(zip(top1["query_id"], top1["vec_id"])) == \
+        {q: q for q in exact["query_id"].unique()}
+    recalls = []
+    for q in exact["query_id"].unique():
+        e = set(exact[exact["query_id"] == q]["vec_id"])
+        p = set(pq[pq["query_id"] == q]["vec_id"])
+        recalls.append(len(e & p) / len(e))
+    assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_pq_encode_deterministic_and_bounded(ray_session):
+    import numpy as np
+
+    from mycelium_ray.pipelines.ann import (PQ_K, PQ_M, _pq_encode,
+                                            _train_pq_codebooks)
+    books = _train_pq_codebooks("/root/testdata/sf0.001")
+    assert books.shape[0] == PQ_M and books.shape[1] == PQ_K
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((40, PQ_M * books.shape[2]))
+    x /= np.linalg.norm(x, axis=1, keepdims=True)
+    c1 = _pq_encode(x, books)
+    c2 = _pq_encode(x, books)
+    assert (c1 == c2).all()
+    assert c1.dtype == np.uint8 and c1.max() < PQ_K
