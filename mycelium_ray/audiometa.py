@@ -213,6 +213,8 @@ def _probe_mp3(data: bytes) -> AudioMeta:
         size = ((data[6] & 0x7F) << 21 | (data[7] & 0x7F) << 14
                 | (data[8] & 0x7F) << 7 | (data[9] & 0x7F))
         pos = 10 + size
+        if data[5] & 0x10:  # ID3v2.4 footer flag: 10 more bytes of tag
+            pos += 10
     sr = ch = 0
     n_frames = 0
     total_samples = 0
@@ -257,15 +259,20 @@ def _probe_mp3(data: bytes) -> AudioMeta:
 # dispatch
 # ==========================================================================
 def probe_audio(data: bytes) -> AudioMeta:
-    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-        return _probe_wav(data)
-    if data[:4] == b"fLaC":
-        return _probe_flac(data)
-    if data[:4] == b"OggS":
-        return _probe_ogg(data)
-    if data[:3] == b"ID3" or (len(data) >= 2
-                              and data[0] == 0xFF and data[1] & 0xE0 == 0xE0):
-        return _probe_mp3(data)
+    try:
+        if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+            return _probe_wav(data)
+        if data[:4] == b"fLaC":
+            return _probe_flac(data)
+        if data[:4] == b"OggS":
+            return _probe_ogg(data)
+        if data[:3] == b"ID3" or (len(data) >= 2 and data[0] == 0xFF
+                                  and data[1] & 0xE0 == 0xE0):
+            return _probe_mp3(data)
+    except struct.error as e:
+        # truncated container: the advertised failure type is
+        # AudioMetaError, never a raw struct.error
+        raise AudioMetaError(f"truncated container: {e}") from e
     raise AudioMetaError("unrecognized audio container")
 
 

@@ -1942,9 +1942,9 @@ WITH j AS (
          p.p_type = 'PROMO' AS promo
   FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 )
-SELECT CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS BIGINT)
-         AS promo_revenue_cents,
-       CAST(sum(rev_c) AS BIGINT) AS total_revenue_cents,
+SELECT coalesce(CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END)
+                     AS BIGINT), 0) AS promo_revenue_cents,
+       coalesce(CAST(sum(rev_c) AS BIGINT), 0) AS total_revenue_cents,
        coalesce(CAST(sum(CASE WHEN promo THEN rev_c ELSE 0 END) AS DOUBLE)
                   / nullif(CAST(sum(rev_c) AS DOUBLE), 0), 0.0)
          AS promo_share

@@ -287,13 +287,13 @@ KMEANS_ITERS = 10
 TRAIN_SAMPLE_STRIDE = 4  # train on vec_id % stride == 0 (bounded sample)
 
 
-def _train_centroids(sf_dir: str, seed: int = 42) -> np.ndarray:
-    """Deterministic spherical k-means on a strided sample (the sample is
+def _train_sample(sf_dir: str) -> np.ndarray:
+    """L2-normalized strided training sample, shared by the IVF coarse
+    quantizer and the PQ codebooks (ONE sampling policy — the sample is
     the scale story: at 10^10 rows you train on ~10^5 rows, never the
-    table). The stride predicate is pushed INTO the scan (pyarrow dataset
-    filter) so non-sample rows never materialize on the driver; a row cap
-    bounds training regardless of table size. Returns L2-normalized
-    (N_CENTROIDS, dim)."""
+    table). The stride predicate is pushed INTO the scan (pyarrow
+    dataset filter) so non-sample rows never materialize on the driver;
+    a row cap bounds training regardless of table size."""
     import pyarrow.compute as pc
     import pyarrow.dataset as pads
     dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
@@ -303,7 +303,13 @@ def _train_centroids(sf_dir: str, seed: int = 42) -> np.ndarray:
                                TRAIN_SAMPLE_STRIDE - 1) == 0)
     t = t.sort_by("vec_id").slice(0, 200_000)  # hard training-row cap
     x = emb_matrix(t["embedding"])
-    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _train_centroids(sf_dir: str, seed: int = 42) -> np.ndarray:
+    """Deterministic spherical k-means on the shared strided sample.
+    Returns L2-normalized (N_CENTROIDS, dim)."""
+    xn = _train_sample(sf_dir)
     rng = np.random.default_rng(seed)
     cent = xn[rng.choice(len(xn), size=min(N_CENTROIDS, len(xn)),
                          replace=False)]
@@ -647,20 +653,20 @@ PQ_K = 32         # codes per subspace (uint8 storage, 5 bits used)
 PQ_ITERS = 8
 
 
+def _nearest_code(sub: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """argmin_k ||x - c_k||² via the matmul form: ||x||² is constant per
+    row, so argmin(||c||² - 2 x·cᵀ) — an (n, k) result without the
+    (n, k, d) broadcast temporary (410 MB per iteration at the 200k-row
+    training cap with the naive form)."""
+    return np.argmin((cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T),
+                     axis=1)
+
+
 def _train_pq_codebooks(sf_dir: str, seed: int = 42) -> np.ndarray:
     """(PQ_M, PQ_K, dsub) codebooks: per-subspace Lloyd k-means on the
-    strided L2-normalized sample (same bounded-sample story as
-    _train_centroids — training never touches the full table)."""
-    import pyarrow.compute as pc
-    import pyarrow.dataset as pads
-    dset = pads.dataset(f"{sf_dir}/embeddings.parquet")
-    t = dset.to_table(
-        columns=["vec_id", "embedding"],
-        filter=pc.bit_wise_and(pc.field("vec_id"),
-                               TRAIN_SAMPLE_STRIDE - 1) == 0)
-    t = t.sort_by("vec_id").slice(0, 200_000)
-    x = emb_matrix(t["embedding"])
-    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    shared strided sample (same bounded-sample policy as the IVF coarse
+    quantizer — training never touches the full table)."""
+    xn = _train_sample(sf_dir)
     dim = xn.shape[1]
     if dim % PQ_M:
         raise ValueError(f"dim {dim} not divisible by PQ_M={PQ_M}")
@@ -672,8 +678,7 @@ def _train_pq_codebooks(sf_dir: str, seed: int = 42) -> np.ndarray:
         kk = min(PQ_K, len(sub))
         cent = sub[rng.choice(len(sub), size=kk, replace=False)]
         for _ in range(PQ_ITERS):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
+            assign = _nearest_code(sub, cent)
             for c in range(kk):
                 mask = assign == c
                 if mask.any():
@@ -691,8 +696,7 @@ def _pq_encode(mn: np.ndarray, books: np.ndarray) -> np.ndarray:
     codes = np.empty((n, PQ_M), dtype=np.uint8)
     for m in range(PQ_M):
         sub = mn[:, m * dsub:(m + 1) * dsub]
-        d2 = ((sub[:, None, :] - books[m][None, :, :]) ** 2).sum(axis=2)
-        codes[:, m] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes[:, m] = _nearest_code(sub, books[m]).astype(np.uint8)
     return codes
 
 

@@ -33,12 +33,6 @@ def _read(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
-def _tokens(series: pd.Series) -> pd.Series:
-    # str.split() splits on whitespace runs and drops empties — identical to
-    # string_split_regex(trim(text), '\s+') in the SQL oracle
-    return series.fillna("").str.split()
-
-
 # --------------------------------------------------------------------------
 # token_count: (doc_id, n_tokens)
 # --------------------------------------------------------------------------

@@ -119,6 +119,11 @@ class FixtureClip:
         px, _fmt = decode_image(self._frames[i])
         return px
 
+    def frame_pair(self, i: int):
+        fb = self._frames[i]
+        px, _fmt = decode_image(fb)
+        return fb, px
+
 
 class AudioProbe:
     """audio:binary → container-metadata row, NO sample decode.
@@ -132,7 +137,7 @@ class AudioProbe:
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..audiometa import AudioMetaError, probe_audio
+        from ..audiometa import probe_audio
         ids = batch["audio_id"].to_pylist()
         blobs = batch["audio"].to_pylist()
         out = {"audio_id": [], "fmt": [], "sample_rate": [],
@@ -142,7 +147,7 @@ class AudioProbe:
                 m = probe_audio(data)
                 row = (m.fmt, m.sample_rate, m.channels, m.duration_ms,
                        True)
-            except (AudioMetaError, Exception):
+            except Exception:
                 row = ("unknown", -1, -1, -1, False)
             out["audio_id"].append(aid)
             out["fmt"].append(row[0])
@@ -274,15 +279,29 @@ class SampleFrames:
         return [clip.frame_encoded(i) for i in range(clip.n_frames)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..video import VideoFormatError, open_video
+        from ..video import open_video
         vids = batch["video_id"].to_pylist()
         blobs = batch["video"].to_pylist()
         out = {"video_id": [], "frame_idx": [], "frame": [],
                "w": [], "h": [], "sample_ok": []}
         for vid, data in zip(vids, blobs):
+            # per-CLIP failure isolation: a corrupt container OR a
+            # corrupt frame inside a valid container must cost one
+            # sample_ok=False row, never the batch (a 100-TB corpus
+            # always contains some broken bytes)
             try:
                 clip = open_video(data)
-            except (NotImplementedError, VideoFormatError):
+                n = clip.n_frames
+                take = min(self.n_samples, n)
+                idxs = (np.arange(take) * n // take) if take else []
+                rows = []
+                for i in idxs:
+                    # frame_pair: exactly one decode per sampled frame
+                    # (AVI passes the stored JPEG through; y4m encodes
+                    # the decoded pixels to PNG once, no decode-back)
+                    fb, px = clip.frame_pair(int(i))
+                    rows.append((int(i), fb, px.shape[1], px.shape[0]))
+            except Exception:
                 out["video_id"].append(vid)
                 out["frame_idx"].append(-1)
                 out["frame"].append(b"")
@@ -290,17 +309,12 @@ class SampleFrames:
                 out["h"].append(-1)
                 out["sample_ok"].append(False)
                 continue
-            n = clip.n_frames
-            take = min(self.n_samples, n)
-            idxs = (np.arange(take) * n // take) if take else []
-            for i in idxs:
-                fb = clip.frame_encoded(int(i))
-                px, _fmt = decode_image(fb)
+            for i, fb, w, h in rows:
                 out["video_id"].append(vid)
-                out["frame_idx"].append(int(i))
+                out["frame_idx"].append(i)
                 out["frame"].append(fb)
-                out["w"].append(px.shape[1])
-                out["h"].append(px.shape[0])
+                out["w"].append(w)
+                out["h"].append(h)
                 out["sample_ok"].append(True)
         return pa.table({
             "video_id": pa.array(out["video_id"], pa.string()),

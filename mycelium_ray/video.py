@@ -191,19 +191,7 @@ class AviClip:
     # -- parsing ----------------------------------------------------------
     def _walk(self, data: bytes) -> None:
         end = min(len(data), 8 + struct.unpack("<I", data[4:8])[0])
-        pos = 12
-        while pos + 8 <= end:
-            tag = data[pos:pos + 4]
-            (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
-            body0 = pos + 8
-            if tag == b"LIST":
-                kind = data[body0:body0 + 4]
-                if kind in (b"hdrl", b"movi", b"strl", b"rec "):
-                    self._walk_list(data, body0 + 4, body0 + size)
-            elif tag == b"avih" and size >= 40:
-                w, h = struct.unpack("<II", data[body0 + 32:body0 + 40])
-                self.width, self.height = int(w), int(h)
-            pos = body0 + size + (size % 2)
+        self._walk_list(data, 12, end)
 
     def _walk_list(self, data: bytes, pos: int, end: int) -> None:
         end = min(end, len(data))
@@ -235,6 +223,14 @@ class AviClip:
         from .imaging import decode_image
         px, _fmt = decode_image(self.frame_encoded(i))
         return px
+
+    def frame_pair(self, i: int) -> tuple[bytes, np.ndarray]:
+        """(encoded bytes, pixels) with exactly one decode — the stored
+        JPEG chunk is the encoded form."""
+        fb = self.frame_encoded(i)
+        from .imaging import decode_image
+        px, _fmt = decode_image(fb)
+        return fb, px
 
 
 # ==========================================================================
@@ -311,6 +307,10 @@ class Y4mClip:
             self._sub = False
         elif cs.startswith("C420"):
             self._sub = True
+            if self.width % 2 or self.height % 2:
+                raise VideoFormatError(
+                    "C420 y4m needs even dimensions, got "
+                    f"{self.width}x{self.height}")
         else:
             raise VideoFormatError(f"unsupported y4m colorspace {cs!r}")
         ysz = self.width * self.height
@@ -357,6 +357,13 @@ class Y4mClip:
         pass through."""
         from .imaging import encode_png
         return encode_png(self.frame_rgb(i))
+
+    def frame_pair(self, i: int) -> tuple[bytes, np.ndarray]:
+        """(encoded bytes, pixels) with exactly one y4m decode and one
+        PNG encode — no decode-back of the PNG."""
+        from .imaging import encode_png
+        px = self.frame_rgb(i)
+        return encode_png(px), px
 
 
 # ==========================================================================

@@ -125,3 +125,22 @@ def test_audio_metadata_pipeline_vs_params(ray_session):
     for _, r in df.sample(50, random_state=1).iterrows():
         fmt, sr, n = _meta_params(int(r["doc_id"]))
         assert r["fmt"] == fmt and r["sample_rate"] == sr
+
+
+def test_mp3_id3v24_footer_flag_skipped():
+    """ID3v2.4 footer flag adds 10 bytes of tag after the synchsafe size
+    (review finding r4)."""
+    body = write_mp3_skeleton(44100, 128, 5)
+    tag = bytearray(b"ID3\x04\x00\x10\x00\x00\x00\x0a")
+    tag += b"\x00" * 10          # extended body (size=10)
+    tag += b"3DI\x04\x00\x10\x00\x00\x00\x0a"  # the 10-byte footer
+    m = probe_audio(bytes(tag) + body)
+    assert m.n_units == 5
+
+
+def test_truncated_wav_raises_audiometaerror_not_struct_error():
+    import struct
+    blob = (b"RIFF" + struct.pack("<I", 30) + b"WAVEfmt "
+            + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
+    with pytest.raises(AudioMetaError):
+        probe_audio(blob)

@@ -230,3 +230,30 @@ def test_video_dup_groups_match_param_groups(ray_session):
            for _, r in df.iterrows()}
     assert got == want
     assert Counter(n for _, n in want.values())[2] > 0  # real dups exist
+
+
+def test_sample_frames_corrupt_frame_inside_valid_container(ray_session):
+    """A well-formed AVI whose frame chunk holds garbage must cost one
+    sample_ok=False row, never the batch (review finding r4)."""
+    import ray.data as rd
+
+    from mycelium_ray.stages.media import SampleFrames
+    bad_avi = mux_avi_mjpeg([b"\xff\xd8garbage-not-jpeg"], 48, 32)
+    good = mux_avi_mjpeg([encode_jpeg(FRAMES[0])], 48, 32)
+    ds = rd.from_arrow(pa.table({
+        "video_id": pa.array(["bad.avi", "good.avi"]),
+        "video": pa.array([bad_avi, good], pa.binary()),
+    }))
+    out = ds.map_batches(SampleFrames(n_samples=2),
+                         batch_format="pyarrow").to_pandas() \
+        .set_index("video_id")
+    assert not out.loc["bad.avi", "sample_ok"]
+    assert out.loc["good.avi", "sample_ok"]
+
+
+def test_y4m_c420_odd_dims_rejected_at_open():
+    data = encode_y4m([FRAMES[0]], colorspace="C444")
+    # forge an odd-width C420 header over a C444 payload
+    forged = data.replace(b"C444", b"C420", 1).replace(b"W48", b"W47", 1)
+    with pytest.raises(VideoFormatError):
+        Y4mClip(forged)
