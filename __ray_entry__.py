@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": analytics.orders_rollup,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
+        "forecast_revenue": analytics.forecast_revenue,
+        "small_qty_revenue": analytics.small_qty_revenue,
         "large_orders": analytics.large_orders,
         "linestatus_priority_counts": analytics.linestatus_priority_counts,
         "events_lag_diff": analytics.events_lag_diff,
@@ -204,6 +206,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
+        "forecast_revenue": analytics.FORECAST_REVENUE_SQL,
+        "small_qty_revenue": analytics.SMALL_QTY_REVENUE_SQL,
         "large_orders": analytics.LARGE_ORDERS_SQL,
         "linestatus_priority_counts": analytics.LINESTATUS_PRIORITY_SQL,
         "events_lag_diff": analytics.EVENTS_LAG_DIFF_SQL,

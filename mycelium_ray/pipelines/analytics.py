@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
+import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Min, Sum
 
@@ -3213,4 +3215,159 @@ FROM w WHERE event_type = 'purchase'
 INTERSECT
 SELECT DISTINCT user_id, CAST(week_day AS BIGINT) AS week_day
 FROM w WHERE event_type = 'error'
+"""
+
+
+# --------------------------------------------------------------------------
+# forecast_revenue (TPC-H Q6 shape): the pure filtered-aggregate scan —
+# the no-shuffle extreme of the family. Every predicate (ship-date year,
+# discount band, quantity cap) pushes INTO the parquet scan, each batch
+# folds to ONE int64 partial (cents x discount-pct-points for exactness),
+# and a single tiny combine crosses the driver. At 100 TB this is a
+# pruned scan + a scalar — no shuffle at all.
+# --------------------------------------------------------------------------
+def forecast_revenue(sf_dir: str):
+    """(revenue_micro, revenue) — sum(extendedprice * discount) over
+    1996 shipments with discount in [0.05, 0.07] and quantity < 24.
+    revenue_micro is the exact int64 sum of cents x pct-points; revenue
+    is its single IEEE division by 1e4 (operand rounded to double first,
+    mirroring the oracle)."""
+    import pyarrow.compute as pc
+
+    f = ((pc.field("l_shipdate") >= pc.scalar(np.datetime64("1996-01-01", "us")))
+         & (pc.field("l_shipdate") < pc.scalar(np.datetime64("1997-01-01", "us")))
+         & (pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07)
+         & (pc.field("l_quantity") < 24))
+    ds = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_extendedprice", "l_discount"],
+                         filter=f)
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100).astype("int64")
+        pct = np.rint(t["l_discount"].to_numpy() * 100).astype("int64")
+        return pa.table({"s": pa.array([int((cents * pct).sum())],
+                                       pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["s"].sum())
+        return pd.DataFrame({
+            "revenue_micro": pd.Series([total], dtype="int64"),
+            "revenue": [float(total) / 1e4],
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+FORECAST_REVENUE_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_micro,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / 1e4 AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+# --------------------------------------------------------------------------
+# small_qty_revenue (TPC-H Q17 shape): the correlated-average join — for
+# one brand's parts, revenue of lineitems whose quantity sits below 20%
+# of that part's own average. Two pruned passes over lineitem:
+#
+#   pass 1: brand partkeys broadcast once (ray.put; the part side is the
+#     small side by construction) -> map-side semi-join -> per-batch
+#     (partkey, qty-sum, count) partials -> tiny groupby -> per-part
+#     thresholds, broadcast back;
+#   pass 2: same pruned scan, keep rows under their part's threshold,
+#     fold to ONE int64 cents partial per batch.
+#
+# No lineitem-sized shuffle anywhere: the only groupby is |brand parts|
+# rows wide.
+# --------------------------------------------------------------------------
+Q17_BRAND = "Brand#1"
+
+
+def small_qty_revenue(sf_dir: str, brand: str = Q17_BRAND):
+    """(total_cents, avg_yearly) for lineitems of ``brand`` parts with
+    quantity < 0.2 x the part's average quantity. avg_yearly mirrors
+    TPC-H's sum/7.0 (one IEEE division, operand rounded to double
+    first)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    pk = pq.read_table(f"{sf_dir}/part.parquet",
+                       columns=["p_partkey", "p_brand"],
+                       filters=[("p_brand", "=", brand)])["p_partkey"] \
+        .to_numpy().astype("int64")
+    pk_ref = ray.put(set(pk.tolist()))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice"],
+                         filter=pc.is_in(pc.field("l_partkey"),
+                                         pa.array(pk, pa.int64())))
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        key = t["l_partkey"].to_numpy()
+        q = np.rint(t["l_quantity"].to_numpy()).astype("int64")
+        import pandas as _pd
+        g = _pd.DataFrame({"k": key, "q": q}).groupby("k")["q"] \
+            .agg(["sum", "count"]).reset_index()
+        return pa.table({
+            "l_partkey": pa.array(g["k"].astype("int64")),
+            "sq": pa.array(g["sum"].astype("int64")),
+            "n": pa.array(g["count"].astype("int64")),
+        })
+
+    from ray.data.aggregate import Sum
+    per_part = li.map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("sq", alias_name="sq"),
+                                        Sum("n", alias_name="n")) \
+        .to_pandas()  # bounded: one row per brand part
+    thresh = {int(r["l_partkey"]): 0.2 * (float(r["sq"]) / float(r["n"]))
+              for _, r in per_part.iterrows()}
+    th_ref = ray.put(thresh)
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        th = ray.get(th_ref)
+        key = t["l_partkey"].to_numpy()
+        q = np.rint(t["l_quantity"].to_numpy()).astype("int64")
+        cents = np.rint(t["l_extendedprice"].to_numpy() * 100) \
+            .astype("int64")
+        tvals = np.array([th.get(int(k), -1.0) for k in key])
+        keep = q < tvals
+        return pa.table({"s": pa.array([int(cents[keep].sum())],
+                                       pa.int64())})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        total = int(df["s"].sum())
+        return pd.DataFrame({
+            "total_cents": pd.Series([total], dtype="int64"),
+            "avg_yearly": [float(total) / 700.0],
+        })
+
+    return li.map_batches(rev_partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+SMALL_QTY_REVENUE_SQL = f"""
+WITH pl AS (
+  SELECT l_partkey, CAST(round(l_quantity) AS BIGINT) AS q,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = '{Q17_BRAND}'
+), th AS (
+  SELECT l_partkey,
+         0.2 * (CAST(sum(q) AS DOUBLE) / count(*)) AS t
+  FROM pl GROUP BY 1
+)
+SELECT coalesce(CAST(sum(cents) AS BIGINT), 0) AS total_cents,
+       coalesce(CAST(sum(cents) AS DOUBLE), 0.0) / 700.0 AS avg_yearly
+FROM pl JOIN th USING (l_partkey)
+WHERE q < t
 """
