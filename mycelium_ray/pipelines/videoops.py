@@ -218,3 +218,136 @@ SELECT doc_id,
 FROM gk
 ORDER BY doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# video_metadata: container-level triage across the three video formats —
+# the video analog of audio_metadata. AVI/Y4M report frame counts + dims
+# from their real demux; mp4 rows exercise the ISO 14496-12 box walk
+# (duration/dims from moov, codec honestly absent). Geometry derives from
+# doc_id arithmetically → full oracle.
+# --------------------------------------------------------------------------
+def _vmeta_params(doc_id: int) -> tuple[str, int, int, int]:
+    """(fmt, n_frames, w, h); for mp4 n_frames is -1 (no sample table in
+    the skeleton — duration is carried instead)."""
+    k = (doc_id * _KNUTH) % (1 << 32)
+    kind = doc_id % 3
+    n_frames = 2 + (k // 16) % 7
+    w = 16 + 8 * (k % 3)
+    h = 16 + 8 * ((k // 256) % 2)
+    if kind == 2:
+        return "mp4", -1, w, h
+    return ("avi" if kind == 0 else "y4m"), n_frames, w, h
+
+
+def synth_video_meta_row(doc_id: int) -> bytes:
+    from ..video import (encode_y4m, mux_avi_mjpeg, write_mp4_skeleton)
+    fmt, n, w, h = _vmeta_params(doc_id)
+    if fmt == "mp4":
+        k = (doc_id * _KNUTH) % (1 << 32)
+        return write_mp4_skeleton(1000 + k % 9000, w, h)
+    frames = [_frame_px(doc_id, i, w, h) for i in range(n)]
+    if fmt == "avi":
+        from ..jpeg import encode_jpeg
+        return mux_avi_mjpeg([encode_jpeg(f) for f in frames], w, h)
+    return encode_y4m(frames, colorspace="C420jpeg")
+
+
+class VideoProbe:
+    """video:binary → (fmt, n_frames, w, h, duration_ms, meta_ok) from
+    container structure only (AVI/Y4M: real demux headers + frame count;
+    mp4: moov box walk). No frame decode anywhere — the triage pass."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..video import open_video, probe_mp4_meta, probe_video
+        ids = batch["video_id"].to_pylist()
+        blobs = batch["video"].to_pylist()
+        out = {"video_id": [], "fmt": [], "n_frames": [], "w": [],
+               "h": [], "duration_ms": [], "meta_ok": []}
+        for vid, data in zip(ids, blobs):
+            fmt, nf, w, h, dur, ok = "unknown", -1, -1, -1, -1, False
+            try:
+                kind = probe_video(data)
+                if kind == "mp4":
+                    m = probe_mp4_meta(data)
+                    tw, th = m["tracks"][0] if m["tracks"] else (-1, -1)
+                    fmt, w, h = "mp4", tw, th
+                    dur, ok = m["duration_ms"], True
+                elif kind in ("avi", "y4m", "fakevid"):
+                    clip = open_video(data)
+                    fmt, nf = kind, clip.n_frames
+                    w = getattr(clip, "width", -1)
+                    h = getattr(clip, "height", -1)
+                    ok = True
+            except Exception:
+                pass
+            out["video_id"].append(vid)
+            out["fmt"].append(fmt)
+            out["n_frames"].append(nf)
+            out["w"].append(w)
+            out["h"].append(h)
+            out["duration_ms"].append(dur)
+            out["meta_ok"].append(ok)
+        return pa.table({
+            "video_id": pa.array(out["video_id"], pa.string()),
+            "fmt": pa.array(out["fmt"], pa.string()),
+            "n_frames": pa.array(out["n_frames"], pa.int64()),
+            "w": pa.array(out["w"], pa.int64()),
+            "h": pa.array(out["h"], pa.int64()),
+            "duration_ms": pa.array(out["duration_ms"], pa.int64()),
+            "meta_ok": pa.array(out["meta_ok"], pa.bool_()),
+        })
+
+
+def video_metadata(sf_dir: str):
+    """(video_id, doc_id, fmt, n_frames, w, h, duration_ms, meta_ok) via
+    the VideoProbe actor pool over the 3-container derived corpus."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "video_id": pa.array([f"http://vid.test/m/{d}" for d in ids],
+                                 pa.string()),
+            "video": pa.array([synth_video_meta_row(d) for d in ids],
+                              pa.binary()),
+        })
+
+    probed = ds.map_batches(derive, batch_format="pyarrow",
+                            batch_size=128) \
+        .map_batches(VideoProbe(), batch_format="pyarrow",
+                     batch_size=128, concurrency=4)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = [int(s.rsplit("/", 1)[1]) for s in
+               t["video_id"].to_pylist()]
+        return t.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    return probed.map_batches(attach, batch_format="pyarrow")
+
+
+VIDEO_METADATA_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 3 AS kind
+  FROM documents
+), p AS (
+  SELECT doc_id, k, kind,
+         CASE kind WHEN 0 THEN 'avi' WHEN 1 THEN 'y4m' ELSE 'mp4' END
+           AS fmt,
+         CASE WHEN kind = 2 THEN -1 ELSE 2 + (k // 16) % 7 END AS n_frames,
+         16 + 8 * (k % 3) AS w,
+         16 + 8 * ((k // 256) % 2) AS h
+  FROM d
+)
+SELECT 'http://vid.test/m/' || CAST(doc_id AS VARCHAR) AS video_id,
+       fmt,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(w AS BIGINT) AS w,
+       CAST(h AS BIGINT) AS h,
+       CAST(CASE WHEN kind = 2 THEN 1000 + k % 9000 ELSE -1 END AS BIGINT)
+         AS duration_ms,
+       TRUE AS meta_ok,
+       doc_id
+FROM p
+"""

@@ -27,9 +27,12 @@ selects frame indices BEFORE decode so a 10k-frame clip with
 n_samples=4 decodes 4 frames, not 10k (the reason the demux returns
 offsets, not materialized frames).
 
-Unsupported real-world containers (mp4/ftyp, webm/EBML, mpeg-ts) still
-raise NotImplementedError — compressed inter-frame codecs (H.264 etc.)
-are out of scope without ffmpeg and are stubbed honestly.
+Unsupported compressed containers (mp4/ftyp, webm/EBML, mpeg-ts) still
+raise NotImplementedError from open_video — inter-frame codecs (H.264
+etc.) are out of scope without ffmpeg and are stubbed honestly — but
+mp4 CONTAINER METADATA (duration, track dims from moov/mvhd/tkhd, ISO
+14496-12 box walk) is parsed for real by probe_mp4_meta, so triage by
+duration/dims works even where frame decode cannot.
 
 Reference parity note: larroy/mycelium has no video path at all; this
 module exists for the build brief's multimodal-column story.
@@ -401,5 +404,102 @@ def open_video(data: bytes):
     if kind in ("mp4", "webm"):
         raise NotImplementedError(
             f"{kind} needs an inter-frame codec (ffmpeg/PyAV, absent "
-            "here); supported real containers: MJPEG AVI, YUV4MPEG2")
+            "here); supported real containers: MJPEG AVI, YUV4MPEG2 "
+            "(mp4 container METADATA is available via probe_mp4_meta)")
     raise VideoFormatError("unrecognized video container")
+
+
+# ==========================================================================
+# MP4 / ISO BMFF (ISO/IEC 14496-12) — METADATA ONLY
+# ==========================================================================
+# The codec layer (H.264/H.265/AV1) stays honestly stubbed, but the
+# CONTAINER metadata a triage pass needs — movie duration, track count,
+# track dimensions — lives in plain box structure: moov/mvhd carries
+# (timescale, duration), each trak/tkhd its 16.16-fixed width/height.
+# Box walk: [size u32][type 4cc][payload]; size==1 → 64-bit largesize
+# follows; size==0 → box extends to EOF.
+
+def _iter_boxes(data: bytes, pos: int, end: int):
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos:pos + 4])
+        typ = data[pos + 4:pos + 8]
+        body = pos + 8
+        if size == 1:
+            if body + 8 > end:
+                raise VideoFormatError("truncated mp4 largesize box")
+            (size,) = struct.unpack(">Q", data[body:body + 8])
+            body += 8
+        elif size == 0:
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise VideoFormatError("bad mp4 box size")
+        yield typ, body, pos + size
+        pos += size
+
+
+def probe_mp4_meta(data: bytes) -> dict:
+    """{'duration_ms', 'timescale', 'n_tracks', 'tracks': [(w, h), ...]}
+    from the moov box — no sample data touched."""
+    if len(data) < 12 or data[4:8] != b"ftyp":
+        raise VideoFormatError("not an ISO BMFF (mp4) file")
+    duration_ms = -1
+    timescale = 0
+    tracks: list[tuple[int, int]] = []
+    for typ, body, end in _iter_boxes(data, 0, len(data)):
+        if typ != b"moov":
+            continue
+        for t2, b2, e2 in _iter_boxes(data, body, end):
+            if t2 == b"mvhd":
+                ver = data[b2]
+                if ver == 1:
+                    timescale, dur = struct.unpack(
+                        ">IQ", data[b2 + 20:b2 + 32])
+                else:
+                    timescale, dur = struct.unpack(
+                        ">II", data[b2 + 12:b2 + 20])
+                if timescale:
+                    duration_ms = dur * 1000 // timescale
+            elif t2 == b"trak":
+                for t3, b3, e3 in _iter_boxes(data, b2, e2):
+                    if t3 == b"tkhd":
+                        ver = data[b3]
+                        off = e3 - 8  # width/height are the LAST 8 bytes
+                        w16, h16 = struct.unpack(">II", data[off:off + 8])
+                        tracks.append((w16 >> 16, h16 >> 16))
+    if not timescale:
+        raise VideoFormatError("mp4 missing moov/mvhd")
+    return {"duration_ms": duration_ms, "timescale": timescale,
+            "n_tracks": len(tracks), "tracks": tracks}
+
+
+def write_mp4_skeleton(duration_ms: int, width: int, height: int,
+                       timescale: int = 1000) -> bytes:
+    """Minimal structurally-valid mp4: ftyp + moov(mvhd + trak(tkhd)).
+    A metadata fixture (no mdat/samples), like the audiometa writers."""
+    def box(typ: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+    dur = duration_ms * timescale // 1000
+    mvhd = (bytes([0]) + b"\x00\x00\x00"        # version 0 + flags
+            + struct.pack(">II", 0, 0)           # creation/modification
+            + struct.pack(">II", timescale, dur)
+            + struct.pack(">I", 0x00010000)      # rate 1.0
+            + struct.pack(">H", 0x0100)          # volume 1.0
+            + b"\x00" * 10                       # reserved
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)            # identity matrix
+            + b"\x00" * 24                       # pre_defined
+            + struct.pack(">I", 2))              # next_track_ID
+    tkhd = (bytes([0]) + b"\x00\x00\x07"        # version 0, enabled flags
+            + struct.pack(">II", 0, 0)
+            + struct.pack(">I", 1)               # track_ID
+            + struct.pack(">I", 0)               # reserved
+            + struct.pack(">I", dur)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)   # layer/group/volume/rsvd
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", width << 16, height << 16))
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
+    return ftyp + moov

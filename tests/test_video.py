@@ -257,3 +257,37 @@ def test_y4m_c420_odd_dims_rejected_at_open():
     forged = data.replace(b"C444", b"C420", 1).replace(b"W48", b"W47", 1)
     with pytest.raises(VideoFormatError):
         Y4mClip(forged)
+
+
+def test_mp4_metadata_box_walk():
+    from mycelium_ray.video import probe_mp4_meta, write_mp4_skeleton
+    m = probe_mp4_meta(write_mp4_skeleton(2500, 320, 240))
+    assert m == {"duration_ms": 2500, "timescale": 1000, "n_tracks": 1,
+                 "tracks": [(320, 240)]}
+    with pytest.raises(VideoFormatError):
+        probe_mp4_meta(b"not mp4 at all")
+    # truncated moov → explicit error, not a crash
+    blob = write_mp4_skeleton(1000, 64, 48)
+    with pytest.raises(VideoFormatError):
+        probe_mp4_meta(blob[: len(blob) - 6])
+
+
+def test_video_probe_stage_three_containers(ray_session):
+    import ray.data as rd
+
+    from mycelium_ray.pipelines.videoops import VideoProbe
+    from mycelium_ray.video import write_mp4_skeleton
+    avi = mux_avi_mjpeg([encode_jpeg(f) for f in FRAMES], 48, 32)
+    y4m = encode_y4m(FRAMES[:3], colorspace="C444")
+    mp4 = write_mp4_skeleton(7000, 128, 96)
+    ds = rd.from_arrow(pa.table({
+        "video_id": pa.array(["a.avi", "b.y4m", "c.mp4", "d.bad"]),
+        "video": pa.array([avi, y4m, mp4, b"junk"], pa.binary()),
+    }))
+    out = ds.map_batches(VideoProbe(),
+                         batch_format="pyarrow").to_pandas() \
+        .set_index("video_id")
+    assert out.loc["a.avi"].tolist() == ["avi", 7, 48, 32, -1, True]
+    assert out.loc["b.y4m"].tolist() == ["y4m", 3, 48, 32, -1, True]
+    assert out.loc["c.mp4"].tolist() == ["mp4", -1, 128, 96, 7000, True]
+    assert not out.loc["d.bad", "meta_ok"]
