@@ -228,24 +228,29 @@ ORDER BY doc_id
 # doc_id arithmetically → full oracle.
 # --------------------------------------------------------------------------
 def _vmeta_params(doc_id: int) -> tuple[str, int, int, int]:
-    """(fmt, n_frames, w, h); for mp4 n_frames is -1 (no sample table in
-    the skeleton — duration is carried instead)."""
+    """(fmt, n_frames, w, h); for mp4/webm n_frames is -1 (metadata
+    skeletons carry duration instead of a sample table)."""
     k = (doc_id * _KNUTH) % (1 << 32)
-    kind = doc_id % 3
+    kind = doc_id % 4
     n_frames = 2 + (k // 16) % 7
     w = 16 + 8 * (k % 3)
     h = 16 + 8 * ((k // 256) % 2)
     if kind == 2:
         return "mp4", -1, w, h
+    if kind == 3:
+        return "webm", -1, w, h
     return ("avi" if kind == 0 else "y4m"), n_frames, w, h
 
 
 def synth_video_meta_row(doc_id: int) -> bytes:
-    from ..video import (encode_y4m, mux_avi_mjpeg, write_mp4_skeleton)
+    from ..video import (encode_y4m, mux_avi_mjpeg, write_mp4_skeleton,
+                         write_webm_skeleton)
     fmt, n, w, h = _vmeta_params(doc_id)
+    k = (doc_id * _KNUTH) % (1 << 32)
     if fmt == "mp4":
-        k = (doc_id * _KNUTH) % (1 << 32)
         return write_mp4_skeleton(1000 + k % 9000, w, h)
+    if fmt == "webm":
+        return write_webm_skeleton(1000 + k % 9000, w, h)
     frames = [_frame_px(doc_id, i, w, h) for i in range(n)]
     if fmt == "avi":
         from ..jpeg import encode_jpeg
@@ -259,7 +264,8 @@ class VideoProbe:
     mp4: moov box walk). No frame decode anywhere — the triage pass."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from ..video import open_video, probe_mp4_meta, probe_video
+        from ..video import (open_video, probe_mp4_meta, probe_video,
+                             probe_webm_meta)
         ids = batch["video_id"].to_pylist()
         blobs = batch["video"].to_pylist()
         out = {"video_id": [], "fmt": [], "n_frames": [], "w": [],
@@ -268,10 +274,11 @@ class VideoProbe:
             fmt, nf, w, h, dur, ok = "unknown", -1, -1, -1, -1, False
             try:
                 kind = probe_video(data)
-                if kind == "mp4":
-                    m = probe_mp4_meta(data)
+                if kind in ("mp4", "webm"):
+                    m = probe_mp4_meta(data) if kind == "mp4" \
+                        else probe_webm_meta(data)
                     tw, th = m["tracks"][0] if m["tracks"] else (-1, -1)
-                    fmt, w, h = "mp4", tw, th
+                    fmt, w, h = kind, tw, th
                     dur, ok = m["duration_ms"], True
                 elif kind in ("avi", "y4m", "fakevid"):
                     clip = open_video(data)
@@ -329,13 +336,14 @@ def video_metadata(sf_dir: str):
 
 VIDEO_METADATA_SQL = f"""
 WITH d AS (
-  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 3 AS kind
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 4 AS kind
   FROM documents
 ), p AS (
   SELECT doc_id, k, kind,
-         CASE kind WHEN 0 THEN 'avi' WHEN 1 THEN 'y4m' ELSE 'mp4' END
-           AS fmt,
-         CASE WHEN kind = 2 THEN -1 ELSE 2 + (k // 16) % 7 END AS n_frames,
+         CASE kind WHEN 0 THEN 'avi' WHEN 1 THEN 'y4m'
+                   WHEN 2 THEN 'mp4' ELSE 'webm' END AS fmt,
+         CASE WHEN kind >= 2 THEN -1 ELSE 2 + (k // 16) % 7 END
+           AS n_frames,
          16 + 8 * (k % 3) AS w,
          16 + 8 * ((k // 256) % 2) AS h
   FROM d
@@ -345,7 +353,7 @@ SELECT 'http://vid.test/m/' || CAST(doc_id AS VARCHAR) AS video_id,
        CAST(n_frames AS BIGINT) AS n_frames,
        CAST(w AS BIGINT) AS w,
        CAST(h AS BIGINT) AS h,
-       CAST(CASE WHEN kind = 2 THEN 1000 + k % 9000 ELSE -1 END AS BIGINT)
+       CAST(CASE WHEN kind >= 2 THEN 1000 + k % 9000 ELSE -1 END AS BIGINT)
          AS duration_ms,
        TRUE AS meta_ok,
        doc_id

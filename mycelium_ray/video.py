@@ -503,3 +503,142 @@ def write_mp4_skeleton(duration_ms: int, width: int, height: int,
     moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
     return ftyp + moov
+
+
+# ==========================================================================
+# WebM / Matroska (EBML, RFC 8794) — METADATA ONLY
+# ==========================================================================
+# Same honest boundary as mp4: VP8/VP9/AV1 frame decode needs ffmpeg,
+# but the EBML element structure carrying duration and track dimensions
+# is fully parseable from the public spec. Element = [varint ID]
+# [varint size][payload]; IDs keep their marker bit, sizes drop it.
+
+_EBML_SEGMENT = 0x18538067
+_EBML_INFO = 0x1549A966
+_EBML_TIMESCALE = 0x2AD7B1       # TimestampScale, ns per tick (default 1e6)
+_EBML_DURATION = 0x4489          # float, in ticks
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACKENTRY = 0xAE
+_EBML_VIDEO = 0xE0
+_EBML_PIXELW = 0xB0
+_EBML_PIXELH = 0xBA
+
+
+def _ebml_varint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, new_pos). EBML varint: leading zero bits of the first
+    byte give the length; IDs keep the marker bit, sizes mask it off."""
+    if pos >= len(data):
+        raise VideoFormatError("truncated EBML varint")
+    first = data[pos]
+    if first == 0:
+        raise VideoFormatError("invalid EBML varint")
+    length = 8 - first.bit_length() + 1
+    if pos + length > len(data):
+        raise VideoFormatError("truncated EBML varint body")
+    val = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        val = (val << 8) | data[pos + i]
+    return val, pos + length
+
+
+def _ebml_iter(data: bytes, pos: int, end: int):
+    while pos < end:
+        eid, pos = _ebml_varint(data, pos, keep_marker=True)
+        size, pos = _ebml_varint(data, pos, keep_marker=False)
+        if pos + size > end:
+            raise VideoFormatError("truncated EBML element")
+        yield eid, pos, pos + size
+        pos += size
+
+
+def _ebml_uint(data: bytes, a: int, b: int) -> int:
+    v = 0
+    for i in range(a, b):
+        v = (v << 8) | data[i]
+    return v
+
+
+def _ebml_float(data: bytes, a: int, b: int) -> float:
+    n = b - a
+    if n == 4:
+        return struct.unpack(">f", data[a:b])[0]
+    if n == 8:
+        return struct.unpack(">d", data[a:b])[0]
+    raise VideoFormatError(f"bad EBML float width {n}")
+
+
+def probe_webm_meta(data: bytes) -> dict:
+    """{'duration_ms', 'n_tracks', 'tracks': [(w, h), ...]} from the EBML
+    Segment Info/Tracks elements — no block data touched."""
+    if data[:4] != b"\x1a\x45\xdf\xa3":
+        raise VideoFormatError("not an EBML (webm/matroska) file")
+    timescale_ns = 1_000_000   # spec default: 1 ms ticks
+    duration_ticks = -1.0
+    tracks: list[tuple[int, int]] = []
+    for eid, a, b in _ebml_iter(data, 0, len(data)):
+        if eid != _EBML_SEGMENT:
+            continue
+        for e2, a2, b2 in _ebml_iter(data, a, b):
+            if e2 == _EBML_INFO:
+                for e3, a3, b3 in _ebml_iter(data, a2, b2):
+                    if e3 == _EBML_TIMESCALE:
+                        timescale_ns = _ebml_uint(data, a3, b3)
+                    elif e3 == _EBML_DURATION:
+                        duration_ticks = _ebml_float(data, a3, b3)
+            elif e2 == _EBML_TRACKS:
+                for e3, a3, b3 in _ebml_iter(data, a2, b2):
+                    if e3 != _EBML_TRACKENTRY:
+                        continue
+                    for e4, a4, b4 in _ebml_iter(data, a3, b3):
+                        if e4 == _EBML_VIDEO:
+                            w = h = -1
+                            for e5, a5, b5 in _ebml_iter(data, a4, b4):
+                                if e5 == _EBML_PIXELW:
+                                    w = _ebml_uint(data, a5, b5)
+                                elif e5 == _EBML_PIXELH:
+                                    h = _ebml_uint(data, a5, b5)
+                            tracks.append((w, h))
+    if duration_ticks < 0 and not tracks:
+        raise VideoFormatError("webm missing Segment Info/Tracks")
+    duration_ms = int(duration_ticks * timescale_ns / 1e6) \
+        if duration_ticks >= 0 else -1
+    return {"duration_ms": duration_ms, "n_tracks": len(tracks),
+            "tracks": tracks}
+
+
+def write_webm_skeleton(duration_ms: int, width: int, height: int) -> bytes:
+    """Minimal structurally-valid webm: EBML header + Segment(Info +
+    Tracks(TrackEntry(Video))). Metadata fixture, no Clusters."""
+    def vid(eid: int) -> bytes:
+        # element IDs serialize with their marker bit as stored
+        n = (eid.bit_length() + 7) // 8
+        return eid.to_bytes(n, "big")
+
+    def vsize(n: int) -> bytes:
+        # 4-byte size varint covers all fixture payloads
+        return struct.pack(">I", n | 0x10000000)
+
+    def elem(eid: int, payload: bytes) -> bytes:
+        return vid(eid) + vsize(len(payload)) + payload
+
+    def uint_payload(v: int) -> bytes:
+        n = max(1, (v.bit_length() + 7) // 8)
+        return v.to_bytes(n, "big")
+
+    ebml_hdr = elem(0x1A45DFA3,
+                    elem(0x4282, b"webm")        # DocType
+                    + elem(0x4287, b"\x02"))     # DocTypeVersion
+    info = elem(_EBML_INFO,
+                elem(_EBML_TIMESCALE, uint_payload(1_000_000))
+                + elem(_EBML_DURATION, struct.pack(">d",
+                                                   float(duration_ms))))
+    video = elem(_EBML_VIDEO,
+                 elem(_EBML_PIXELW, uint_payload(width))
+                 + elem(_EBML_PIXELH, uint_payload(height)))
+    track = elem(_EBML_TRACKENTRY,
+                 elem(0xD7, b"\x01")              # TrackNumber
+                 + elem(0x83, b"\x01")            # TrackType: video
+                 + video)
+    segment = elem(_EBML_SEGMENT,
+                   info + elem(_EBML_TRACKS, track))
+    return ebml_hdr + segment

@@ -291,3 +291,14 @@ def test_video_probe_stage_three_containers(ray_session):
     assert out.loc["b.y4m"].tolist() == ["y4m", 3, 48, 32, -1, True]
     assert out.loc["c.mp4"].tolist() == ["mp4", -1, 128, 96, 7000, True]
     assert not out.loc["d.bad", "meta_ok"]
+
+
+def test_webm_metadata_ebml_walk():
+    from mycelium_ray.video import probe_webm_meta, write_webm_skeleton
+    m = probe_webm_meta(write_webm_skeleton(4321, 640, 360))
+    assert m == {"duration_ms": 4321, "n_tracks": 1, "tracks": [(640, 360)]}
+    with pytest.raises(VideoFormatError):
+        probe_webm_meta(b"nope")
+    blob = write_webm_skeleton(1000, 64, 48)
+    with pytest.raises(VideoFormatError):
+        probe_webm_meta(blob[:-3])
