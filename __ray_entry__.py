@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         textops, tokenize, urlops, videoops)
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
+        image_metadata as _image_metadata,
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
         multimodal_filter as _multimodal_filter)
@@ -147,6 +148,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _image_resize,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
+        "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
+                                                 # probe==decode pinned in pytest)
         "audio_features": audio.audio_features_pipeline,
         "audio_metadata": audio.audio_metadata,
         "video_frame_sample": videoops.video_frame_sample,

@@ -209,3 +209,51 @@ def phash64(pixels: np.ndarray) -> int:
 
 def hamming64(a: int, b: int) -> int:
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+# --------------------------------------------------------------------------
+# header-only metadata probe (no pixel decode) — the image triage path
+# --------------------------------------------------------------------------
+def probe_image_meta(data: bytes) -> tuple[str, int, int]:
+    """(fmt, w, h) from CONTAINER HEADERS only — PNG IHDR, JPEG SOF
+    marker scan, WebP VP8L 14-bit dims, plus the legacy FAKE stub
+    headers. At 100 TB the dims/aspect gates run on this, never on a
+    full decode (the decode stage then touches only survivors).
+    Raises ImageDecodeError on unrecognized/corrupt headers."""
+    if data.startswith(PNG_SIG):
+        if len(data) < 24 or data[12:16] != b"IHDR":
+            raise ImageDecodeError("corrupt PNG IHDR")
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", int(w), int(h)
+    if data[:3] == b"\xff\xd8\xff":
+        # marker scan to the first frame header (SOF0..SOF15 except
+        # DHT/DAC/RST markers which share the range)
+        pos = 2
+        n = len(data)
+        while pos + 4 <= n:
+            if data[pos] != 0xFF:
+                raise ImageDecodeError("lost JPEG marker sync")
+            marker = data[pos + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                if pos + 9 > n:
+                    raise ImageDecodeError("truncated JPEG SOF")
+                h, w = struct.unpack(">HH", data[pos + 5:pos + 9])
+                return "jpeg", int(w), int(h)
+            pos += 2 + seglen
+        raise ImageDecodeError("JPEG without SOF header")
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        if data[12:16] == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+            bits = int.from_bytes(data[21:25], "little")
+            w = (bits & 0x3FFF) + 1
+            h = ((bits >> 14) & 0x3FFF) + 1
+            return "webp", w, h
+        raise ImageDecodeError("unsupported WebP flavor (not VP8L)")
+    if data.startswith(FAKE_JPEG_MAGIC) or data.startswith(FAKE_WEBP_MAGIC):
+        w, h = struct.unpack(">II", data[8:16])
+        fmt = "jpeg" if data.startswith(FAKE_JPEG_MAGIC) else "webp"
+        return fmt, int(w), int(h)
+    raise ImageDecodeError("unrecognized image container")

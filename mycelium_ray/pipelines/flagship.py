@@ -253,3 +253,46 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        t.aug, TRUE AS dims_ok, TRUE AS aug_ok
 FROM documents CROSS JOIN (VALUES ('hflip'), ('rot90')) t(aug)
 """
+
+
+# --------------------------------------------------------------------------
+# image_metadata: header-only triage over the derived image rows — dims
+# and format from container headers (PNG IHDR / JPEG SOF scan / VP8L
+# bits), NO pixel decode. Rows-only for the driver (dims are
+# rng-seeded, not SQL-expressible); the probe==decode invariant is
+# pinned by pytest over every row at sf0.001.
+# --------------------------------------------------------------------------
+def image_metadata(sf_dir: str):
+    """(image_id, doc_id, fmt, w, h, probe_ok) via probe_image_meta."""
+    from ..imaging import ImageDecodeError, probe_image_meta
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def probe(t: pa.Table) -> pa.Table:
+        blobs = t["content"].to_pylist()
+        fmts, ws, hs, oks = [], [], [], []
+        for b in blobs:
+            try:
+                f, w, h = probe_image_meta(b)
+                fmts.append(f)
+                ws.append(w)
+                hs.append(h)
+                oks.append(True)
+            except (ImageDecodeError, Exception):
+                fmts.append("unknown")
+                ws.append(-1)
+                hs.append(-1)
+                oks.append(False)
+        return pa.table({
+            "image_id": t["image_id"],
+            "doc_id": t["doc_id"],
+            "fmt": pa.array(fmts, pa.string()),
+            "w": pa.array(ws, pa.int64()),
+            "h": pa.array(hs, pa.int64()),
+            "probe_ok": pa.array(oks, pa.bool_()),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow")

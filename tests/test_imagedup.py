@@ -42,3 +42,24 @@ def test_phash_neardup_empty(ray_session):
     assert len(df) == 0
     # the Arrow-typed final stage preserves the schema on empty results
     assert list(df.columns) == ["id_a", "id_b", "hamming"]
+
+
+def test_image_metadata_probe_matches_true_dims(ray_session):
+    """Header-only probe must agree with the derive-time true dims and
+    format for EVERY row — no pixel decode happened to get them."""
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from mycelium_ray.pipelines.flagship import (derive_images_batch,
+                                                 image_metadata)
+    sf = "/root/testdata/sf0.001"
+    probed = image_metadata(sf).to_pandas().set_index("doc_id")
+    truth = rd.read_parquet(f"{sf}/documents.parquet",
+                            columns=["doc_id", "text"]) \
+        .map_batches(derive_images_batch, batch_format="pyarrow") \
+        .to_pandas().set_index("doc_id")
+    assert probed["probe_ok"].all()
+    joined = probed.join(truth, rsuffix="_t")
+    assert (joined["w"] == joined["w_true"]).all()
+    assert (joined["h"] == joined["h_true"]).all()
+    assert (joined["fmt"] == joined["fmt_t"]).all()
