@@ -227,17 +227,27 @@ def probe_image_meta(data: bytes) -> tuple[str, int, int]:
         return "png", int(w), int(h)
     if data[:3] == b"\xff\xd8\xff":
         # marker scan to the first frame header (SOF0..SOF15 except
-        # DHT/DAC/RST markers which share the range)
+        # DHT/DAC/RST markers which share the range); T.81 B.1.1.2
+        # permits any number of 0xFF fill bytes before a marker
         pos = 2
         n = len(data)
-        while pos + 4 <= n:
+        while pos + 2 <= n:
             if data[pos] != 0xFF:
                 raise ImageDecodeError("lost JPEG marker sync")
             marker = data[pos + 1]
-            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
-                pos += 2
+            if marker == 0xFF:       # fill byte
+                pos += 1
                 continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                pos += 2             # standalone markers, no length
+                continue
+            if marker == 0xD9:       # EOI before any SOF
+                break
+            if pos + 4 > n:
+                break
             (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+            if seglen < 2:
+                raise ImageDecodeError("bad JPEG segment length")
             if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
                 if pos + 9 > n:
                     raise ImageDecodeError("truncated JPEG SOF")
@@ -253,6 +263,8 @@ def probe_image_meta(data: bytes) -> tuple[str, int, int]:
             return "webp", w, h
         raise ImageDecodeError("unsupported WebP flavor (not VP8L)")
     if data.startswith(FAKE_JPEG_MAGIC) or data.startswith(FAKE_WEBP_MAGIC):
+        if len(data) < 16:
+            raise ImageDecodeError("truncated fake-codec header")
         w, h = struct.unpack(">II", data[8:16])
         fmt = "jpeg" if data.startswith(FAKE_JPEG_MAGIC) else "webp"
         return fmt, int(w), int(h)

@@ -264,7 +264,7 @@ FROM documents CROSS JOIN (VALUES ('hflip'), ('rot90')) t(aug)
 # --------------------------------------------------------------------------
 def image_metadata(sf_dir: str):
     """(image_id, doc_id, fmt, w, h, probe_ok) via probe_image_meta."""
-    from ..imaging import ImageDecodeError, probe_image_meta
+    from ..imaging import probe_image_meta
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
@@ -281,7 +281,7 @@ def image_metadata(sf_dir: str):
                 ws.append(w)
                 hs.append(h)
                 oks.append(True)
-            except (ImageDecodeError, Exception):
+            except Exception:
                 fmts.append("unknown")
                 ws.append(-1)
                 hs.append(-1)

@@ -277,8 +277,11 @@ class VideoProbe:
                 if kind in ("mp4", "webm"):
                     m = probe_mp4_meta(data) if kind == "mp4" \
                         else probe_webm_meta(data)
-                    tw, th = m["tracks"][0] if m["tracks"] else (-1, -1)
-                    fmt, w, h = kind, tw, th
+                    # first track with real dimensions — in real files
+                    # the first trak is often the audio track with 0x0
+                    vt = next((t for t in m["tracks"] if t[0] and t[1]),
+                              (-1, -1))
+                    fmt, (w, h) = kind, vt
                     dur, ok = m["duration_ms"], True
                 elif kind in ("avi", "y4m", "fakevid"):
                     clip = open_video(data)

