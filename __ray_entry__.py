@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_value_quantiles": analytics.group_value_quantiles,
         "local_supplier_revenue": analytics.local_supplier_revenue,
         "orders_rollup": analytics.orders_rollup,
+        "orders_cube": analytics.orders_cube,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "group_value_quantiles": analytics.GROUP_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
+        "orders_cube": analytics.ORDERS_CUBE_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,

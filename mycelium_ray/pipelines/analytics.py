@@ -3371,3 +3371,62 @@ SELECT coalesce(CAST(sum(cents) AS BIGINT), 0) AS total_cents,
 FROM pl JOIN th USING (l_partkey)
 WHERE q < t
 """
+
+
+# --------------------------------------------------------------------------
+# orders_cube: CUBE(status, priority) — orders_rollup's full-lattice dual
+# (adds the per-priority marginals ROLLUP omits). Same one-scan shape:
+# finest-grain Arrow partials per batch, every grouping set derived by
+# re-aggregating the tiny partial table in the single combine task.
+# --------------------------------------------------------------------------
+def orders_cube(sf_dir: str):
+    """(status, priority, n, total_cents) under CUBE(status, priority)
+    with 'ALL' as the aggregated marker."""
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderstatus", "o_orderpriority",
+                                  "o_totalprice"])
+
+    def partial(t):
+        import pyarrow.compute as pc
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        g = pa.table({"status": t["o_orderstatus"],
+                      "priority": t["o_orderpriority"],
+                      "total_cents": cents}) \
+            .group_by(["status", "priority"]) \
+            .aggregate([("total_cents", "sum"), ([], "count_all")])
+        return pa.table({"status": g["status"], "priority": g["priority"],
+                         "n": pc.cast(g["count_all"], pa.int64()),
+                         "total_cents": g["total_cents_sum"]})
+
+    def cube(df: pd.DataFrame) -> pd.DataFrame:
+        base = df.groupby(["status", "priority"], as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum"))
+        by_s = base.groupby("status", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum"))
+        by_s["priority"] = "ALL"
+        by_p = base.groupby("priority", as_index=False).agg(
+            n=("n", "sum"), total_cents=("total_cents", "sum"))
+        by_p["status"] = "ALL"
+        grand = pd.DataFrame({
+            "status": ["ALL"], "priority": ["ALL"],
+            "n": [base["n"].sum()],
+            "total_cents": [base["total_cents"].sum()],
+        })
+        out = pd.concat([base, by_s, by_p, grand], ignore_index=True)
+        return out[["status", "priority", "n", "total_cents"]].astype(
+            {"n": "int64", "total_cents": "int64"})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(cube, batch_format="pandas")
+
+
+ORDERS_CUBE_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+"""
