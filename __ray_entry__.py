@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_revenue": analytics.local_supplier_revenue,
         "orders_rollup": analytics.orders_rollup,
         "orders_cube": analytics.orders_cube,
+        "nation_order_revenue": analytics.nation_order_revenue,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -210,6 +211,7 @@ def oracle_sql() -> dict[str, str]:
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
         "orders_cube": analytics.ORDERS_CUBE_SQL,
+        "nation_order_revenue": analytics.NATION_ORDER_REVENUE_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,

@@ -3430,3 +3430,62 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS status,
 FROM orders
 GROUP BY CUBE(o_orderstatus, o_orderpriority)
 """
+
+
+# --------------------------------------------------------------------------
+# nation_order_revenue: customer ⋈ orders via Ray Data's NATIVE hash
+# join (Dataset.join, the aggregator-based partitioned hash join added
+# in Ray 2.47+) — the engine-native path for the case the house
+# broadcast/bucketed patterns don't cover: BOTH sides corpus-sized and
+# arbitrary projected columns. num_partitions scales with cluster CPUs
+# like _n_join_buckets; per-batch int partials BEFORE the final groupby
+# keep the post-join shuffle nation-sized.
+# --------------------------------------------------------------------------
+def nation_order_revenue(sf_dir: str):
+    """(c_nationkey, n_orders, total_cents) — revenue by customer
+    nation over the full customer ⋈ orders join."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_totalprice"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "c_custkey": t["o_custkey"].cast(pa.int64()),
+            "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"],
+                                                  100.0)), pa.int64()),
+        })
+
+    joined = cust.join(orders.map_batches(prep_orders,
+                                          batch_format="pyarrow"),
+                       "inner", num_partitions=_n_join_buckets(),
+                       on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = pa.table({"c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                      "cents": t["cents"]}) \
+            .group_by("c_nationkey") \
+            .aggregate([("cents", "sum"), ([], "count_all")])
+        return pa.table({
+            "c_nationkey": g["c_nationkey"],
+            "n_orders": pc.cast(g["count_all"], pa.int64()),
+            "total_cents": pc.cast(g["cents_sum"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_nationkey") \
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("total_cents", alias_name="total_cents"))
+
+
+NATION_ORDER_REVENUE_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
