@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": analytics.orders_rollup,
         "orders_cube": analytics.orders_cube,
         "nation_order_revenue": analytics.nation_order_revenue,
+        "customer_urgent_counts": analytics.customer_urgent_counts,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -212,6 +213,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
         "orders_cube": analytics.ORDERS_CUBE_SQL,
         "nation_order_revenue": analytics.NATION_ORDER_REVENUE_SQL,
+        "customer_urgent_counts": analytics.CUSTOMER_URGENT_COUNTS_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,

@@ -3489,3 +3489,55 @@ SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
 FROM customer JOIN orders ON o_custkey = c_custkey
 GROUP BY c_nationkey
 """
+
+
+# --------------------------------------------------------------------------
+# customer_urgent_counts: LEFT OUTER join semantics through the native
+# Dataset.join — customers with no 1-URGENT order must survive with a
+# zero count (the NULL-fill path an inner join can't exercise; the
+# priority filter guarantees non-matching customers exist at every sf).
+# --------------------------------------------------------------------------
+def customer_urgent_counts(sf_dir: str):
+    """(c_custkey, n_urgent) for EVERY customer — 0 when none."""
+    import pyarrow.compute as pc
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    urgent = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"],
+                             filter=pc.field("o_orderpriority")
+                             == "1-URGENT")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"].cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype="int64")),
+        })
+
+    joined = cust.join(urgent.map_batches(prep, batch_format="pyarrow"),
+                       "left_outer", num_partitions=_n_join_buckets(),
+                       on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        one = pc2.fill_null(t["one"], 0)  # unmatched customers -> 0
+        g = pa.table({"c_custkey": t["c_custkey"].cast(pa.int64()),
+                      "one": one}).group_by("c_custkey") \
+            .aggregate([("one", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "n_urgent": pc2.cast(g["one_sum"], pa.int64())})
+
+    from ray.data.aggregate import Sum
+    return joined.map_batches(partial, batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("n_urgent",
+                                            alias_name="n_urgent"))
+
+
+CUSTOMER_URGENT_COUNTS_SQL = """
+SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+       CAST(count(o.o_custkey) AS BIGINT) AS n_urgent
+FROM customer c
+LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey
+"""
