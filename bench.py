@@ -113,6 +113,73 @@ def noise_probe() -> dict:
             "disk_read_mbs": round(16 / t_r, 1)}
 
 
+def socket_crawl_leg(site, seeds, host_stride: int = 8) -> dict:
+    """Crawl one shard's host slice over REAL sockets.
+
+    A `FixtureHTTPServer` virtual-hosts the corpus on one TCP listener;
+    `RayCrawler(transport_addr=...)` fetchers connect with persistent
+    http.client connections (`transport.SocketTransport`) — the
+    production deployment shape, where no site object is shipped
+    anywhere. The same slice is then crawled serially over the
+    in-process `FixtureTransport` and the result sets are compared, so
+    the number this leg emits is a PARITY-CHECKED real-wire throughput.
+    Reported outside the e2e total (the headline already prices this
+    slice through the fixture path; this leg isolates wire framing cost).
+    """
+    import hashlib
+
+    from mycelium_ray.httpfixture import FixtureHTTPServer
+    from mycelium_ray.pipelines.crawl import RayCrawler
+    from mycelium_ray.pipelines.crawl_sharded import host_key
+    from mycelium_ray.simulator import ReferenceSimulator
+
+    hosts = sorted({host_key(u) for u in seeds})
+    slice_hosts = set(hosts[::host_stride])
+    sub_seeds = [u for u in seeds if host_key(u) in slice_hosts]
+    parallel = max(32, min(128, len(slice_hosts)))
+    n_fetchers = max(4, NUM_CPUS // 4)
+
+    def digest(res):
+        return [(d.url, d.http_code, d.curl_code,
+                 hashlib.sha1(d.content).hexdigest())
+                for d in res.saved]
+
+    with FixtureHTTPServer(site) as srv:
+        crawler = RayCrawler(site, parallel=parallel,
+                             n_fetchers=n_fetchers,
+                             transport_addr=srv.addr,
+                             flush_rows=1 << 30)
+        crawler.feed(sub_seeds)
+        # spawn + connect the fetcher pool untimed (the long-lived-cluster
+        # analog; actor bring-up would otherwise dominate small corpora)
+        crawler._ensure_fetchers()
+        t0 = time.perf_counter()
+        res_socket = crawler.run()
+        sec = time.perf_counter() - t0
+        socket_metrics = dict(crawler.metrics)
+
+    ref = ReferenceSimulator(site, parallel=parallel)
+    ref.feed(sub_seeds)
+    res_fixture = ref.run()
+
+    parity = (digest(res_socket) == digest(res_fixture)
+              and res_socket.url_seen == res_fixture.url_seen
+              and socket_metrics == ref.metrics)
+    n_urls = len(res_socket.url_seen)
+    n_requests = (socket_metrics.get("n_robots", 0)
+                  + socket_metrics.get("n_head", 0)
+                  + socket_metrics.get("n_get", 0))
+    return {"sec": round(sec, 3),
+            "n_hosts": len(slice_hosts),
+            "n_urls": n_urls,
+            "n_saved": len(res_socket.saved),
+            "n_http_requests": n_requests,
+            "urls_per_sec": round(n_urls / sec, 1),
+            "http_requests_per_sec": round(n_requests / sec, 1),
+            "n_fetchers": n_fetchers,
+            "parity_vs_fixture": "ok" if parity else "MISMATCH"}
+
+
 def run_bench() -> dict:
     import ray
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -207,6 +274,14 @@ def run_bench() -> dict:
     n_discovered = dstats["n_seen"]
     n_rounds = dstats["n_rounds"]
 
+    # --- real-socket leg: one executor-shard's slice fetched over actual
+    # TCP (http.client against the virtual-hosting fixture server), so
+    # sustained URLs/s prices real HTTP/1.1 framing — request lines,
+    # headers, keep-alive, chunked/gzip decode — not an in-process dict
+    # lookup (reference boundary crawler.cc:1068-1204). Parity vs the
+    # serial fixture-transport engine is asserted on the result set.
+    socket_leg = socket_crawl_leg(site, seeds)
+
     # --- operator suite over testdata ---
     def timed(name, fn, consume="count"):
         t = time.perf_counter()
@@ -258,6 +333,7 @@ def run_bench() -> dict:
                       "sec": round(timings["crawl_discovery"], 3)},
     }
     out["ray_roundtrip_sec"] = round(ray_roundtrip, 3)
+    out["socket_crawl"] = socket_leg
     ray.shutdown()
     # free the tmpfs scratch so repeated runs can't squeeze page cache
     for d in (out_dir, out_dir + ".raw", out_dir + ".disc_raw"):

@@ -39,6 +39,9 @@ _CHUNK = 1024  # chunked-transfer frame size (wire artifact only)
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
     server_version = "fixture/1.0"
+    # headers and body go out as separate writes; without NODELAY the
+    # body write stalls on the client's delayed ACK (see SocketTransport)
+    disable_nagle_algorithm = True
     site: SiteGraph = None  # set on the server class
 
     def log_message(self, *args):  # quiet

@@ -146,9 +146,18 @@ class SocketTransport:
     # -- internals --
     def _connection(self):
         import http.client
+        import socket as _socket
         if self._conn is None:
             self._conn = http.client.HTTPConnection(self.addr[0],
                                                     self.addr[1], timeout=30)
+            # disable Nagle: a request is one small write and the server's
+            # reply is two (headers, body) — with Nagle on, the second
+            # write of each pair stalls on the peer's delayed ACK, ~28 ms
+            # per request measured on loopback (139 req/s); NODELAY on
+            # both ends removes the interaction entirely
+            self._conn.connect()
+            self._conn.sock.setsockopt(_socket.IPPROTO_TCP,
+                                       _socket.TCP_NODELAY, 1)
         return self._conn
 
     def _do(self, method: str, url: str, extra: dict[str, str]):
