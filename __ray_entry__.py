@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                         textops, tokenize, urlops, videoops)
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
+        image_channel_stats as _image_channel_stats,
         image_metadata as _image_metadata,
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
@@ -41,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "token_freq_score": textops.token_freq_score,
+        "bigram_lm_score": textops.bigram_lm_score,
         "fingerprint": textops.fingerprint,          # rows-only (rolling hash)
         "stem_stats": textops.stem_stats,            # rows-only (M26 Porter;
                                                      # no offline DuckDB fts)
@@ -105,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_rollup": analytics.orders_rollup,
         "orders_cube": analytics.orders_cube,
         "nation_order_revenue": analytics.nation_order_revenue,
+        "orders_band_join": analytics.orders_band_join,
         "customer_urgent_counts": analytics.customer_urgent_counts,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
@@ -151,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _image_resize,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
+        "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
                                                  # probe==decode pinned in pytest)
         "audio_features": audio.audio_features_pipeline,
@@ -180,6 +184,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "token_freq_score": textops.TOKEN_FREQ_SCORE_SQL,
+        "bigram_lm_score": textops.BIGRAM_LM_SCORE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
@@ -213,6 +218,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,
         "orders_cube": analytics.ORDERS_CUBE_SQL,
         "nation_order_revenue": analytics.NATION_ORDER_REVENUE_SQL,
+        "orders_band_join": analytics.ORDERS_BAND_JOIN_SQL,
         "customer_urgent_counts": analytics.CUSTOMER_URGENT_COUNTS_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,

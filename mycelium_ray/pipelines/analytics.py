@@ -3541,3 +3541,87 @@ LEFT JOIN orders o ON o.o_custkey = c.c_custkey
                   AND o.o_orderpriority = '1-URGENT'
 GROUP BY c.c_custkey
 """
+
+
+# --------------------------------------------------------------------------
+# Interval (band) self-join: per order, the same customer's OTHER orders
+# dated within ±30 days. The missing join shape between the equi joins
+# (nation_order_revenue) and the as-of join (events_asof_join): an
+# equi-key + RANGE predicate, the backbone of time-windowed feature
+# extraction ("recent activity at decision time") at training-data scale.
+# --------------------------------------------------------------------------
+BAND_DAYS = 30
+_DAY_US = 86_400_000_000
+
+
+def orders_band_join(sf_dir: str):
+    """Distributed shape: one pruned read → hash-bucket by o_custkey
+    (the equi key, so a customer never spans buckets) → per-bucket
+    vectorized band probe: sort once by a composite (custkey, day) key
+    chosen so that a ±30-day window never crosses a customer boundary,
+    then two `np.searchsorted` calls + a prefix sum answer count and
+    revenue for EVERY order in the bucket at once — no per-row loop, no
+    pairwise blowup (the window sum is O(n log n) regardless of how many
+    pairs the equivalent SQL join materializes).
+
+    Output: (o_orderkey, o_custkey, n_nearby, nearby_revenue_c) with the
+    revenue in exact int64 cents (float order-of-accumulation never
+    enters), one row per order, zero-neighbor orders included.
+    """
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+    n_buckets = _n_join_buckets()
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        day = pc.divide(pc.cast(t["o_orderdate"], pa.int64()), _DAY_US)
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        cust = t["o_custkey"]
+        bucket = pa.array(
+            (cust.to_numpy().astype("uint64") % np.uint64(n_buckets))
+            .astype("int64"))
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": cust,
+                         "day": day, "cents": cents, "bucket": bucket})
+
+    def band(g: pd.DataFrame) -> pd.DataFrame:
+        cust = g["o_custkey"].to_numpy().astype("int64")
+        day = g["day"].to_numpy().astype("int64")
+        # composite key: days-since-epoch is ~1e4 << 1e7, so customer
+        # segments are disjoint by construction and one sorted array
+        # serves every customer's window probe
+        key = cust * 10_000_000 + day
+        order = np.argsort(key, kind="stable")
+        key_s = key[order]
+        cents_s = g["cents"].to_numpy().astype("int64")[order]
+        csum = np.concatenate(([0], np.cumsum(cents_s)))
+        lo = np.searchsorted(key_s, key - BAND_DAYS, side="left")
+        hi = np.searchsorted(key_s, key + BAND_DAYS, side="right")
+        own = g["cents"].to_numpy().astype("int64")
+        return pd.DataFrame({
+            "o_orderkey": g["o_orderkey"].to_numpy(),
+            "o_custkey": cust,
+            "n_nearby": (hi - lo - 1).astype("int64"),
+            "nearby_revenue_c": csum[hi] - csum[lo] - own,
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(band, batch_format="pandas")
+
+
+ORDERS_BAND_JOIN_SQL = f"""
+SELECT a.o_orderkey,
+       a.o_custkey,
+       count(b.o_orderkey) AS n_nearby,
+       CAST(coalesce(sum(CAST(round(b.o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS nearby_revenue_c
+FROM orders a
+LEFT JOIN orders b
+  ON a.o_custkey = b.o_custkey
+ AND b.o_orderkey <> a.o_orderkey
+ AND abs(epoch_us(a.o_orderdate) // {_DAY_US}
+         - epoch_us(b.o_orderdate) // {_DAY_US}) <= {BAND_DAYS}
+GROUP BY 1, 2
+"""

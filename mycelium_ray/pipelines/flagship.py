@@ -296,3 +296,56 @@ def image_metadata(sf_dir: str):
         })
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def image_channel_stats(sf_dir: str):
+    """Corpus-wide per-channel pixel statistics (mean/std per R,G,B) —
+    the classic normalization precompute every image-training pipeline
+    runs before the first epoch. Rows-only by design: SQL cannot decode
+    image bytes (same contract as image_metadata).
+
+    Distributed shape: decode inside map_batches and emit EXACT integer
+    partials per batch (pixel count, sum, sum of squares per channel —
+    int64 is safe to ~3.6e5 terapixels); one tiny combine task reduces
+    all partials to 3 rows and derives mean/std. A single streaming pass
+    over the corpus, no shuffle, nothing driver-side.
+    """
+    import pyarrow.compute as pc
+
+    from ..imaging import ImageDecodeError, decode_image
+
+    def partial(t: pa.Table) -> pa.Table:
+        n = np.zeros(3, dtype=np.int64)
+        s = np.zeros(3, dtype=np.int64)
+        ss = np.zeros(3, dtype=np.int64)
+        for data in t["content"].to_pylist():
+            if not data:
+                continue
+            try:
+                px, _ = decode_image(data)
+            except ImageDecodeError:
+                continue
+            p = px.reshape(-1, px.shape[-1]).astype(np.int64)
+            n += p.shape[0]
+            s += p.sum(axis=0)
+            ss += (p * p).sum(axis=0)
+        return pa.table({"channel": pa.array([0, 1, 2], pa.int64()),
+                         "n_px": pa.array(n), "px_sum": pa.array(s),
+                         "px_sumsq": pa.array(ss)})
+
+    def finish(df):
+        g = df.groupby("channel", as_index=False).sum()
+        n = g["n_px"].to_numpy().astype("float64")
+        mean = g["px_sum"].to_numpy() / n
+        var = g["px_sumsq"].to_numpy() / n - mean * mean
+        g["mean"] = mean
+        g["std"] = np.sqrt(np.maximum(var, 0.0))
+        return g
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          batch_size=128) \
+        .repartition(1).map_batches(finish, batch_format="pandas")

@@ -1335,3 +1335,119 @@ SELECT source, n_docs, n_tokens,
                                    FROM t) AS weight
 FROM t
 """
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring: per-doc mean log-probability under the
+# corpus's own MLE bigram model — the CCNet/Gopher-style "perplexity
+# gate" computed WITHOUT an external model: the corpus is the model.
+# score(doc) = mean over doc bigrams (w1,w2) of ln(C(w1,w2)/C(w1)),
+# where C are corpus-global counts over bigram positions. Docs with <2
+# tokens have no bigrams and are excluded on both sides by construction.
+# --------------------------------------------------------------------------
+def bigram_lm_score(sf_dir: str):
+    """Distributed shape: explode per-doc (h1,h2,tf) bigram rows, hash-
+    bucket by h1 — every bigram sharing a LEFT word lands in one bucket,
+    so one map_groups computes the global left-unigram count C1(w1) and
+    the global bigram count C2(w1,w2) in the same pass and emits per-doc
+    partial Σ tf·(ln C2 − ln C1); a second narrow per-doc reduce divides
+    by the doc's bigram total. Two shuffles total, both carrying
+    pre-aggregated rows (one per distinct (bigram, doc), not one per
+    occurrence). Token identity is by 64-bit hash in Ray vs string in
+    SQL — identical modulo ~n²/2⁶⁵ collision odds (same contract as
+    token_freq_score).
+    """
+    from .dedup import _adaptive_buckets, _doc_count
+    n_docs = _doc_count(sf_dir)
+    nb = np.uint64(_adaptive_buckets(n_docs * 64))
+
+    def explode(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern_regex(text, r"\s+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        parent = parent.filter(keep).to_numpy().astype("int64")
+        th = token_hash64_many(flat).astype("int64")
+        if len(th) < 2:
+            return pa.table({"h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        adjacent = parent[:-1] == parent[1:]  # bigrams never cross docs
+        h1 = th[:-1][adjacent]
+        h2 = th[1:][adjacent]
+        doc = pc.take(t["doc_id"], pa.array(parent[:-1][adjacent]))
+        g = pa.table({"h1": pa.array(h1), "h2": pa.array(h2),
+                      "doc_id": pc.cast(doc, pa.int64())}) \
+            .group_by(["h1", "h2", "doc_id"]).aggregate([([], "count_all")])
+        return pa.table({
+            "h1": g["h1"], "h2": g["h2"], "doc_id": g["doc_id"],
+            "tf": pc.cast(g["count_all"], pa.int64()),
+            "bucket": pa.array((g["h1"].to_numpy().astype("uint64") % nb)
+                               .astype("int64")),
+        })
+
+    def partial_scores(g: pd.DataFrame) -> pd.DataFrame:
+        tf = g["tf"].to_numpy().astype("int64")
+        # C1(w1): all rows of a left word are in this bucket
+        c1 = g.groupby("h1")["tf"].transform("sum").to_numpy()
+        c2 = g.groupby(["h1", "h2"])["tf"].transform("sum").to_numpy()
+        part = tf * (np.log(c2.astype("float64"))
+                     - np.log(c1.astype("float64")))
+        out = pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                            "logp_sum": part, "n_bi": tf})
+        return out.groupby("doc_id", as_index=False).sum()
+
+    parts = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(partial_scores,
+                                      batch_format="pandas")
+    # per-doc final reduce: same scale-vs-toy split as token_freq_score
+    if n_docs > 2_000_000:
+        from ray.data.aggregate import Sum
+        per_doc = parts.groupby("doc_id").aggregate(
+            Sum("logp_sum", alias_name="logp_sum"),
+            Sum("n_bi", alias_name="n_bigrams"))
+    else:
+        per_doc = parts.repartition(1).map_batches(
+            lambda df: df.groupby("doc_id", as_index=False).sum()
+            .rename(columns={"n_bi": "n_bigrams"}),
+            batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        s = t["logp_sum"].to_numpy().astype("float64")
+        n = t["n_bigrams"].to_numpy().astype("int64")
+        # the log-prob sum's float accumulation ORDER is engine-dependent
+        # (bucketed partials here vs one serial sum in the oracle), so pin
+        # the contract at 9 decimals — the driver's own hash tolerance —
+        # on both sides
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_bigrams": pa.array(n),
+                         "lm_score": pa.array(np.round(s / n, 9))})
+
+    return per_doc.map_batches(finish, batch_format="pyarrow")
+
+
+BIGRAM_LM_SCORE_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+bi AS (
+  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+  FROM toks, unnest(range(1, len(ws))) AS u(i)),
+c1 AS (SELECT w1, count(*) AS c FROM bi GROUP BY w1),
+c2 AS (SELECT w1, w2, count(*) AS c FROM bi GROUP BY w1, w2)
+SELECT b.doc_id,
+       count(*) AS n_bigrams,
+       round(sum(ln(c2.c) - ln(c1.c)) / count(*), 9) AS lm_score
+FROM bi b
+JOIN c1 ON b.w1 = c1.w1
+JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+GROUP BY b.doc_id
+"""
