@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
         image_channel_stats as _image_channel_stats,
+        image_sharpness as _image_sharpness,
         image_metadata as _image_metadata,
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
@@ -54,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup ---
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard_pairs": dedup.ngram_jaccard_pairs,
+        "editdist_pairs": dedup.editdist_pairs,
         "dedup_clusters": dedup.dedup_clusters,
         "corpus_filter": textops.corpus_filter,
         "tfidf_top_terms": textops.tfidf_top_terms,
@@ -155,6 +157,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
+        "image_sharpness": _image_sharpness,          # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
                                                  # probe==decode pinned in pytest)
         "audio_features": audio.audio_features_pipeline,
@@ -187,6 +190,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_lm_score": textops.BIGRAM_LM_SCORE_SQL,
         "dedup_exact": dedup.DEDUP_EXACT_SQL,
         "ngram_jaccard_pairs": dedup.NGRAM_JACCARD_SQL,
+        "editdist_pairs": dedup.EDITDIST_PAIRS_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "substring_dedup": dedup.SUBSTRING_DEDUP_SQL,
         "corpus_filter": textops.CORPUS_FILTER_SQL,

@@ -983,3 +983,98 @@ SELECT a.doc_id,
          i -> a.tl[i]), ' '), '') AS clean_text
 FROM arrs a LEFT JOIN dupstarts d USING (doc_id)
 """
+
+
+# --------------------------------------------------------------------------
+# Edit-distance similarity join (SymSpell-style deletion-neighborhood
+# blocking): all distinct part-name pairs within Levenshtein distance 1.
+# The string analog of the banded near-dup family above — candidates come
+# from a blocking key, never from all-pairs, and exact verification runs
+# inside the candidate buckets.
+# --------------------------------------------------------------------------
+def _lev_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein(a, b) <= 1 in O(len) — threshold-1 never needs
+    the DP matrix: equal lengths allow one substitution, a length gap of
+    one allows one insertion/deletion at the first mismatch."""
+    la, lb = len(a), len(b)
+    if la == lb:
+        return sum(x != y for x, y in zip(a, b)) <= 1
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def editdist_pairs(sf_dir: str):
+    """All DISTINCT p_name pairs (name_a < name_b) with Levenshtein
+    distance <= 1, via deletion-neighborhood blocking: every name emits
+    a key for itself and for each single-character deletion; two strings
+    within distance 1 ALWAYS share a key (equal -> the string itself;
+    one deletion apart -> the shorter string; one substitution apart ->
+    the common deletion at the differing position), so blocking loses no
+    pairs and exact `_lev_le1` inside each key group removes every hash
+    /block false positive.
+
+    Distributed shape: per-batch local distinct + key explode (narrow
+    int64 hash + name rows), groupby coarse key-bucket -> candidate
+    pairs per exact key, then a second bucketed groupby dedups pairs
+    that shared several keys. Group sizes are bounded by the number of
+    strings sharing a deletion variant — for natural-language names this
+    is a handful, never the corpus (the same bounded-bucket assumption
+    minhash bands rely on).
+    """
+    nb = np.int64(N_BUCKETS)
+
+    def explode(t: pa.Table) -> pa.Table:
+        names = np.unique(np.asarray(t["p_name"].to_pylist(), dtype=object))
+        keys, owners = [], []
+        for s in names:
+            vars_ = [s] + [s[:i] + s[i + 1:] for i in range(len(s))]
+            keys.extend(vars_)
+            owners.extend([s] * len(vars_))
+        kh = url_hash64_many(keys).astype("int64")
+        return pa.table({
+            "kh": pa.array(kh, pa.int64()),
+            "name": pa.array(owners, pa.string()),
+            "bucket": pa.array((kh.astype("uint64") % _U64(nb))
+                               .astype("int64")),
+        })
+
+    def key_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["kh", "name"])
+        m = g.merge(g, on="kh")
+        m = m[m["name_x"] < m["name_y"]].drop_duplicates(
+            ["name_x", "name_y"])
+        keep = [_lev_le1(a, b)
+                for a, b in zip(m["name_x"], m["name_y"])]
+        m = m[np.array(keep, dtype=bool)] if len(m) else m
+        ph = url_hash64_many(
+            (m["name_x"] + "\x00" + m["name_y"]).tolist()).astype("int64")
+        return pd.DataFrame({"name_a": m["name_x"].to_numpy(),
+                             "name_b": m["name_y"].to_numpy(),
+                             "pb": (ph.astype("uint64") % _U64(nb))
+                             .astype("int64")})
+
+    def dedup_pair(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["name_a", "name_b"])[["name_a", "name_b"]]
+
+    pairs = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"]) \
+        .map_batches(explode, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(key_pairs, batch_format="pandas") \
+        .groupby("pb").map_groups(dedup_pair, batch_format="pandas")
+    return sorted_or_empty(
+        pairs, ["name_a", "name_b"],
+        pa.table({"name_a": pa.array([], pa.string()),
+                  "name_b": pa.array([], pa.string())}))
+
+
+EDITDIST_PAIRS_SQL = """
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b
+FROM names a JOIN names b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 1
+"""

@@ -349,3 +349,57 @@ def image_channel_stats(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow",
                           batch_size=128) \
         .repartition(1).map_batches(finish, batch_format="pandas")
+
+
+def _laplacian_var(px: np.ndarray) -> float:
+    """Variance of the 4-neighbor Laplacian over the luma plane — the
+    classic single-number sharpness/blur statistic (high = sharp edges,
+    near-zero = flat or blurred). Pure numpy slicing, no per-pixel loop."""
+    g = (0.299 * px[..., 0] + 0.587 * px[..., 1]
+         + 0.114 * px[..., 2]).astype(np.float64)
+    lap = (g[:-2, 1:-1] + g[2:, 1:-1] + g[1:-1, :-2] + g[1:-1, 2:]
+           - 4.0 * g[1:-1, 1:-1])
+    return float(lap.var()) if lap.size else 0.0
+
+
+def image_sharpness(sf_dir: str):
+    """Per-image sharpness score (Laplacian variance of the luma plane)
+    plus a corpus-relative blur flag — the quality gate an image-training
+    pipeline runs to drop blurred/flat frames before the expensive
+    stages. Rows-only by design: SQL cannot decode image bytes (same
+    contract as image_metadata / image_channel_stats).
+
+    Distributed shape: one streaming decode+score pass per batch (decode
+    is inherently per-payload; the Laplacian itself is vectorized numpy);
+    the blur threshold is a FIXED absolute floor, not a corpus quantile,
+    so no second pass and no shuffle — the op stays a single map.
+    """
+    from ..imaging import ImageDecodeError, decode_image
+
+    BLUR_FLOOR = 50.0  # uniform-noise synth images score in the 1000s
+
+    def score(t: pa.Table) -> pa.Table:
+        ids, sharp, ok = [], [], []
+        for doc_id, data in zip(t["doc_id"].to_pylist(),
+                                t["content"].to_pylist()):
+            ids.append(doc_id)
+            try:
+                px, _ = decode_image(data)
+                sharp.append(_laplacian_var(px))
+                ok.append(True)
+            except ImageDecodeError:
+                sharp.append(0.0)
+                ok.append(False)
+        s = np.array(sharp, dtype=np.float64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "sharpness": pa.array(s),
+            "decode_ok": pa.array(ok, pa.bool_()),
+            "is_blurry": pa.array(s < BLUR_FLOOR),
+        })
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=128)

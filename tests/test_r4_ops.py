@@ -75,3 +75,59 @@ def test_orders_band_join_symmetry(ray_session):
     # "within ±30 days, same customer" is symmetric → total count even
     assert int(df["n_nearby"].sum()) % 2 == 0
     assert (df.loc[df["n_nearby"] == 0, "nearby_revenue_c"] == 0).all()
+
+
+def test_editdist_pairs_blocking_is_lossless(ray_session):
+    import duckdb
+
+    from mycelium_ray.pipelines import dedup
+
+    got = dedup.editdist_pairs(SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW part AS SELECT * FROM '{SF}/part.parquet'")
+    want = con.execute(dedup.EDITDIST_PAIRS_SQL).df() \
+        .sort_values(["name_a", "name_b"]).reset_index(drop=True)
+    assert len(got) > 0  # non-vacuous at sf0.001
+    assert got[["name_a", "name_b"]].reset_index(drop=True).equals(want)
+
+
+def test_lev_le1_exhaustive_small_alphabet():
+    from itertools import product
+
+    from mycelium_ray.pipelines.dedup import _lev_le1
+
+    def lev(a, b):  # textbook DP reference
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[len(b)]
+
+    strs = ["".join(p) for n in range(4) for p in product("ab", repeat=n)]
+    for a in strs:
+        for b in strs:
+            assert _lev_le1(a, b) == (lev(a, b) <= 1), (a, b)
+
+
+def test_image_sharpness_blur_ordering(ray_session):
+    from mycelium_ray.imaging import decode_image
+    from mycelium_ray.pipelines.flagship import (_laplacian_var,
+                                                 image_sharpness)
+
+    df = image_sharpness(SF).to_pandas()
+    assert df["decode_ok"].all()
+    # uniform-noise synth images are maximally sharp — none flagged
+    assert not df["is_blurry"].any()
+    assert (df["sharpness"] > 0).all()
+
+    # box-blurring any image must strictly reduce the Laplacian variance
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    blur = px.astype(np.float64)
+    blur = (blur + np.roll(blur, 1, 0) + np.roll(blur, -1, 0)
+            + np.roll(blur, 1, 1) + np.roll(blur, -1, 1)) / 5.0
+    assert _laplacian_var(blur.astype(np.uint8)) < _laplacian_var(px)
+    # flat image scores exactly zero
+    assert _laplacian_var(np.full((16, 16, 3), 128, np.uint8)) == 0.0
