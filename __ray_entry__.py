@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_metadata as _image_metadata,
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
+        image_shard_pack as _image_shard_pack,
         multimodal_filter as _multimodal_filter)
 
     return {
@@ -111,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_order_revenue": analytics.nation_order_revenue,
         "orders_band_join": analytics.orders_band_join,
         "customer_urgent_counts": analytics.customer_urgent_counts,
+        "urgent_low_customers": analytics.urgent_low_customers,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_resize": _image_resize,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
+        "image_shard_pack": _image_shard_pack,
         "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
         "image_sharpness": _image_sharpness,          # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
@@ -224,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "nation_order_revenue": analytics.NATION_ORDER_REVENUE_SQL,
         "orders_band_join": analytics.ORDERS_BAND_JOIN_SQL,
         "customer_urgent_counts": analytics.CUSTOMER_URGENT_COUNTS_SQL,
+        "urgent_low_customers": analytics.URGENT_LOW_CUSTOMERS_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,
@@ -264,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
+        "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,

@@ -3625,3 +3625,64 @@ LEFT JOIN orders b
          - epoch_us(b.o_orderdate) // {_DAY_US}) <= {BAND_DAYS}
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# urgent_low_customers: FULL OUTER join semantics through the native
+# Dataset.join — the last join mode not yet exercised (inner:
+# nation_order_revenue, left_outer: customer_urgent_counts, as-of:
+# events_asof_join, band: orders_band_join). Two disjoint priority
+# slices of orders guarantee unmatched rows on BOTH sides at every sf:
+# customers with urgent orders but no low ones survive with n_low=0 and
+# vice versa.
+# --------------------------------------------------------------------------
+def urgent_low_customers(sf_dir: str):
+    """(custkey, n_urgent, n_low) for every customer having at least one
+    1-URGENT or 5-LOW order; unmatched side filled with 0."""
+    import pyarrow.compute as pc
+
+    def side(priority: str, key: str, cnt: str):
+        ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderpriority"],
+                             filter=pc.field("o_orderpriority")
+                             == priority)
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = pa.table({key: t["o_custkey"].cast(pa.int64())}) \
+                .group_by(key).aggregate([([], "count_all")])
+            return pa.table({key: g[key],
+                             cnt: g["count_all"].cast(pa.int64())})
+
+        from ray.data.aggregate import Sum
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(key).aggregate(Sum(cnt, alias_name=cnt))
+
+    joined = side("1-URGENT", "uk", "n_urgent").join(
+        side("5-LOW", "lk", "n_low"),
+        "full_outer", num_partitions=_n_join_buckets(),
+        on=("uk",), right_on=("lk",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        # Dataset.join coalesces the equi key into the LEFT name: right-
+        # only rows still carry their key in "uk" (only the value columns
+        # of the missing side are null)
+        return pa.table({
+            "custkey": t["uk"].cast(pa.int64()),
+            "n_urgent": pc2.fill_null(t["n_urgent"], 0).cast(pa.int64()),
+            "n_low": pc2.fill_null(t["n_low"], 0).cast(pa.int64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+URGENT_LOW_CUSTOMERS_SQL = """
+SELECT CAST(COALESCE(u.k, l.k) AS BIGINT) AS custkey,
+       CAST(COALESCE(u.n, 0) AS BIGINT) AS n_urgent,
+       CAST(COALESCE(l.n, 0) AS BIGINT) AS n_low
+FROM (SELECT o_custkey k, count(*) n FROM orders
+      WHERE o_orderpriority = '1-URGENT' GROUP BY 1) u
+FULL JOIN (SELECT o_custkey k, count(*) n FROM orders
+           WHERE o_orderpriority = '5-LOW' GROUP BY 1) l
+  ON u.k = l.k
+"""

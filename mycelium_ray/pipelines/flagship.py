@@ -403,3 +403,87 @@ def image_sharpness(sf_dir: str):
     ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
                         batch_size=256)
     return ds.map_batches(score, batch_format="pyarrow", batch_size=128)
+
+
+# --------------------------------------------------------------------------
+# WebDataset-style shard packer: the standard layout for feeding
+# image+caption corpora to training jobs (tar shards of {key}.{fmt} +
+# {key}.txt member pairs). Routing is a pure key hash (doc_id % N), so
+# at 100 TB each shard group streams through one map_groups task and the
+# tars land as independently resumable units; nothing crosses the driver.
+# --------------------------------------------------------------------------
+N_PACK_SHARDS = 32
+
+
+def pack_tar(rows: list[tuple[int, str, bytes, str]]) -> bytes:
+    """Deterministic POSIX ustar stream for (doc_id, fmt, content,
+    caption) rows: members sorted by key, zeroed mtime/uid/gid, so the
+    shard bytes are a pure function of its rows (byte-identical repack
+    on resume — the same atomic-publish property TableStore gives
+    parquet)."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w",
+                      format=tarfile.USTAR_FORMAT) as tf:
+        for doc_id, fmt, content, caption in sorted(rows):
+            key = f"{doc_id:012d}"
+            for name, data in ((f"{key}.{fmt}", bytes(content)),
+                               (f"{key}.txt",
+                                (caption or "").encode("utf-8"))):
+                ti = tarfile.TarInfo(name)
+                ti.size = len(data)
+                ti.mtime = 0
+                tf.addfile(ti, io.BytesIO(data))
+    return buf.getvalue()
+
+
+def image_shard_pack(sf_dir: str):
+    """(shard, n_samples, caption_bytes) per packed shard — the stats are
+    read BACK out of the tar stream (member count / .txt member sizes),
+    so the SQL oracle transitively pins the packer's member layout, not
+    just the routing. Caption cleaning is identity on this corpus (see
+    multimodal_filter), so caption bytes == octet_length(text) in SQL."""
+    import io
+    import tarfile
+
+    ds = flagship(sf_dir).select_columns(
+        ["doc_id", "content", "fmt", "caption"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        shard = pc.cast(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], N_PACK_SHARDS),
+                                    N_PACK_SHARDS)), pa.int64())
+        return t.append_column("shard", shard)
+
+    def pack(g) -> "pa.Table":
+        rows = list(zip(g["doc_id"].tolist(), g["fmt"].tolist(),
+                        g["content"].tolist(), g["caption"].tolist()))
+        tar = pack_tar(rows)
+        cap_bytes = 0
+        n = 0
+        with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+            for m in tf.getmembers():
+                if m.name.endswith(".txt"):
+                    cap_bytes += m.size
+                    n += 1
+        return pa.table({
+            "shard": pa.array([int(g["shard"].iloc[0])], pa.int64()),
+            "n_samples": pa.array([n], pa.int64()),
+            "caption_bytes": pa.array([cap_bytes], pa.int64()),
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack, batch_format="pandas")
+
+
+IMAGE_SHARD_PACK_SQL = f"""
+SELECT CAST(doc_id % {N_PACK_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_samples,
+       CAST(sum(strlen(text)) AS BIGINT) AS caption_bytes
+FROM documents
+GROUP BY 1
+"""

@@ -112,7 +112,6 @@ def test_lev_le1_exhaustive_small_alphabet():
 
 
 def test_image_sharpness_blur_ordering(ray_session):
-    from mycelium_ray.imaging import decode_image
     from mycelium_ray.pipelines.flagship import (_laplacian_var,
                                                  image_sharpness)
 
@@ -131,3 +130,67 @@ def test_image_sharpness_blur_ordering(ray_session):
     assert _laplacian_var(blur.astype(np.uint8)) < _laplacian_var(px)
     # flat image scores exactly zero
     assert _laplacian_var(np.full((16, 16, 3), 128, np.uint8)) == 0.0
+
+
+def test_pack_tar_roundtrip_and_determinism():
+    import io
+    import tarfile
+
+    from mycelium_ray.pipelines.flagship import pack_tar
+
+    rows = [(7, "png", b"\x89PNGdata", "a caption"),
+            (3, "jpeg", b"\xff\xd8jpg", "émoji ✓"),
+            (11, "webp", b"RIFFxx", "")]
+    tar = pack_tar(rows)
+    # byte-identical repack regardless of input row order (resume safety)
+    assert pack_tar(list(reversed(rows))) == tar
+
+    with tarfile.open(fileobj=io.BytesIO(tar)) as tf:
+        members = tf.getmembers()
+        names = [m.name for m in members]
+        # sorted by zero-padded key, image member before caption member
+        assert names == ["000000000003.jpeg", "000000000003.txt",
+                         "000000000007.png", "000000000007.txt",
+                         "000000000011.webp", "000000000011.txt"]
+        assert tf.extractfile("000000000007.png").read() == b"\x89PNGdata"
+        assert (tf.extractfile("000000000003.txt").read().decode("utf-8")
+                == "émoji ✓")
+        assert tf.extractfile("000000000011.txt").read() == b""
+        assert all(m.mtime == 0 for m in members)
+
+
+def test_image_shard_pack_routes_every_doc_once(ray_session):
+    from mycelium_ray.pipelines.flagship import (N_PACK_SHARDS,
+                                                 image_shard_pack)
+
+    df = image_shard_pack(SF).to_pandas()
+    docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert df["n_samples"].sum() == docs
+    assert set(df["shard"]) <= set(range(N_PACK_SHARDS))
+    assert (df["caption_bytes"] > 0).all()
+
+
+def test_urgent_low_full_outer_semantics(ray_session):
+    import pandas as pd
+
+    from mycelium_ray.pipelines.analytics import urgent_low_customers
+
+    df = urgent_low_customers(SF).to_pandas()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_custkey",
+                                    "o_orderpriority"]).to_pandas()
+    u = orders[orders.o_orderpriority == "1-URGENT"] \
+        .groupby("o_custkey").size()
+    lo = orders[orders.o_orderpriority == "5-LOW"] \
+        .groupby("o_custkey").size()
+    ref = pd.DataFrame({"n_urgent": u, "n_low": lo}) \
+        .fillna(0).astype("int64")
+
+    got = df.set_index("custkey").sort_index()
+    assert got.index.tolist() == sorted(ref.index.tolist())
+    np.testing.assert_array_equal(got["n_urgent"].to_numpy(),
+                                  ref.sort_index()["n_urgent"].to_numpy())
+    np.testing.assert_array_equal(got["n_low"].to_numpy(),
+                                  ref.sort_index()["n_low"].to_numpy())
+    # full-outer is non-vacuous: both single-sided cases occur
+    assert (got["n_urgent"] == 0).any() and (got["n_low"] == 0).any()
