@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_band_join": analytics.orders_band_join,
         "customer_urgent_counts": analytics.customer_urgent_counts,
         "urgent_low_customers": analytics.urgent_low_customers,
+        "part_bulk_orders": analytics.part_bulk_orders,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -228,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_band_join": analytics.ORDERS_BAND_JOIN_SQL,
         "customer_urgent_counts": analytics.CUSTOMER_URGENT_COUNTS_SQL,
         "urgent_low_customers": analytics.URGENT_LOW_CUSTOMERS_SQL,
+        "part_bulk_orders": analytics.PART_BULK_ORDERS_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,

@@ -3686,3 +3686,74 @@ FULL JOIN (SELECT o_custkey k, count(*) n FROM orders
            WHERE o_orderpriority = '5-LOW' GROUP BY 1) l
   ON u.k = l.k
 """
+
+
+# --------------------------------------------------------------------------
+# part_bulk_orders: RIGHT OUTER join through the native Dataset.join —
+# completes the join-mode matrix (inner / left_outer / full_outer /
+# as-of / band elsewhere). The probe side is filtered to max-bulk line
+# items (quantity >= 49), so a real fraction of parts has no match at
+# every sf and must survive via the right side's null-fill.
+# --------------------------------------------------------------------------
+BULK_QTY = 49
+
+
+def part_bulk_orders(sf_dir: str):
+    """(p_partkey, n_bulk, bulk_qty) for EVERY part — zeros when the
+    part was never ordered in bulk."""
+    import pyarrow.compute as pc
+
+    bulk = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                           columns=["l_partkey", "l_quantity"],
+                           filter=pc.field("l_quantity") >= BULK_QTY)
+    parts = rd.read_parquet(f"{sf_dir}/part.parquet",
+                            columns=["p_partkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        # pre-aggregate per batch: the join then moves one row per
+        # (batch, partkey), not one per lineitem
+        g = pa.table({
+            "l_partkey": t["l_partkey"].cast(pa.int64()),
+            "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+        }).group_by("l_partkey").aggregate([("qty", "sum"),
+                                            ([], "count_all")])
+        return pa.table({"l_partkey": g["l_partkey"],
+                         "n_bulk": g["count_all"].cast(pa.int64()),
+                         "bulk_qty": g["qty_sum"].cast(pa.int64())})
+
+    joined = bulk.map_batches(prep, batch_format="pyarrow").join(
+        parts.map_batches(
+            lambda t: pa.table({"p_partkey": t["p_partkey"]
+                                .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        "right_outer", num_partitions=_n_join_buckets(),
+        on=("l_partkey",), right_on=("p_partkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc2
+        # right-outer coalesces the key under the LEFT name (see
+        # urgent_low_customers); unmatched parts carry null partials
+        key = t["l_partkey"] if "l_partkey" in t.schema.names \
+            else t["p_partkey"]
+        return pa.table({
+            "p_partkey": key.cast(pa.int64()),
+            "n_bulk": pc2.fill_null(t["n_bulk"], 0).cast(pa.int64()),
+            "bulk_qty": pc2.fill_null(t["bulk_qty"], 0).cast(pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    return joined.map_batches(finish, batch_format="pyarrow") \
+        .groupby("p_partkey") \
+        .aggregate(Sum("n_bulk", alias_name="n_bulk"),
+                   Sum("bulk_qty", alias_name="bulk_qty"))
+
+
+PART_BULK_ORDERS_SQL = f"""
+SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
+       CAST(count(l.l_partkey) AS BIGINT) AS n_bulk,
+       CAST(coalesce(sum(CAST(round(l.l_quantity) AS BIGINT)), 0)
+            AS BIGINT) AS bulk_qty
+FROM lineitem l RIGHT JOIN part p
+  ON l.l_partkey = p.p_partkey AND l.l_quantity >= {BULK_QTY}
+GROUP BY p.p_partkey
+"""

@@ -194,3 +194,28 @@ def test_urgent_low_full_outer_semantics(ray_session):
                                   ref.sort_index()["n_low"].to_numpy())
     # full-outer is non-vacuous: both single-sided cases occur
     assert (got["n_urgent"] == 0).any() and (got["n_low"] == 0).any()
+
+
+def test_part_bulk_orders_right_outer_semantics(ray_session):
+    from mycelium_ray.pipelines.analytics import (BULK_QTY,
+                                                  part_bulk_orders)
+
+    df = part_bulk_orders(SF).to_pandas().set_index("p_partkey") \
+        .sort_index()
+    parts = pq.read_table(f"{SF}/part.parquet",
+                          columns=["p_partkey"]).to_pandas()
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_quantity"]).to_pandas()
+    bulk = li[li.l_quantity >= BULK_QTY]
+
+    # every part exactly once, including never-bulk-ordered ones
+    assert df.index.tolist() == sorted(parts["p_partkey"].tolist())
+    ref_n = bulk.groupby("l_partkey").size() \
+        .reindex(df.index, fill_value=0)
+    np.testing.assert_array_equal(df["n_bulk"].to_numpy(),
+                                  ref_n.to_numpy())
+    assert (df["n_bulk"] == 0).any()  # the outer side is non-vacuous
+    ref_q = bulk.assign(q=bulk.l_quantity.round().astype("int64")) \
+        .groupby("l_partkey")["q"].sum().reindex(df.index, fill_value=0)
+    np.testing.assert_array_equal(df["bulk_qty"].to_numpy(),
+                                  ref_q.to_numpy())
