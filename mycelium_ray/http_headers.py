@@ -127,6 +127,8 @@ _MAGIC = [
     (b"\x89PNG\r\n\x1a\n", "png"),
     (b"RIFF", "webp"),        # RIFF....WEBP checked below
     (b"RIFF", "avi"),         # RIFF....AVI  checked below
+    (b"GIF87a", "gif"),
+    (b"GIF89a", "gif"),
     (b"%PDF-", "pdf"),
     (b"YUV4MPEG2", "y4m"),
     (b"FAKEJPG1", "jpeg"),    # deterministic stub codec (imaging.py)

@@ -139,10 +139,13 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "webp":
         from .webp import encode_webp_lossless
         return encode_webp_lossless(pixels)
+    if fmt == "gif":
+        from .gif import encode_gif
+        return encode_gif(pixels)
     raise NotImplementedError(
-        f"format {fmt!r}: png/jpeg (baseline + progressive)/webp(VP8L) are "
-        "real codecs here; other formats need native libraries absent in "
-        "this container")
+        f"format {fmt!r}: png/jpeg (baseline + progressive)/webp(VP8L)/gif "
+        "are real codecs here; other formats need native libraries absent "
+        "in this container")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
@@ -161,6 +164,12 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             return decode_webp_lossless(data), "webp"
         except WebpError as e:
             raise ImageDecodeError(str(e)) from e
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from .gif import GifError, decode_gif
+        try:
+            return decode_gif(data), "gif"
+        except GifError as e:
+            raise ImageDecodeError(str(e)) from e
     if data.startswith(FAKE_JPEG_MAGIC):  # round-1 stub blobs still decode
         return decode_fake_lossy(data, FAKE_JPEG_MAGIC), "jpeg"
     if data.startswith(FAKE_WEBP_MAGIC):
@@ -168,7 +177,10 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
     raise ImageDecodeError("unrecognized image format")
 
 
-LOSSLESS_FMTS = {"png", "webp"}  # webp here is VP8L (lossless mode)
+# webp here is VP8L (lossless mode); gif is exact for ≤256-color content
+# (the only content its encoder accepts — palette formats have no other
+# lossless story)
+LOSSLESS_FMTS = {"png", "webp", "gif"}
 
 
 # --------------------------------------------------------------------------
@@ -262,6 +274,11 @@ def probe_image_meta(data: bytes) -> tuple[str, int, int]:
             h = ((bits >> 14) & 0x3FFF) + 1
             return "webp", w, h
         raise ImageDecodeError("unsupported WebP flavor (not VP8L)")
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        if len(data) < 13:
+            raise ImageDecodeError("truncated GIF header")
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", int(w), int(h)
     if data.startswith(FAKE_JPEG_MAGIC) or data.startswith(FAKE_WEBP_MAGIC):
         if len(data) < 16:
             raise ImageDecodeError("truncated fake-codec header")

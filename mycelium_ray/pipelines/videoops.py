@@ -1,9 +1,10 @@
 """Video-payload pipeline over derived clips — the video analog of
 audio.py: each document seeds a deterministic short clip, muxed with the
-from-scratch container writers (mycelium_ray/video.py: MJPEG AVI for
-even doc_ids, YUV4MPEG2 for odd) and REALLY demuxed + frame-decoded by
-the SampleFrames actor stage, so the driver's oracle gate exercises the
-full mux→demux→JPEG/Y4M-decode path end to end.
+from-scratch container writers (doc_id%3 → MJPEG AVI via
+mycelium_ray/video.py, YUV4MPEG2, or animated GIF via
+mycelium_ray/gif.py) and REALLY demuxed + frame-decoded by the
+SampleFrames actor stage, so the driver's oracle gate exercises the
+full mux→demux→JPEG/Y4M/GIF-LZW-decode path end to end.
 
 Clip geometry (frame count, width, height) derives from doc_id by pure
 integer arithmetic mirrored in the SQL oracle, so the sampled frame
@@ -44,12 +45,37 @@ def _frame_px(doc_id: int, i: int, w: int, h: int) -> np.ndarray:
                       np.broadcast_to(b, (h, w))]).astype(np.uint8)
 
 
+_GIF_PAL = np.stack([np.arange(16, dtype=np.uint16) * 17,
+                     255 - np.arange(16, dtype=np.uint16) * 17,
+                     (np.arange(16, dtype=np.uint16) * 29) % 256],
+                    axis=1).astype(np.uint8)
+
+
+def _gif_frame_px(doc_id: int, i: int, w: int, h: int) -> np.ndarray:
+    """Deterministic 16-color indexed pattern (GIF is palette-based, so
+    the GIF route gets exact-palette content instead of the smooth
+    gradients the DCT routes use). The doc seed enters as an exact index
+    shift — two seeds differing mod 16 differ at EVERY pixel, so
+    content-equality ⇔ (w, h, doc_id%16, frame index), which is what the
+    dup-group oracle asserts arithmetically."""
+    x = np.arange(w)[None, :]
+    y = np.arange(h)[:, None]
+    idx = (x + 3 * y + 7 * i + doc_id % 16) % 16
+    return _GIF_PAL[idx]
+
+
 def synth_video_row(doc_id: int) -> bytes:
-    """Deterministic clip bytes: MJPEG AVI (even doc_id) / Y4M (odd)."""
+    """Deterministic clip bytes, doc_id%3 → MJPEG AVI / Y4M / animated
+    GIF (the three REAL frame containers)."""
     from ..video import encode_y4m, mux_avi_mjpeg
     n, w, h = _clip_params(doc_id)
+    kind = doc_id % 3
+    if kind == 2:
+        from ..gif import encode_gif
+        return encode_gif([_gif_frame_px(doc_id, i, w, h)
+                           for i in range(n)])
     frames = [_frame_px(doc_id, i, w, h) for i in range(n)]
-    if doc_id % 2 == 0:
+    if kind == 0:
         from ..jpeg import encode_jpeg
         return mux_avi_mjpeg([encode_jpeg(f) for f in frames], w, h)
     return encode_y4m(frames, colorspace="C420jpeg")
@@ -201,7 +227,7 @@ WITH d AS (
   FROM d
 ), gk AS (
   SELECT doc_id,
-         CAST(doc_id % 2 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
+         CAST(doc_id % 3 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
            || CAST(h AS VARCHAR) || '|' || CAST(doc_id % 16 AS VARCHAR)
            || '|' || array_to_string(
                 list_transform(
@@ -221,7 +247,7 @@ ORDER BY doc_id
 
 
 # --------------------------------------------------------------------------
-# video_metadata: container-level triage across the three video formats —
+# video_metadata: container-level triage across five video containers —
 # the video analog of audio_metadata. AVI/Y4M report frame counts + dims
 # from their real demux; mp4 rows exercise the ISO 14496-12 box walk
 # (duration/dims from moov, codec honestly absent). Geometry derives from
@@ -231,7 +257,7 @@ def _vmeta_params(doc_id: int) -> tuple[str, int, int, int]:
     """(fmt, n_frames, w, h); for mp4/webm n_frames is -1 (metadata
     skeletons carry duration instead of a sample table)."""
     k = (doc_id * _KNUTH) % (1 << 32)
-    kind = doc_id % 4
+    kind = doc_id % 5
     n_frames = 2 + (k // 16) % 7
     w = 16 + 8 * (k % 3)
     h = 16 + 8 * ((k // 256) % 2)
@@ -239,6 +265,8 @@ def _vmeta_params(doc_id: int) -> tuple[str, int, int, int]:
         return "mp4", -1, w, h
     if kind == 3:
         return "webm", -1, w, h
+    if kind == 4:
+        return "gif", n_frames, w, h
     return ("avi" if kind == 0 else "y4m"), n_frames, w, h
 
 
@@ -251,6 +279,12 @@ def synth_video_meta_row(doc_id: int) -> bytes:
         return write_mp4_skeleton(1000 + k % 9000, w, h)
     if fmt == "webm":
         return write_webm_skeleton(1000 + k % 9000, w, h)
+    if fmt == "gif":
+        from ..gif import encode_gif
+        # default 10 cs/frame GCE delay ⇒ duration = 100·n_frames ms,
+        # mirrored in the oracle
+        return encode_gif([_gif_frame_px(doc_id, i, w, h)
+                           for i in range(n)])
     frames = [_frame_px(doc_id, i, w, h) for i in range(n)]
     if fmt == "avi":
         from ..jpeg import encode_jpeg
@@ -261,7 +295,8 @@ def synth_video_meta_row(doc_id: int) -> bytes:
 class VideoProbe:
     """video:binary → (fmt, n_frames, w, h, duration_ms, meta_ok) from
     container structure only (AVI/Y4M: real demux headers + frame count;
-    mp4: moov box walk). No frame decode anywhere — the triage pass."""
+    mp4: moov box walk; webm: EBML walk; GIF: block walk, LZW untouched).
+    No frame decode anywhere — the triage pass."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..video import (open_video, probe_mp4_meta, probe_video,
@@ -282,6 +317,12 @@ class VideoProbe:
                     vt = next((t for t in m["tracks"] if t[0] and t[1]),
                               (-1, -1))
                     fmt, (w, h) = kind, vt
+                    dur, ok = m["duration_ms"], True
+                elif kind == "gif":
+                    from ..gif import probe_gif_meta
+                    m = probe_gif_meta(data)   # header walk, no LZW
+                    fmt, nf = "gif", m["n_frames"]
+                    w, h = m["width"], m["height"]
                     dur, ok = m["duration_ms"], True
                 elif kind in ("avi", "y4m", "fakevid"):
                     clip = open_video(data)
@@ -311,7 +352,7 @@ class VideoProbe:
 
 def video_metadata(sf_dir: str):
     """(video_id, doc_id, fmt, n_frames, w, h, duration_ms, meta_ok) via
-    the VideoProbe actor pool over the 3-container derived corpus."""
+    the VideoProbe actor pool over the 5-container derived corpus."""
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id"])
 
@@ -339,13 +380,14 @@ def video_metadata(sf_dir: str):
 
 VIDEO_METADATA_SQL = f"""
 WITH d AS (
-  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 4 AS kind
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 5 AS kind
   FROM documents
 ), p AS (
   SELECT doc_id, k, kind,
          CASE kind WHEN 0 THEN 'avi' WHEN 1 THEN 'y4m'
-                   WHEN 2 THEN 'mp4' ELSE 'webm' END AS fmt,
-         CASE WHEN kind >= 2 THEN -1 ELSE 2 + (k // 16) % 7 END
+                   WHEN 2 THEN 'mp4' WHEN 3 THEN 'webm' ELSE 'gif' END
+           AS fmt,
+         CASE WHEN kind IN (2, 3) THEN -1 ELSE 2 + (k // 16) % 7 END
            AS n_frames,
          16 + 8 * (k % 3) AS w,
          16 + 8 * ((k // 256) % 2) AS h
@@ -356,8 +398,9 @@ SELECT 'http://vid.test/m/' || CAST(doc_id AS VARCHAR) AS video_id,
        CAST(n_frames AS BIGINT) AS n_frames,
        CAST(w AS BIGINT) AS w,
        CAST(h AS BIGINT) AS h,
-       CAST(CASE WHEN kind >= 2 THEN 1000 + k % 9000 ELSE -1 END AS BIGINT)
-         AS duration_ms,
+       CAST(CASE WHEN kind IN (2, 3) THEN 1000 + k % 9000
+                 WHEN kind = 4 THEN 100 * n_frames
+                 ELSE -1 END AS BIGINT) AS duration_ms,
        TRUE AS meta_ok,
        doc_id
 FROM p

@@ -373,13 +373,15 @@ class Y4mClip:
 # probing / dispatch
 # ==========================================================================
 def probe_video(data: bytes) -> str | None:
-    """'avi' | 'y4m' | 'fakevid' | 'mp4' | 'webm' | None (unknown)."""
+    """'avi' | 'y4m' | 'gif' | 'fakevid' | 'mp4' | 'webm' | None."""
     if data[:4] == b"RIFF" and data[8:12] == b"AVI ":
         return "avi"
     if data.startswith(_Y4M_MAGIC):
         return "y4m"
     if data.startswith(b"FAKEVID1"):
         return "fakevid"
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"          # animated GIF: third real frame container
     if len(data) >= 12 and data[4:8] == b"ftyp":
         return "mp4"
     if data[:4] == b"\x1a\x45\xdf\xa3":
@@ -398,6 +400,9 @@ def open_video(data: bytes):
         return AviClip(data)
     if kind == "y4m":
         return Y4mClip(data)
+    if kind == "gif":
+        from .gif import GifClip
+        return GifClip(data)
     if kind == "fakevid":
         from .stages.media import FixtureClip
         return FixtureClip(data)

@@ -111,3 +111,32 @@ def test_ogg_any_corruption_detected_or_changes_meta(data):
         return  # rejected: good
     base = probe_audio(write_ogg_vorbis_skeleton(44100, 1, 12345))
     assert m != base
+
+
+@st.composite
+def _gif_frames(draw):
+    w = draw(st.integers(1, 40))
+    h = draw(st.integers(1, 40))
+    n = draw(st.integers(1, 5))
+    n_colors = draw(st.integers(1, 256))
+    rng = np.random.default_rng(draw(st.integers(0, 2**32 - 1)))
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    return [pal[rng.integers(0, n_colors, (h, w))] for _ in range(n)]
+
+
+@_SET
+@given(_gif_frames())
+def test_gif_roundtrip_any_palette(frames):
+    """encode_gif → decode_gif_frames is an identity for ANY frame list
+    sharing ≤256 colors (palette size 1..256, dims 1..40, 1..5 frames —
+    covers every LZW min-code-size 2..8 and the width-growth ladder)."""
+    from mycelium_ray.gif import decode_gif_frames, encode_gif, probe_gif_meta
+    data = encode_gif(frames)
+    dec = decode_gif_frames(data)
+    assert len(dec) == len(frames)
+    for a, b in zip(dec, frames):
+        assert np.array_equal(a, b)
+    m = probe_gif_meta(data)
+    assert (m["width"], m["height"]) == (frames[0].shape[1],
+                                         frames[0].shape[0])
+    assert m["n_frames"] == len(frames)

@@ -220,7 +220,7 @@ def test_video_dup_groups_match_param_groups(ray_session):
         n, w, h = _clip_params(d)
         take = min(N_SAMPLES, n)
         idxs = tuple(i * n // take for i in range(take))
-        want_key[d] = (d % 2, w, h, d % 16, idxs)
+        want_key[d] = (d % 3, w, h, d % 16, idxs)
     by_key = {}
     for d, key in want_key.items():
         by_key.setdefault(key, []).append(d)
