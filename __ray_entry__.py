@@ -36,7 +36,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_phash_neardup as _image_phash_neardup,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
-        multimodal_filter as _multimodal_filter)
+        multimodal_filter as _multimodal_filter,
+        webdataset_roundtrip as _webdataset_roundtrip)
 
     return {
         # --- text analysis (documents) ---
@@ -160,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         "image_shard_pack": _image_shard_pack,
+        "webdataset_roundtrip": _webdataset_roundtrip,
         "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
         "image_sharpness": _image_sharpness,          # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
@@ -271,6 +273,7 @@ def oracle_sql() -> dict[str, str]:
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,
+        "webdataset_roundtrip": flagship.WEBDATASET_ROUNDTRIP_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,

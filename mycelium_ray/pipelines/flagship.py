@@ -487,3 +487,59 @@ SELECT CAST(doc_id % {N_PACK_SHARDS} AS BIGINT) AS shard,
 FROM documents
 GROUP BY 1
 """
+
+
+def webdataset_roundtrip(sf_dir: str):
+    """Full WebDataset I/O loop: pack the derived corpus into tar shards
+    on disk (sources/webdataset.write_webdataset — tmp+rename publish,
+    skip-if-present resume), read them BACK through the shard source,
+    and verify every sample end-to-end: the member pairing must
+    reassemble (image, caption), the image must header-probe as exactly
+    the format its member extension claims. Output one row per sample:
+    (doc_id, caption_bytes, fmt_ok, decode_ok) — the oracle pins that
+    every document comes back exactly once with its caption intact,
+    which transitively checks pack → disk → untar → pairing → probe."""
+    import os
+
+    from ..imaging import ImageDecodeError, probe_image_meta
+    from ..sources.webdataset import read_webdataset, write_webdataset
+
+    out_dir = ("/tmp/mycelium_wds_"
+               + os.path.basename(os.path.normpath(sf_dir)))
+    ds = flagship(sf_dir).select_columns(
+        ["doc_id", "content", "fmt", "caption"])
+    write_webdataset(ds, out_dir, N_PACK_SHARDS)
+
+    def check(t: pa.Table) -> pa.Table:
+        ids, capb, fmt_ok, dec_ok = [], [], [], []
+        for key, fmt, img, cap in zip(t["key"].to_pylist(),
+                                      t["fmt"].to_pylist(),
+                                      t["image"].to_pylist(),
+                                      t["caption"].to_pylist()):
+            ids.append(int(key))
+            capb.append(len(cap.encode("utf-8")))
+            try:
+                probed, _w, _h = probe_image_meta(img)
+                fmt_ok.append(probed == fmt)
+                dec_ok.append(True)
+            except ImageDecodeError:
+                fmt_ok.append(False)
+                dec_ok.append(False)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "caption_bytes": pa.array(capb, pa.int64()),
+            "fmt_ok": pa.array(fmt_ok, pa.bool_()),
+            "decode_ok": pa.array(dec_ok, pa.bool_()),
+        })
+
+    return read_webdataset(out_dir).map_batches(
+        check, batch_format="pyarrow")
+
+
+WEBDATASET_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS caption_bytes,
+       TRUE AS fmt_ok,
+       TRUE AS decode_ok
+FROM documents
+"""
