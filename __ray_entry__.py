@@ -115,6 +115,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_urgent_counts": analytics.customer_urgent_counts,
         "urgent_low_customers": analytics.urgent_low_customers,
         "part_bulk_orders": analytics.part_bulk_orders,
+        "customer_order_distribution": analytics.customer_order_distribution,
+        "waiting_suppliers": analytics.waiting_suppliers,
+        "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -232,6 +235,10 @@ def oracle_sql() -> dict[str, str]:
         "customer_urgent_counts": analytics.CUSTOMER_URGENT_COUNTS_SQL,
         "urgent_low_customers": analytics.URGENT_LOW_CUSTOMERS_SQL,
         "part_bulk_orders": analytics.PART_BULK_ORDERS_SQL,
+        "customer_order_distribution":
+            analytics.CUSTOMER_ORDER_DISTRIBUTION_SQL,
+        "waiting_suppliers": analytics.WAITING_SUPPLIERS_SQL,
+        "cheapest_supplier_per_part": analytics.CHEAPEST_SUPPLIER_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,

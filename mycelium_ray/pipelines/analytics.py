@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.parquet as pq
 
 import ray
 import ray.data as rd
@@ -3756,4 +3757,245 @@ SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey,
 FROM lineitem l RIGHT JOIN part p
   ON l.l_partkey = p.p_partkey AND l.l_quantity >= {BULK_QTY}
 GROUP BY p.p_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# customer_order_distribution — TPC-H Q13 shape: the "distribution of a
+# distribution". Stage 1 is the LEFT OUTER customer⋈orders count (zero-
+# order customers included); stage 2 re-aggregates the per-customer
+# counts into (c_count, custdist). Stage 2's shuffle is ∝ the DISTINCT
+# count domain (a few dozen values), not customers — the second groupby
+# costs nothing at 100 TB because the partial histogram is taken inside
+# map_batches first.
+# --------------------------------------------------------------------------
+def customer_order_distribution(sf_dir: str):
+    """(c_count, custdist): how many customers placed exactly c_count
+    orders, including the zero-order long tail Q13 exists to surface."""
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": t["o_custkey"].cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, dtype="int64")),
+        })
+
+    joined = cust.join(orders.map_batches(prep, batch_format="pyarrow"),
+                       "left_outer", num_partitions=_n_join_buckets(),
+                       on=("c_custkey",))
+
+    def per_cust_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        one = pc.fill_null(t["one"], 0)
+        g = pa.table({"c_custkey": t["c_custkey"].cast(pa.int64()),
+                      "one": one}).group_by("c_custkey") \
+            .aggregate([("one", "sum")])
+        return pa.table({"c_custkey": g["c_custkey"],
+                         "c_count": g["one_sum"].cast(pa.int64())})
+
+    from ray.data.aggregate import Sum
+    per_cust = joined.map_batches(per_cust_partial,
+                                  batch_format="pyarrow") \
+        .groupby("c_custkey").aggregate(Sum("c_count",
+                                            alias_name="c_count"))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({"c_count": t["c_count"].cast(pa.int64())}) \
+            .group_by("c_count").aggregate([([], "count_all")])
+        return pa.table({"c_count": g["c_count"],
+                         "custdist": g["count_all"].cast(pa.int64())})
+
+    return per_cust.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("c_count").aggregate(Sum("custdist",
+                                          alias_name="custdist"))
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey
+)
+GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# waiting_suppliers — TPC-H Q21 shape: EXISTS + NOT-EXISTS self-join on
+# the same fact table. The original credits a supplier for orders where
+# it alone was late but others participated; this corpus has no
+# commit/receipt dates, so the returned flag plays the "failure" role
+# with identical join structure: per order, n_supp > 1 (EXISTS another
+# supplier) AND exactly ONE supplier shipped returned items (NOT EXISTS
+# another failing supplier).
+#
+# Distributed shape: one pruned lineitem scan → hash-bucket by
+# l_orderkey (the correlation key, so an order never spans buckets) →
+# per-bucket VECTORIZED per-order aggregates (pandas groupby: supplier
+# nunique, returned-supplier nunique/min — no per-order Python task) →
+# tiny (suppkey, n) partials → one bounded groupby. Supplier names are
+# broadcast-joined (supplier ≪ lineitem, ray.put once).
+# --------------------------------------------------------------------------
+def waiting_suppliers(sf_dir: str):
+    """(s_suppkey, s_name, numwait): per supplier, the number of
+    multi-supplier orders where it was the SOLE supplier with returned
+    items — Q21's exists/not-exists correlation re-expressed."""
+    import ray
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_returnflag"])
+    n_buckets = _n_join_buckets()
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    names_ref = ray.put(dict(zip(sup["s_suppkey"].to_pylist(),
+                                 sup["s_name"].to_pylist())))
+
+    def prep(t: pa.Table) -> pa.Table:
+        okey = t["l_orderkey"].to_numpy()
+        bucket = pa.array((okey.astype("uint64")
+                           % np.uint64(n_buckets)).astype("int64"))
+        return t.append_column("bucket", bucket)
+
+    def per_order(g: pd.DataFrame) -> pd.DataFrame:
+        n_supp = g.groupby("l_orderkey")["l_suppkey"].nunique()
+        ret = g[g["l_returnflag"] == "R"]
+        if len(ret) == 0:
+            return pd.DataFrame({"s_suppkey": pd.Series([], dtype="int64"),
+                                 "numwait": pd.Series([], dtype="int64")})
+        r = ret.groupby("l_orderkey")["l_suppkey"].agg(["nunique", "min"])
+        sole = r[(r["nunique"] == 1)
+                 & (n_supp.reindex(r.index) > 1)]["min"]
+        out = sole.value_counts()
+        return pd.DataFrame({"s_suppkey": out.index.astype("int64"),
+                             "numwait": out.to_numpy().astype("int64")})
+
+    from ray.data.aggregate import Sum
+    counts = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(per_order, batch_format="pandas") \
+        .groupby("s_suppkey").aggregate(Sum("numwait",
+                                            alias_name="numwait"))
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        return pa.table({
+            "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+            "s_name": pa.array([names.get(k, "")
+                                for k in t["s_suppkey"].to_pylist()],
+                               pa.string()),
+            "numwait": t["numwait"].cast(pa.int64()),
+        })
+
+    return counts.map_batches(attach_name, batch_format="pyarrow")
+
+
+WAITING_SUPPLIERS_SQL = """
+WITH per AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l_returnflag = 'R'
+                             THEN l_suppkey END) AS n_ret,
+         min(CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS ret_supp
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(p.ret_supp AS BIGINT) AS s_suppkey,
+       s.s_name AS s_name,
+       CAST(count(*) AS BIGINT) AS numwait
+FROM per p JOIN supplier s ON s.s_suppkey = p.ret_supp
+WHERE p.n_supp > 1 AND p.n_ret = 1
+GROUP BY p.ret_supp, s.s_name
+"""
+
+
+# --------------------------------------------------------------------------
+# cheapest_supplier_per_part — TPC-H Q2 shape: correlated groupwise-MIN
+# with a join back to recover the achieving row (Q2's partsupp min-cost
+# subquery; this corpus has no partsupp, so lineitem's (part, supplier,
+# price) triple plays its role). Deterministic tie-break: the smallest
+# suppkey among price-achievers, mirrored exactly in SQL.
+#
+# One lineitem scan; per-batch partial keeps ONE row per (partkey ×
+# batch): (min_cents, best supp at that cents). The groupby then
+# resolves the global min per part from partials — no second pass over
+# the fact table, no join back at all (the partial carries the argmin).
+# --------------------------------------------------------------------------
+def cheapest_supplier_per_part(sf_dir: str):
+    """(p_partkey, min_price_cents, s_suppkey, s_name): per part, the
+    lowest lineitem price and the smallest supplier key achieving it."""
+    import ray
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"])
+    sup = pq.read_table(f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_name"])
+    names_ref = ray.put(dict(zip(sup["s_suppkey"].to_pylist(),
+                                 sup["s_name"].to_pylist())))
+
+    n_buckets = _n_join_buckets()
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        cents = np.round(df["l_extendedprice"].to_numpy()
+                         * 100.0).astype("int64")
+        t = pd.DataFrame({"p": df["l_partkey"].to_numpy().astype("int64"),
+                          "c": cents,
+                          "s": df["l_suppkey"].to_numpy().astype("int64")})
+        # argmin with (cents, suppkey) lexicographic tie-break: sort once,
+        # keep the first row per part
+        t = t.sort_values(["p", "c", "s"], kind="stable") \
+             .drop_duplicates("p", keep="first")
+        return pd.DataFrame({
+            "p_partkey": t["p"].to_numpy(),
+            "min_price_cents": t["c"].to_numpy(),
+            "s_suppkey": t["s"].to_numpy(),
+            # bucket by part hash: one Ray group per ~(parts/B), NOT one
+            # per part — per-key map_groups is one Python call per key
+            "bucket": (t["p"].to_numpy().astype("uint64")
+                       % np.uint64(n_buckets)).astype("int64"),
+        })
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["p_partkey", "min_price_cents", "s_suppkey"],
+                          kind="stable").drop_duplicates("p_partkey",
+                                                         keep="first")
+        return g[["p_partkey", "min_price_cents", "s_suppkey"]]
+
+    best = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(resolve, batch_format="pandas")
+
+    def attach_name(t: pa.Table) -> pa.Table:
+        names = ray.get(names_ref)
+        return pa.table({
+            "p_partkey": t["p_partkey"].cast(pa.int64()),
+            "min_price_cents": t["min_price_cents"].cast(pa.int64()),
+            "s_suppkey": t["s_suppkey"].cast(pa.int64()),
+            "s_name": pa.array([names.get(k, "")
+                                for k in t["s_suppkey"].to_pylist()],
+                               pa.string()),
+        })
+
+    return best.map_batches(attach_name, batch_format="pyarrow")
+
+
+CHEAPEST_SUPPLIER_SQL = """
+WITH c AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+), m AS (
+  SELECT l_partkey, min(cents) AS min_cents FROM c GROUP BY l_partkey
+), w AS (
+  SELECT c.l_partkey, m.min_cents, min(c.l_suppkey) AS supp
+  FROM c JOIN m ON c.l_partkey = m.l_partkey AND c.cents = m.min_cents
+  GROUP BY c.l_partkey, m.min_cents
+)
+SELECT CAST(w.l_partkey AS BIGINT) AS p_partkey,
+       CAST(w.min_cents AS BIGINT) AS min_price_cents,
+       CAST(w.supp AS BIGINT) AS s_suppkey,
+       s.s_name AS s_name
+FROM w JOIN supplier s ON s.s_suppkey = w.supp
 """
