@@ -27,7 +27,8 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
                                         cluster, dedup, dsir, embed, graph,
-                                        textops, tokenize, urlops, videoops)
+                                        imageann, textops, tokenize, urlops,
+                                        videoops)
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
         image_channel_stats as _image_channel_stats,
@@ -165,6 +166,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_filter": _multimodal_filter,
         "image_shard_pack": _image_shard_pack,
         "webdataset_roundtrip": _webdataset_roundtrip,
+        "image_embed": imageann.image_embed,        # rows-only (pixel floats)
+        "image_similarity_search": imageann.image_similarity_search,
         "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
         "image_sharpness": _image_sharpness,          # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
@@ -184,8 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
-                                        dedup, flagship, graph, textops,
-                                        urlops, videoops)
+                                        dedup, flagship, graph, imageann,
+                                        textops, urlops, videoops)
 
     return {
         "pii_redact": cleaning.PII_REDACT_SQL,
@@ -281,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,
         "webdataset_roundtrip": flagship.WEBDATASET_ROUNDTRIP_SQL,
+        "image_similarity_search": imageann.IMAGE_SIMILARITY_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
