@@ -157,84 +157,274 @@ def _doc_shingle_hashes(texts: list[str]) -> list[np.ndarray]:
     return out
 
 
-def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
-    """Dataset of (doc_id_a < doc_id_b, jaccard ≥ threshold) pairs — the
-    uncollected form of ngram_jaccard_pairs, reused by dedup_clusters.
+def _verify_pairs_exact(cand, doc_blobs, nb: np.uint64, threshold: float):
+    """Distributed exact-Jaccard verification of candidate pairs — the
+    shared tail of minhash_lsh_dedup and _jaccard_pairs_ds.
 
-    Distributed shape: per-batch shingle hashing, then an inverted-index
-    explode (shingle_hash → doc_id) + groupby to count intersections —
-    the same skeleton as the SQL oracle's unnest/join/group. The per-doc
-    set size rides on every exploded row (constant per doc), so the final
-    reduce — sum n_inter per pair, one Jaccard division, threshold — runs
-    entirely inside a second bucketed groupby; the driver only collects
-    the thresholded result. Jaccard is one IEEE division of two int
-    counts, so value-hash comparison vs the oracle is exact.
-    """
-    docs = _read_docs(sf_dir)
-    # exploded row count ≈ ndocs × shingles/doc (~64 for web text); the
-    # pair-key reduce is narrower, but one width for both passes is fine
-    nb = _U64(_adaptive_buckets(_doc_count(sf_dir) * 64))
+    ``cand``: Dataset[(doc_id_a < doc_id_b)], duplicates across source
+    buckets allowed (they collapse in the pair-key groupby).
+    ``doc_blobs``: Dataset[(doc_id, shingles)] — one row per document,
+    blob = the doc's uint64 shingle-hash set as raw bytes.
 
-    def explode(t: pa.Table) -> pa.Table:
-        # Arrow in/out: the wide text column never round-trips through
-        # pandas — only the narrow exploded hash rows do downstream
-        hs = _doc_shingle_hashes(t["text"].to_pylist())
-        lens = np.array([len(h) for h in hs], dtype="int64")
-        sh = (np.concatenate(hs).astype("int64") if hs
-              else np.array([], dtype="int64"))
-        doc_id = np.repeat(t["doc_id"].to_numpy(), lens)
-        # coarse bucketing: grouping by raw shingle would make ~n_docs ×
-        # n_shingles tiny Ray groups; hash buckets keep the shuffle
-        # coarse with vectorized per-shingle pairing inside each bucket
+    Symmetric two-hop join: each candidate pair fans out to two
+    (join_key=doc_id, pair_key, side) rows, unioned with the blob rows;
+    the doc-id-bucket groupby attaches the blob to each referencing
+    side; the pair-key-bucket groupby brings both sides together and
+    computes exact Jaccard vectorized (concatenate both sides' blobs
+    tagged with a pair index, lexsort by (pair, hash) — a hash appears
+    at most once per side, so every adjacent duplicate is exactly one
+    a∩b element; bincount yields per-pair |a∩b|). Nothing row-shaped
+    touches the driver."""
+
+    def pair_sides(df: pd.DataFrame) -> pa.Table:
+        a = df["doc_id_a"].to_numpy().astype("int64")
+        b = df["doc_id_b"].to_numpy().astype("int64")
+        pk = _pack_pair(a, b)
+        jk = np.concatenate([a, b]).astype("int64")
         return pa.table({
-            "doc_id": pa.array(doc_id, pa.int64()),
-            "sh": pa.array(sh, pa.int64()),
-            "n_sh": pa.array(np.repeat(lens, lens), pa.int64()),
-            "bucket": pa.array((sh.astype("uint64") % nb).astype("int64"),
-                               pa.int64()),
+            "jk": pa.array(jk, pa.int64()),
+            "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
+            "side": pa.array(np.concatenate([
+                np.zeros(len(pk), dtype="int64"),
+                np.ones(len(pk), dtype="int64")]), pa.int64()),
+            "shingles": pa.array([b""] * (2 * len(pk)), pa.binary()),
+            "jbucket": pa.array((jk.astype("uint64") % nb)
+                                .astype("int64"), pa.int64()),
         })
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on="sh")
-        m = m[m["doc_id_x"] < m["doc_id_y"]]
-        if len(m) == 0:
-            return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                                 "n_inter": pd.Series([], dtype="int64"),
-                                 "na": pd.Series([], dtype="int64"),
-                                 "nb": pd.Series([], dtype="int64"),
-                                 "kb": pd.Series([], dtype="int64")})
-        m = m.assign(key=_pack_pair(m["doc_id_x"].to_numpy(),
-                                    m["doc_id_y"].to_numpy()))
-        out = m.groupby("key", as_index=False).agg(
-            n_inter=("key", "size"), na=("n_sh_x", "first"),
-            nb=("n_sh_y", "first"))
-        out["kb"] = (out["key"].to_numpy().astype("uint64")
-                     % nb).astype("int64")
+    def doc_rows(t: pa.Table) -> pa.Table:
+        jk = t["doc_id"].to_numpy().astype("int64")
+        n = len(t)
+        return pa.table({
+            "jk": pa.array(jk, pa.int64()),
+            "pk": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
+            "side": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
+            "shingles": t["shingles"],
+            "jbucket": pa.array((jk.astype("uint64") % nb)
+                                .astype("int64"), pa.int64()),
+        })
+
+    def attach_blob(g: pd.DataFrame) -> pd.DataFrame:
+        blobs = g[g["side"] < 0].drop_duplicates("jk") \
+            .set_index("jk")["shingles"]
+        refs = g[g["side"] >= 0]
+        if len(refs) == 0:
+            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
+                                 "side": pd.Series([], dtype="int64"),
+                                 "shingles": pd.Series([], dtype="object"),
+                                 "pbucket": pd.Series([], dtype="int64")})
+        sh = blobs.reindex(refs["jk"]).to_numpy()
+        out = pd.DataFrame({"pk": refs["pk"].to_numpy(),
+                            "side": refs["side"].to_numpy(),
+                            "shingles": sh})
+        out["pbucket"] = (out["pk"].to_numpy().astype("uint64")
+                          % nb).astype("int64")
         return out
 
-    def reduce_pairs(g: pd.DataFrame) -> pa.Table:
-        # all partials of one pair land in this bucket (bucketed by pair
-        # key); sum intersections, one division, threshold — distributed.
-        # Arrow-typed output keeps the schema stable when every bucket
-        # filters to zero pairs.
-        agg = g.groupby("key", as_index=False).agg(
-            n_inter=("n_inter", "sum"), na=("na", "first"),
-            nb=("nb", "first"))
-        key = agg["key"].to_numpy()
-        ni = agg["n_inter"].to_numpy()
-        jac = ni / (agg["na"].to_numpy() + agg["nb"].to_numpy() - ni)
+    def verify(g: pd.DataFrame) -> pa.Table:
+        # cross-source duplicate pair references collapse here.
+        # Arrow-typed output keeps the schema stable on all-empty buckets.
+        g = g.drop_duplicates(["pk", "side"])
+        piv = g.pivot(index="pk", columns="side", values="shingles")
+        n = len(piv)
+        if n == 0 or 0 not in piv.columns or 1 not in piv.columns:
+            return pa.table({
+                "doc_id_a": pa.array([], pa.int64()),
+                "doc_id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64())})
+        blobs_a, blobs_b = piv[0].to_numpy(), piv[1].to_numpy()
+        la = np.fromiter((len(b) for b in blobs_a), dtype="int64",
+                         count=n) // 8
+        lb = np.fromiter((len(b) for b in blobs_b), dtype="int64",
+                         count=n) // 8
+        allh = np.frombuffer(b"".join(blobs_a) + b"".join(blobs_b),
+                             dtype=_U64)
+        gid = np.concatenate([np.repeat(np.arange(n), la),
+                              np.repeat(np.arange(n), lb)])
+        order = np.lexsort((allh, gid))
+        g2, h2 = gid[order], allh[order]
+        dup = (g2[1:] == g2[:-1]) & (h2[1:] == h2[:-1])
+        inter = np.bincount(g2[1:][dup], minlength=n)
+        union = la + lb - inter
+        jac = np.divide(inter, union,
+                        out=np.zeros(n, dtype="float64"),
+                        where=union > 0)
         keep = jac >= threshold
+        pk = piv.index.to_numpy()[keep].astype("int64")
         return pa.table({
-            "doc_id_a": pa.array((key[keep] >> 32).astype("int64"),
-                                 pa.int64()),
-            "doc_id_b": pa.array((key[keep] & 0xFFFFFFFF).astype("int64"),
+            "doc_id_a": pa.array((pk >> 32).astype("int64"), pa.int64()),
+            "doc_id_b": pa.array((pk & 0xFFFFFFFF).astype("int64"),
                                  pa.int64()),
             "jaccard": pa.array(jac[keep].astype("float64"), pa.float64()),
         })
 
-    return docs.map_batches(explode, batch_format="pyarrow") \
-        .groupby("bucket").map_groups(bucket_pairs, batch_format="pandas") \
-        .groupby("kb").map_groups(reduce_pairs, batch_format="pandas")
+    sides = cand.map_batches(pair_sides, batch_format="pandas")
+    docs = doc_blobs.map_batches(doc_rows, batch_format="pyarrow")
+    return sides.union(docs) \
+        .groupby("jbucket").map_groups(attach_blob, batch_format="pandas") \
+        .groupby("pbucket").map_groups(verify, batch_format="pandas")
+
+
+_PAIR_CHUNK = 1 << 22  # per-task expansion chunk (~4M pair events ≈
+                       # 400 MB of scratch): bounds peak memory per task
+                       # so a full-width actor fleet fits the worker heap
+
+
+def _jaccard_group_size(n_docs: int) -> int:
+    """Doc-group count G for the blocked all-pairs join: G(G+1)/2 tasks,
+    each holding two groups' shingle rows (~2R/G rows, R ≈ 64·n_docs).
+    Sized so a task's rows stay ~1M (vectorized numpy territory) with a
+    floor of 8 (task fan-out ≥ 36 keeps a 32-core box busy) and a cap of
+    64 (replication factor = G; beyond that exact all-pairs is the wrong
+    tool — use minhash_lsh_dedup, which exists for exactly that reason)."""
+    est_rows = 64 * max(1, n_docs)
+    return int(min(64, max(8, -(-2 * est_rows // 1_000_000))))
+
+
+def _jaccard_pairs_ds(sf_dir: str, threshold: float = 0.5):
+    """Dataset of (doc_id_a < doc_id_b, jaccard ≥ threshold) pairs — the
+    uncollected form of ngram_jaccard_pairs, reused by dedup_clusters and
+    corpus_filter/curation_pipeline.
+
+    Distributed shape: blocked exact all-pairs (the 1-Bucket-Theta /
+    block-replication join). Docs hash into G groups; each doc's shingle
+    rows replicate to the G tasks covering its group's pairings, so every
+    unordered doc pair (a, b) meets in EXACTLY ONE task — task
+    (min(g_a,g_b), max(g_a,g_b)) — with both docs' full shingle sets
+    present. The task computes exact |A∩B| for all its co-occurring pairs
+    in one vectorized numpy pass (sort by shingle → per-shingle cross
+    expansion → bincount on packed pair keys) and emits ONLY pairs that
+    clear the threshold.
+
+    Why not an inverted-index pair-count groupby (the r3 shape) or
+    PPJoin prefix filtering: the corpus vocabulary is small, so trigram
+    document frequency is dense and flat (sf1: 30k distinct shingles,
+    ALL with df ≥ 2, mean df ≈ 87) — there are no rare shingles to
+    prefix-prune, and emitting one row per co-occurrence shuffles ~120M
+    pair partials (measured 341 s at sf1). Block replication ships each
+    shingle row G≈8 times ONCE (narrow 32-byte rows, one shuffle) and
+    turns the 120M co-occurrence events into in-task memory-bandwidth
+    numpy work; nothing pair-shaped is ever shuffled or collected.
+    Replication cost is O(R·G) — the documented partitioning assumption;
+    at 100-TB corpus sizes exact all-pairs is the wrong op and
+    minhash_lsh_dedup is the scale path.
+
+    Jaccard is one IEEE division of two int counts, so value-hash
+    comparison vs the SQL oracle is exact.
+    """
+    docs = _read_docs(sf_dir)
+    G = _jaccard_group_size(_doc_count(sf_dir))
+
+    def explode_replicate(t: pa.Table) -> pa.Table:
+        # one pass: shingle the text, emit each (doc, sh) row G times
+        # tagged with every task id its group participates in
+        hs = _doc_shingle_hashes(t["text"].to_pylist())
+        lens = np.array([len(h) for h in hs], dtype="int64")
+        sh = (np.concatenate(hs).astype("int64") if hs
+              else np.array([], dtype="int64"))
+        doc_id = np.repeat(t["doc_id"].to_numpy(), lens).astype("int64")
+        n_sh = np.repeat(lens, lens)
+        g = (doc_id % G)[:, None]
+        k = np.arange(G, dtype="int64")[None, :]
+        task = (np.minimum(g, k) * G + np.maximum(g, k)).ravel()
+        return pa.table({
+            "doc_id": pa.array(np.repeat(doc_id, G), pa.int64()),
+            "sh": pa.array(np.repeat(sh, G), pa.int64()),
+            "n_sh": pa.array(np.repeat(n_sh, G), pa.int64()),
+            "task": pa.array(task, pa.int64()),
+        })
+
+    empty = pa.table({"doc_id_a": pa.array([], pa.int64()),
+                      "doc_id_b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
+
+    def count_pairs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        i, j = divmod(int(t["task"][0].as_py()), G)
+        doc = t["doc_id"].to_numpy()
+        sh = t["sh"].to_numpy()
+        nsh = t["n_sh"].to_numpy()
+        if i == j:
+            da_rows = db_rows = np.arange(len(doc))
+        else:
+            grp = doc % G
+            da_rows = np.flatnonzero(grp == i)
+            db_rows = np.flatnonzero(grp == j)
+        if len(da_rows) == 0 or len(db_rows) == 0:
+            return empty
+        # sort each side by shingle; run-length match the shared values
+        oa = da_rows[np.argsort(sh[da_rows], kind="stable")]
+        ob = db_rows[np.argsort(sh[db_rows], kind="stable")]
+        sha, shb = sh[oa], sh[ob]
+        ua, a_start, ca = np.unique(sha, return_index=True,
+                                    return_counts=True)
+        ub, b_start, cb = np.unique(shb, return_index=True,
+                                    return_counts=True)
+        pos = np.searchsorted(ub, ua)
+        pos_c = np.minimum(pos, len(ub) - 1)
+        m = ub[pos_c] == ua
+        ma, mb = np.flatnonzero(m), pos_c[m]
+        # per-shared-shingle cross sizes; chunk the expansion so one hot
+        # task never materializes more than _PAIR_CHUNK pair events
+        tm = ca[ma] * cb[mb]
+        bounds = np.searchsorted(np.cumsum(tm), np.arange(
+            _PAIR_CHUNK, tm.sum() + _PAIR_CHUNK, _PAIR_CHUNK), side="left")
+        parts: list[tuple[np.ndarray, ...]] = []
+        lo_m = 0
+        for hi_m in np.minimum(bounds + 1, len(tm)):
+            if hi_m <= lo_m:
+                continue
+            s = slice(lo_m, hi_m)
+            lo_m = hi_m
+            t_s = tm[s]
+            total = int(t_s.sum())
+            if total == 0:
+                continue
+            mid = np.repeat(np.arange(len(t_s)), t_s)
+            off0 = np.concatenate(([0], np.cumsum(t_s)[:-1]))
+            within = np.arange(total) - np.repeat(off0, t_s)
+            cbs = cb[mb[s]][mid]
+            a_idx = oa[a_start[ma[s]][mid] + within // cbs]
+            b_idx = ob[b_start[mb[s]][mid] + within % cbs]
+            da, db_ = doc[a_idx], doc[b_idx]
+            if i == j:
+                keep = da < db_
+                da, db_, a_idx, b_idx = (da[keep], db_[keep],
+                                         a_idx[keep], b_idx[keep])
+            lo_d = np.minimum(da, db_)
+            hi_d = np.maximum(da, db_)
+            key = _pack_pair(lo_d, hi_d)
+            n_lo = np.where(da <= db_, nsh[a_idx], nsh[b_idx])
+            n_hi = np.where(da <= db_, nsh[b_idx], nsh[a_idx])
+            uk, first, cnt = np.unique(key, return_index=True,
+                                       return_counts=True)
+            parts.append((uk, cnt.astype("int64"),
+                          n_lo[first].astype("int64"),
+                          n_hi[first].astype("int64")))
+        if not parts:
+            return empty
+        key = np.concatenate([p[0] for p in parts])
+        cnt = np.concatenate([p[1] for p in parts])
+        na = np.concatenate([p[2] for p in parts])
+        nb_ = np.concatenate([p[3] for p in parts])
+        # a pair's count may be split across chunks — final re-aggregate
+        uk, first = np.unique(key, return_index=True)
+        n_inter = np.zeros(len(uk), dtype="int64")
+        np.add.at(n_inter, np.searchsorted(uk, key), cnt)
+        na, nb_ = na[first], nb_[first]
+        jac = n_inter / (na + nb_ - n_inter)
+        keep = jac >= threshold
+        uk = uk[keep]
+        return pa.table({
+            "doc_id_a": pa.array((uk >> 32).astype("int64"), pa.int64()),
+            "doc_id_b": pa.array((uk & 0xFFFFFFFF).astype("int64"),
+                                 pa.int64()),
+            "jaccard": pa.array(jac[keep].astype("float64"), pa.float64()),
+        })
+
+    return docs.map_batches(explode_replicate, batch_format="pyarrow") \
+        .groupby("task").map_groups(count_pairs, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.5):
@@ -366,102 +556,17 @@ def minhash_lsh_dedup(sf_dir: str, threshold: float = 0.5):
     cand = signed.map_batches(band_bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(pairs_of_bucket, batch_format="pandas")
 
-    # ---- stage 3: distributed exact-Jaccard verify ----
-    def pair_sides(df: pd.DataFrame) -> pa.Table:
-        pk = _pack_pair(df["doc_id_a"].to_numpy(), df["doc_id_b"].to_numpy())
-        jk = np.concatenate([df["doc_id_a"].to_numpy(),
-                             df["doc_id_b"].to_numpy()]).astype("int64")
-        return pa.table({
-            "jk": pa.array(jk, pa.int64()),
-            "pk": pa.array(np.concatenate([pk, pk]), pa.int64()),
-            "side": pa.array(np.concatenate([
-                np.zeros(len(pk), dtype="int64"),
-                np.ones(len(pk), dtype="int64")]), pa.int64()),
-            "shingles": pa.array([b""] * (2 * len(pk)), pa.binary()),
-            "jbucket": pa.array((jk.astype("uint64") % nb)
-                                .astype("int64"), pa.int64()),
-        })
-
-    def doc_rows(t: pa.Table) -> pa.Table:
+    # ---- stage 3: distributed exact-Jaccard verify (shared machinery) ----
+    def blob_rows(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         t = t.filter(pc.equal(t["band_id"], 0))
-        jk = t["doc_id"].to_numpy()
-        n = len(t)
-        return pa.table({
-            "jk": pa.array(jk, pa.int64()),
-            "pk": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
-            "side": pa.array(np.full(n, -1, dtype="int64"), pa.int64()),
-            "shingles": t["shingles"],
-            "jbucket": pa.array((jk.astype("uint64") % nb)
-                                .astype("int64"), pa.int64()),
-        })
-
-    sides = cand.map_batches(pair_sides, batch_format="pandas")
-    docs = signed.map_batches(doc_rows, batch_format="pyarrow")
-
-    def attach_blob(g: pd.DataFrame) -> pd.DataFrame:
-        blobs = g[g["side"] < 0].drop_duplicates("jk").set_index("jk")["shingles"]
-        refs = g[g["side"] >= 0]
-        if len(refs) == 0:
-            return pd.DataFrame({"pk": pd.Series([], dtype="int64"),
-                                 "side": pd.Series([], dtype="int64"),
-                                 "shingles": pd.Series([], dtype="object"),
-                                 "pbucket": pd.Series([], dtype="int64")})
-        sh = blobs.reindex(refs["jk"]).to_numpy()
-        out = pd.DataFrame({"pk": refs["pk"].to_numpy(),
-                            "side": refs["side"].to_numpy(),
-                            "shingles": sh})
-        out["pbucket"] = (out["pk"].to_numpy().astype("uint64")
-                          % nb).astype("int64")
-        return out
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        # cross-band duplicate pair references collapse here. Exact
-        # Jaccard for ALL pairs of the bucket in one vectorized pass:
-        # concatenate both sides' shingle blobs tagged with a pair index,
-        # lexsort by (pair, hash) — a hash appears at most once per side
-        # (shingles are a set), so every adjacent duplicate is exactly
-        # one a∩b intersection element; bincount yields per-pair |a∩b|.
-        g = g.drop_duplicates(["pk", "side"])
-        piv = g.pivot(index="pk", columns="side", values="shingles")
-        n = len(piv)
-        if n == 0 or 0 not in piv.columns or 1 not in piv.columns:
-            return pa.table({
-                "doc_id_a": pa.array([], pa.int64()),
-                "doc_id_b": pa.array([], pa.int64()),
-                "jaccard": pa.array([], pa.float64())})
-        blobs_a, blobs_b = piv[0].to_numpy(), piv[1].to_numpy()
-        la = np.fromiter((len(b) for b in blobs_a), dtype="int64",
-                         count=n) // 8
-        lb = np.fromiter((len(b) for b in blobs_b), dtype="int64",
-                         count=n) // 8
-        allh = np.frombuffer(b"".join(blobs_a) + b"".join(blobs_b),
-                             dtype=_U64)
-        gid = np.concatenate([np.repeat(np.arange(n), la),
-                              np.repeat(np.arange(n), lb)])
-        order = np.lexsort((allh, gid))
-        g2, h2 = gid[order], allh[order]
-        dup = (g2[1:] == g2[:-1]) & (h2[1:] == h2[:-1])
-        inter = np.bincount(g2[1:][dup], minlength=n)
-        union = la + lb - inter
-        jac = np.divide(inter, union,
-                        out=np.zeros(n, dtype="float64"),
-                        where=union > 0)
-        keep = jac >= threshold
-        pk = piv.index.to_numpy()[keep].astype("int64")
-        # Arrow-typed final: schema survives all-empty results
-        return pa.table({
-            "doc_id_a": pa.array((pk >> 32).astype("int64"), pa.int64()),
-            "doc_id_b": pa.array((pk & 0xFFFFFFFF).astype("int64"),
-                                 pa.int64()),
-            "jaccard": pa.array(jac[keep].astype("float64"), pa.float64()),
-        })
+        return pa.table({"doc_id": t["doc_id"], "shingles": t["shingles"]})
 
     # Distributed final order — the verified pair set is data-dependent
     # and unbounded at 100 TB, so it never collects on the driver
-    verified = sides.union(docs) \
-        .groupby("jbucket").map_groups(attach_blob, batch_format="pandas") \
-        .groupby("pbucket").map_groups(verify, batch_format="pandas")
+    verified = _verify_pairs_exact(
+        cand, signed.map_batches(blob_rows, batch_format="pyarrow"),
+        nb, threshold)
     return sorted_or_empty(
         verified, ["doc_id_a", "doc_id_b"],
         pa.table({"doc_id_a": pa.array([], pa.int64()),
