@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "webdataset_roundtrip": _webdataset_roundtrip,
         "image_embed": imageann.image_embed,        # rows-only (pixel floats)
         "image_similarity_search": imageann.image_similarity_search,
+        "caption_align": imageann.caption_align,
         "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
         "image_sharpness": _image_sharpness,          # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,
         "webdataset_roundtrip": flagship.WEBDATASET_ROUNDTRIP_SQL,
         "image_similarity_search": imageann.IMAGE_SIMILARITY_SQL,
+        "caption_align": imageann.CAPTION_ALIGN_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,

@@ -42,7 +42,15 @@ def synth_image_row(doc_id: int, text: str) -> tuple[bytes, int, int, str]:
     which shares pixels across a coarsened doc_id key. Both rules are
     mirrored in the SQL oracles, so phash-hamming-0 pairs are exactly the
     same-seed-key pairs — non-vacuously provable at every sf."""
-    seed = url_hash64(_seed_key(doc_id, text))
+    return synth_image_from_seed(url_hash64(_seed_key(doc_id, text)))
+
+
+def synth_image_from_seed(seed: int) -> tuple[bytes, int, int, str]:
+    """The raw render recipe behind ``synth_image_row``: 64-bit seed →
+    (encoded bytes, w, h, fmt). Exposed separately so the caption tower
+    of the alignment scorer (imageann.caption_align) can render a
+    caption-only seed through the IDENTICAL byte path — equal seeds give
+    byte-identical images, hence cosine exactly 1 after decode+embed."""
     rng = np.random.default_rng(seed)
     w = int(rng.integers(16, 41))
     h = int(rng.integers(16, 41))

@@ -149,6 +149,107 @@ def image_similarity_search(sf_dir: str,
                   "match_id": pa.array([], pa.int64())}))
 
 
+ALIGN_SWAP_MOD = 17   # doc_id % 17 == 3 → planted mismatched caption
+_ALIGN_SWAP_SUFFIX = " [swapped]"
+
+
+class CaptionAlignScore:
+    """(content, caption) → align_ok — a CLIP-score-style two-tower
+    alignment gate, the core curation op of web-scale image+caption
+    pipelines (LAION-style filtering: score every pair, keep above a
+    threshold). Image tower: REAL decode → embed_pixels. Caption tower:
+    deterministic render of the caption through the corpus's own byte
+    path (flagship.synth_image_from_seed) → decode → embed, so an
+    aligned pair scores cosine exactly 1.0 and any mismatch lands
+    near-orthogonal (module doc) — far below the 0.99 gate.
+
+    Actor state (projection matrix + a bounded caption-embedding cache
+    for exact-duplicate captions) is built once per actor; per-row
+    decode is inherent to variable-size compressed payloads."""
+
+    _CACHE_MAX = 4096
+
+    def __init__(self, threshold: float = SIM_THRESHOLD):
+        self.proj = _projection()
+        self.threshold = threshold
+        self._cap_cache: dict[int, np.ndarray] = {}
+
+    def _caption_embedding(self, caption: str) -> np.ndarray:
+        from ..hashing import url_hash64
+        from ..imaging import decode_image
+        from .flagship import synth_image_from_seed
+        seed = url_hash64("txt:" + (caption or ""))
+        hit = self._cap_cache.get(seed)
+        if hit is not None:
+            return hit
+        px, _ = decode_image(synth_image_from_seed(seed)[0])
+        v = embed_pixels(px, self.proj)
+        if len(self._cap_cache) < self._CACHE_MAX:
+            self._cap_cache[seed] = v
+        return v
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..imaging import ImageDecodeError, decode_image
+        ok = []
+        for data, cap in zip(batch["content"].to_pylist(),
+                             batch["caption"].to_pylist()):
+            try:
+                px, _ = decode_image(data)
+                img_e = embed_pixels(px, self.proj)
+                cap_e = self._caption_embedding(cap)
+                ok.append(bool(img_e @ cap_e >= self.threshold))
+            except ImageDecodeError:
+                ok.append(False)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "align_ok": pa.array(ok, pa.bool_())})
+
+
+def caption_align(sf_dir: str, threshold: float = SIM_THRESHOLD):
+    """(doc_id, align_ok) — caption↔image alignment over the derived
+    corpus, with a planted mismatch class so BOTH outcomes are
+    non-vacuous at every sf:
+
+    - rows with ``doc_id % 17 == 3`` carry a deliberately wrong caption
+      (suffix-mangled, so its render seed can never equal the image's);
+    - planted dup-group rows (``doc_id % 50 == 0``) keep their caption
+      but their PIXELS are keyed off the shared dup group, not the text
+      (flagship._seed_key) — a naturally misaligned pair, exactly the
+      shape LAION-style filters drop.
+
+    Everything else renders from its own caption → cosine exactly 1.
+    The SQL dual is pure integer arithmetic on doc_id."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        from .flagship import synth_image_row
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        caps = [t + _ALIGN_SWAP_SUFFIX if d % ALIGN_SWAP_MOD == 3 else t
+                for d, t in zip(ids, texts)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "content": pa.array(
+                [synth_image_row(d, t)[0] for d, t in zip(ids, texts)],
+                pa.binary()),
+            "caption": pa.array(caps, pa.string()),
+        })
+
+    ds = ds.map_batches(derive, batch_format="pyarrow", batch_size=256)
+    scored = ds.map_batches(CaptionAlignScore(threshold),
+                            batch_format="pyarrow", batch_size=128,
+                            concurrency=4)
+    return scored.sort("doc_id")
+
+
+CAPTION_ALIGN_SQL = """
+SELECT doc_id,
+       (doc_id % 17 <> 3 AND doc_id % 50 <> 0) AS align_ok
+FROM documents
+ORDER BY doc_id
+"""
+
+
 # Matches ≥ 0.99 are exactly the same-seed-key pairs (identical pixels):
 # the queries are dup-group reps (doc_id % 50 == 0), whose seed key is
 # dup:(doc_id % 150) — so a corpus doc matches iff it sits in the same

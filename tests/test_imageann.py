@@ -71,3 +71,48 @@ def test_similarity_search_matches_serial(ray_session):
                 want.add((q, d))
     assert set(zip(got["query_id"], got["match_id"])) == want
     assert len(want) >= len(QUERY_DOC_IDS)  # self-matches ⇒ non-vacuous
+
+
+def test_caption_tower_exactness():
+    """Aligned non-dup rows: the caption tower renders byte-identical
+    images (same seed, same path) ⇒ cosine exactly 1. Swapped captions
+    and dup-group pixels land far below the gate."""
+    from mycelium_ray.hashing import url_hash64
+    from mycelium_ray.pipelines.flagship import synth_image_from_seed
+    from mycelium_ray.pipelines.imageann import (_ALIGN_SWAP_SUFFIX,
+                                                 CaptionAlignScore)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    rows = dict(zip(docs["doc_id"].to_pylist(), docs["text"].to_pylist()))
+    scorer = CaptionAlignScore()
+    # pick one of each class deterministically
+    aligned = next(d for d in sorted(rows) if d % 17 != 3 and d % 50 != 0)
+    swapped = next(d for d in sorted(rows) if d % 17 == 3 and d % 50 != 0)
+    dup = next(d for d in sorted(rows) if d % 50 == 0 and d % 17 != 3)
+    # byte-identity for the aligned row
+    img = synth_image_row(aligned, rows[aligned])[0]
+    cap = synth_image_from_seed(url_hash64("txt:" + rows[aligned]))[0]
+    assert img == cap
+    e_img = embed_pixels(decode_image(img)[0], scorer.proj)
+    assert float(e_img @ scorer._caption_embedding(rows[aligned])) == 1.0
+    # swapped caption ⇒ different seed ⇒ below gate
+    e_sw = embed_pixels(
+        decode_image(synth_image_row(swapped, rows[swapped])[0])[0],
+        scorer.proj)
+    c_sw = scorer._caption_embedding(rows[swapped] + _ALIGN_SWAP_SUFFIX)
+    assert float(e_sw @ c_sw) < SIM_THRESHOLD
+    # dup-group pixels are not the caption's render ⇒ below gate
+    e_dup = embed_pixels(
+        decode_image(synth_image_row(dup, rows[dup])[0])[0], scorer.proj)
+    c_dup = scorer._caption_embedding(rows[dup])
+    assert float(e_dup @ c_dup) < SIM_THRESHOLD
+
+
+def test_caption_align_e2e(ray_session):
+    from mycelium_ray.pipelines.imageann import caption_align
+    df = caption_align(SF).to_pandas()
+    assert len(df) == 500
+    want = (df["doc_id"] % 17 != 3) & (df["doc_id"] % 50 != 0)
+    assert (df["align_ok"] == want).all()
+    # both classes non-vacuous at the smallest sf
+    assert df["align_ok"].sum() not in (0, len(df))
