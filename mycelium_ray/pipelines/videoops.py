@@ -1,10 +1,11 @@
 """Video-payload pipeline over derived clips — the video analog of
 audio.py: each document seeds a deterministic short clip, muxed with the
-from-scratch container writers (doc_id%3 → MJPEG AVI via
-mycelium_ray/video.py, YUV4MPEG2, or animated GIF via
-mycelium_ray/gif.py) and REALLY demuxed + frame-decoded by the
-SampleFrames actor stage, so the driver's oracle gate exercises the
-full mux→demux→JPEG/Y4M/GIF-LZW-decode path end to end.
+from-scratch container writers (doc_id%4 → MJPEG AVI via
+mycelium_ray/video.py, YUV4MPEG2, animated GIF via mycelium_ray/gif.py,
+or MJPEG mp4 with full ISO 14496-12 sample tables) and REALLY demuxed +
+frame-decoded by the SampleFrames actor stage, so the driver's oracle
+gate exercises the full mux→demux→JPEG/Y4M/GIF-LZW-decode path end to
+end across all four containers.
 
 Clip geometry (frame count, width, height) derives from doc_id by pure
 integer arithmetic mirrored in the SQL oracle, so the sampled frame
@@ -65,11 +66,11 @@ def _gif_frame_px(doc_id: int, i: int, w: int, h: int) -> np.ndarray:
 
 
 def synth_video_row(doc_id: int) -> bytes:
-    """Deterministic clip bytes, doc_id%3 → MJPEG AVI / Y4M / animated
-    GIF (the three REAL frame containers)."""
-    from ..video import encode_y4m, mux_avi_mjpeg
+    """Deterministic clip bytes, doc_id%4 → MJPEG AVI / Y4M / animated
+    GIF / MJPEG mp4 (the four REAL frame containers)."""
+    from ..video import encode_y4m, mux_avi_mjpeg, mux_mp4_mjpeg
     n, w, h = _clip_params(doc_id)
-    kind = doc_id % 3
+    kind = doc_id % 4
     if kind == 2:
         from ..gif import encode_gif
         return encode_gif([_gif_frame_px(doc_id, i, w, h)
@@ -78,6 +79,9 @@ def synth_video_row(doc_id: int) -> bytes:
     if kind == 0:
         from ..jpeg import encode_jpeg
         return mux_avi_mjpeg([encode_jpeg(f) for f in frames], w, h)
+    if kind == 3:
+        from ..jpeg import encode_jpeg
+        return mux_mp4_mjpeg([encode_jpeg(f) for f in frames], w, h)
     return encode_y4m(frames, colorspace="C420jpeg")
 
 
@@ -227,7 +231,7 @@ WITH d AS (
   FROM d
 ), gk AS (
   SELECT doc_id,
-         CAST(doc_id % 3 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
+         CAST(doc_id % 4 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
            || CAST(h AS VARCHAR) || '|' || CAST(doc_id % 16 AS VARCHAR)
            || '|' || array_to_string(
                 list_transform(

@@ -260,13 +260,15 @@ class SampleFrames:
 
     Deterministic sampling: ``n_samples`` frame indices evenly spaced
     over the clip (same rule a production pipeline uses for thumbnail /
-    embedding extraction). REAL containers: MJPEG AVI (RIFF) and
-    YUV4MPEG2 via the from-scratch parsers in mycelium_ray.video, plus
-    the FAKEVID1 test fixture. Sampling picks indices BEFORE any frame
-    decode (the clip readers are lazy), so cost ∝ n_samples, not clip
-    length. mp4/webm stay NotImplementedError — inter-frame codecs need
-    ffmpeg-class decoders absent from this environment — and produce an
-    explicit error row instead of failing the batch.
+    embedding extraction). REAL containers: MJPEG AVI (RIFF), MJPEG mp4
+    (ISO 14496-12 sample tables), YUV4MPEG2 and animated GIF via the
+    from-scratch parsers in mycelium_ray.video/gif, plus the FAKEVID1
+    test fixture. Sampling picks indices BEFORE any frame decode (the
+    clip readers are lazy), so cost ∝ n_samples, not clip length.
+    webm and inter-frame mp4 codecs (H.264 etc.) stay
+    NotImplementedError — they need ffmpeg-class decoders absent from
+    this environment — and produce an explicit error row instead of
+    failing the batch.
     """
 
     def __init__(self, n_samples: int = 4):

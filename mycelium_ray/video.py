@@ -392,7 +392,9 @@ def probe_video(data: bytes) -> str | None:
 def open_video(data: bytes):
     """Dispatch to a clip reader (n_frames / frame_rgb / frame_encoded).
 
-    mp4/webm raise NotImplementedError (inter-frame codecs need
+    mp4 dispatches to Mp4Clip, which decodes 'jpeg' (MJPEG) sample
+    entries for real and raises NotImplementedError for inter-frame
+    codecs; webm raises NotImplementedError (VP8/VP9/AV1 need
     ffmpeg-class decoders); unknown bytes raise VideoFormatError.
     """
     kind = probe_video(data)
@@ -406,11 +408,14 @@ def open_video(data: bytes):
     if kind == "fakevid":
         from .stages.media import FixtureClip
         return FixtureClip(data)
-    if kind in ("mp4", "webm"):
+    if kind == "mp4":
+        return Mp4Clip(data)
+    if kind == "webm":
         raise NotImplementedError(
-            f"{kind} needs an inter-frame codec (ffmpeg/PyAV, absent "
-            "here); supported real containers: MJPEG AVI, YUV4MPEG2 "
-            "(mp4 container METADATA is available via probe_mp4_meta)")
+            "webm needs an inter-frame codec (ffmpeg/PyAV, absent "
+            "here); supported real containers: MJPEG AVI, MJPEG mp4, "
+            "YUV4MPEG2, animated GIF (webm container METADATA is "
+            "available via probe_webm_meta)")
     raise VideoFormatError("unrecognized video container")
 
 
@@ -514,6 +519,219 @@ def write_mp4_skeleton(duration_ms: int, width: int, height: int,
     moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
     ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isomiso2")
     return ftyp + moov
+
+
+# ==========================================================================
+# MP4 MJPEG (ISO/IEC 14496-12 full sample tables, 'jpeg' sample entry)
+# ==========================================================================
+# Motion-JPEG in an ISO BMFF container is the one mp4 variant a
+# from-scratch build can honestly decode: every sample is an intra-coded
+# JPEG picture (the in-repo T.81 codec), and the container work is pure
+# box/sample-table structure — stsd/stts/stsc/stsz/stco per 14496-12
+# §8.5-8.7. Inter-frame codecs (H.264/H.265/AV1) stay stubbed.
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full_box(typ: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return _box(typ, bytes([version]) + flags.to_bytes(3, "big") + payload)
+
+
+def mux_mp4_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                  fps: tuple[int, int] = (25, 1),
+                  timescale: int = 1000) -> bytes:
+    """Mux pre-encoded JPEG frames into a single-track MJPEG mp4.
+
+    One mdat chunk holds all samples back to back; the sample tables
+    describe them exactly (stts one run, stsc one run, stsz per-sample
+    sizes, stco one chunk offset). Layout is ftyp + moov + mdat; the
+    moov byte length does not depend on the stco VALUE, so the chunk
+    offset is computed in a second pass."""
+    n = len(jpeg_frames)
+    if n == 0:
+        raise VideoFormatError("mp4 mux needs at least one frame")
+    delta = max(1, timescale * fps[1] // fps[0])
+    dur = n * delta
+
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_idx
+             + struct.pack(">HH", 0, 0)                   # pre_def/rsvd
+             + struct.pack(">III", 0, 0, 0)               # pre_defined
+             + struct.pack(">HH", width, height)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + struct.pack(">I", 0)                        # reserved
+             + struct.pack(">H", 1)                        # frame_count
+             + bytes([4]) + b"mjpg" + b"\x00" * 27         # compressorname
+             + struct.pack(">Hh", 24, -1))                 # depth, pre_def
+    stsd = _full_box(b"stsd", 0, 0,
+                     struct.pack(">I", 1) + _box(b"jpeg", entry))
+    stts = _full_box(b"stts", 0, 0, struct.pack(">III", 1, n, delta))
+    stsc = _full_box(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full_box(b"stsz", 0, 0,
+                     struct.pack(">II", 0, n)
+                     + b"".join(struct.pack(">I", len(f))
+                                for f in jpeg_frames))
+
+    def build(chunk_off: int) -> bytes:
+        stco = _full_box(b"stco", 0, 0,
+                         struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        vmhd = _full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+        dref = _full_box(b"dref", 0, 0,
+                         struct.pack(">I", 1) + _full_box(b"url ", 0, 1,
+                                                          b""))
+        minf = _box(b"minf", vmhd + _box(b"dinf", dref) + stbl)
+        mdhd = _full_box(b"mdhd", 0, 0,
+                         struct.pack(">IIII", 0, 0, timescale, dur)
+                         + struct.pack(">HH", 0x55C4, 0))   # 'und'
+        hdlr = _full_box(b"hdlr", 0, 0,
+                         struct.pack(">I", 0) + b"vide"
+                         + b"\x00" * 12 + b"VideoHandler\x00")
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full_box(b"tkhd", 0, 7,
+                         struct.pack(">IIII", 0, 0, 1, 0)
+                         + struct.pack(">I", dur) + b"\x00" * 8
+                         + struct.pack(">HHHH", 0, 0, 0, 0)
+                         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                       0, 0, 0, 0x40000000)
+                         + struct.pack(">II", width << 16, height << 16))
+        mvhd = _full_box(b"mvhd", 0, 0,
+                         struct.pack(">IIII", 0, 0, timescale, dur)
+                         + struct.pack(">I", 0x00010000)
+                         + struct.pack(">H", 0x0100) + b"\x00" * 10
+                         + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000,
+                                       0, 0, 0, 0x40000000)
+                         + b"\x00" * 24 + struct.pack(">I", 2))
+        moov = _box(b"moov", mvhd + _box(b"trak", tkhd + mdia))
+        ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200)
+                    + b"isomiso2mp41")
+        mdat = _box(b"mdat", b"".join(jpeg_frames))
+        return ftyp + moov + mdat
+
+    probe = build(0)
+    mdat_payload_off = len(probe) - sum(len(f) for f in jpeg_frames)
+    return build(mdat_payload_off)
+
+
+class Mp4Clip:
+    """ISO BMFF reader for intra-frame ('jpeg' sample entry) tracks:
+    full stsd/stsz/stsc/stco(+co64) sample-table resolution, lazy frame
+    slicing (a sampler touching 4 of 10k samples decodes 4). Tracks
+    whose sample entry is an inter-frame codec raise NotImplementedError
+    — that boundary is unchanged."""
+
+    def __init__(self, data: bytes):
+        if len(data) < 12 or data[4:8] != b"ftyp":
+            raise VideoFormatError("not an ISO BMFF (mp4) file")
+        self._data = data
+        self.width = self.height = 0
+        self._frames: list[tuple[int, int]] = []
+        codec = None
+        for typ, body, end in _iter_boxes(data, 0, len(data)):
+            if typ == b"moov":
+                codec = self._walk_moov(body, end)
+                break
+        if not self._frames:
+            if codec is not None:
+                raise NotImplementedError(
+                    f"mp4 sample entry {codec!r} is an inter-frame codec "
+                    "(needs ffmpeg/PyAV, absent here); 'jpeg' (MJPEG) "
+                    "tracks decode for real")
+            raise VideoFormatError("mp4 has no decodable video track")
+
+    def _walk_moov(self, pos: int, end: int):
+        data = self._data
+        codec_seen = None
+        for t, b, e in _iter_boxes(data, pos, end):
+            if t != b"trak":
+                continue
+            for t2, b2, e2 in _iter_boxes(data, b, e):
+                if t2 != b"mdia":
+                    continue
+                for t3, b3, e3 in _iter_boxes(data, b2, e2):
+                    if t3 != b"minf":
+                        continue
+                    for t4, b4, e4 in _iter_boxes(data, b3, e3):
+                        if t4 == b"stbl":
+                            c = self._parse_stbl(b4, e4)
+                            if self._frames:
+                                return c
+                            codec_seen = codec_seen or c
+        return codec_seen
+
+    def _parse_stbl(self, pos: int, end: int):
+        data = self._data
+        fmt = None
+        sizes: list[int] = []
+        chunk_offs: list[int] = []
+        stsc_runs: list[tuple[int, int]] = []  # (first_chunk, per_chunk)
+        for t, b, e in _iter_boxes(data, pos, end):
+            if t == b"stsd":
+                (cnt,) = struct.unpack(">I", data[b + 4:b + 8])
+                if cnt >= 1:
+                    fmt = data[b + 12:b + 16]
+                    if fmt == b"jpeg" and e - b >= 44:
+                        self.width, self.height = struct.unpack(
+                            ">HH", data[b + 40:b + 44])
+            elif t == b"stsz":
+                fixed, n = struct.unpack(">II", data[b + 4:b + 12])
+                if fixed:
+                    sizes = [fixed] * n
+                else:
+                    sizes = list(struct.unpack(
+                        f">{n}I", data[b + 12:b + 12 + 4 * n]))
+            elif t == b"stco":
+                (n,) = struct.unpack(">I", data[b + 4:b + 8])
+                chunk_offs = list(struct.unpack(
+                    f">{n}I", data[b + 8:b + 8 + 4 * n]))
+            elif t == b"co64":
+                (n,) = struct.unpack(">I", data[b + 4:b + 8])
+                chunk_offs = list(struct.unpack(
+                    f">{n}Q", data[b + 8:b + 8 + 8 * n]))
+            elif t == b"stsc":
+                (n,) = struct.unpack(">I", data[b + 4:b + 8])
+                for i in range(n):
+                    fc, spc, _sdi = struct.unpack(
+                        ">III", data[b + 8 + 12 * i:b + 20 + 12 * i])
+                    stsc_runs.append((fc, spc))
+        if fmt != b"jpeg" or not sizes or not chunk_offs or not stsc_runs:
+            return fmt
+        # expand chunk runs → per-sample (offset, size)
+        si = 0
+        for ci, coff in enumerate(chunk_offs, start=1):
+            spc = next((spc for fc, spc in reversed(stsc_runs)
+                        if fc <= ci), stsc_runs[0][1])
+            off = coff
+            for _ in range(spc):
+                if si >= len(sizes):
+                    break
+                self._frames.append((off, sizes[si]))
+                off += sizes[si]
+                si += 1
+        if si != len(sizes):
+            raise VideoFormatError("mp4 sample tables are inconsistent")
+        return fmt
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def frame_encoded(self, i: int) -> bytes:
+        off, ln = self._frames[i]
+        if off + ln > len(self._data):
+            raise VideoFormatError("mp4 sample points past EOF")
+        return self._data[off:off + ln]
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        from .imaging import decode_image
+        px, _fmt = decode_image(self.frame_encoded(i))
+        return px
+
+    def frame_pair(self, i: int) -> tuple[bytes, np.ndarray]:
+        fb = self.frame_encoded(i)
+        from .imaging import decode_image
+        px, _fmt = decode_image(fb)
+        return fb, px
 
 
 # ==========================================================================

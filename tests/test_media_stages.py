@@ -76,8 +76,10 @@ def test_frame_sampling_plumbing(ray_session):
 
 
 def test_frame_sampler_stub_raises_directly():
+    # webm stays the honest codec boundary (mp4 now decodes MJPEG
+    # tracks for real; see test_video.py for its round trips)
     with pytest.raises(NotImplementedError):
-        SampleFrames()._frames(b"\x00\x00\x00\x18ftypmp42")
+        SampleFrames()._frames(b"\x1a\x45\xdf\xa3xxxx")
 
 
 def test_audio_features_real_wav(ray_session):

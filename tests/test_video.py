@@ -144,8 +144,11 @@ def test_probe_and_open_dispatch():
     assert probe_video(b"nonsense") is None
     assert open_video(avi).n_frames == 1
     assert open_video(y4m).n_frames == 1
-    with pytest.raises(NotImplementedError):
+    # bare ftyp (no moov/track) is malformed, not "unsupported codec"
+    with pytest.raises(VideoFormatError):
         open_video(b"\x00\x00\x00\x18ftypmp42")
+    with pytest.raises(NotImplementedError):
+        open_video(b"\x1a\x45\xdf\xa3xxxx")  # webm stays the boundary
     with pytest.raises(VideoFormatError):
         open_video(b"nonsense")
 
@@ -220,7 +223,7 @@ def test_video_dup_groups_match_param_groups(ray_session):
         n, w, h = _clip_params(d)
         take = min(N_SAMPLES, n)
         idxs = tuple(i * n // take for i in range(take))
-        want_key[d] = (d % 3, w, h, d % 16, idxs)
+        want_key[d] = (d % 4, w, h, d % 16, idxs)
     by_key = {}
     for d, key in want_key.items():
         by_key.setdefault(key, []).append(d)
@@ -360,3 +363,78 @@ def test_jpeg_probe_fill_bytes_and_truncation():
     assert probe_image_meta(filled) == ("jpeg", 48, 32)
     with pytest.raises(ImageDecodeError):
         probe_image_meta(b"FAKEJPG1abc")  # truncated stub header
+
+
+# --------------------------------------------------------------------------
+# MJPEG mp4 (ISO 14496-12 sample tables)
+# --------------------------------------------------------------------------
+def test_mp4_mjpeg_mux_demux_bit_exact_frames():
+    from mycelium_ray.video import Mp4Clip, mux_mp4_mjpeg
+    enc = [encode_jpeg(f) for f in FRAMES]
+    data = mux_mp4_mjpeg(enc, 48, 32)
+    assert probe_video(data) == "mp4"
+    clip = open_video(data)
+    assert isinstance(clip, Mp4Clip)
+    assert clip.n_frames == len(FRAMES)
+    assert (clip.width, clip.height) == (48, 32)
+    for i, e in enumerate(enc):
+        assert clip.frame_encoded(i) == e  # stored samples, untouched
+    # decoded pixels meet the same PSNR bar as the AVI path
+    for i, f in enumerate(FRAMES):
+        px = clip.frame_rgb(i)
+        assert px.shape == f.shape
+        mse = np.mean((px.astype(float) - f.astype(float)) ** 2)
+        assert mse == 0 or 10 * np.log10(255.0 ** 2 / mse) >= 35
+
+
+def test_mp4_mjpeg_metadata_and_duration():
+    from mycelium_ray.video import mux_mp4_mjpeg, probe_mp4_meta
+    enc = [encode_jpeg(f) for f in FRAMES]
+    m = probe_mp4_meta(mux_mp4_mjpeg(enc, 48, 32, fps=(25, 1)))
+    assert m["tracks"] == [(48, 32)]
+    assert m["duration_ms"] == len(FRAMES) * 40  # 25 fps → 40 ms/frame
+
+
+def test_mp4_inter_frame_codec_raises_not_implemented():
+    """A structurally-valid mp4 whose sample entry is avc1 (H.264) must
+    hit the honest codec boundary, not a parse error."""
+    from mycelium_ray.video import mux_mp4_mjpeg
+    data = mux_mp4_mjpeg([encode_jpeg(FRAMES[0])], 48, 32)
+    swapped = data.replace(b"jpeg", b"avc1", 1)  # stsd entry fourcc
+    with pytest.raises(NotImplementedError, match="avc1"):
+        open_video(swapped)
+
+
+def test_mp4_inconsistent_sample_tables_detected():
+    from mycelium_ray.video import mux_mp4_mjpeg
+    import struct as _s
+    enc = [encode_jpeg(f) for f in FRAMES]
+    data = bytearray(mux_mp4_mjpeg(enc, 48, 32))
+    # corrupt stsz sample_count upward → table mismatch must raise
+    i = bytes(data).index(b"stsz")
+    cnt_off = i + 4 + 4 + 4  # fourcc + version/flags + fixed_size
+    (n,) = _s.unpack(">I", data[cnt_off:cnt_off + 4])
+    data[cnt_off:cnt_off + 4] = _s.pack(">I", n + 3)
+    with pytest.raises(VideoFormatError):
+        open_video(bytes(data))
+
+
+def test_sample_frames_real_mp4(ray_session):
+    """SampleFrames demuxes MJPEG mp4 clips end to end (the %4==3 leg
+    of the derived video corpus)."""
+    from mycelium_ray.pipelines.videoops import (_clip_params,
+                                                 synth_video_row)
+    doc = next(d for d in range(3, 40, 4) if d % 4 == 3)
+    n, w, h = _clip_params(doc)
+    blob = synth_video_row(doc)
+    assert probe_video(blob) == "mp4"
+    import pyarrow as pa
+    from mycelium_ray.stages.media import SampleFrames
+    out = SampleFrames(n_samples=4)(pa.table({
+        "video_id": pa.array([f"http://vid.test/d/{doc}"]),
+        "video": pa.array([blob], pa.binary()),
+    }))
+    df = out.to_pandas()
+    assert df["sample_ok"].all()
+    assert len(df) == min(4, n)
+    assert (df["w"] == w).all() and (df["h"] == h).all()
