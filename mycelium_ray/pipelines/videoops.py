@@ -258,15 +258,16 @@ ORDER BY doc_id
 # doc_id arithmetically → full oracle.
 # --------------------------------------------------------------------------
 def _vmeta_params(doc_id: int) -> tuple[str, int, int, int]:
-    """(fmt, n_frames, w, h); for mp4/webm n_frames is -1 (metadata
-    skeletons carry duration instead of a sample table)."""
+    """(fmt, n_frames, w, h); webm n_frames is -1 (its metadata
+    skeleton carries duration instead of a sample table); mp4 rows are
+    REAL MJPEG clips, so their sample count is readable from stsz."""
     k = (doc_id * _KNUTH) % (1 << 32)
     kind = doc_id % 5
     n_frames = 2 + (k // 16) % 7
     w = 16 + 8 * (k % 3)
     h = 16 + 8 * ((k // 256) % 2)
     if kind == 2:
-        return "mp4", -1, w, h
+        return "mp4", n_frames, w, h
     if kind == 3:
         return "webm", -1, w, h
     if kind == 4:
@@ -275,12 +276,14 @@ def _vmeta_params(doc_id: int) -> tuple[str, int, int, int]:
 
 
 def synth_video_meta_row(doc_id: int) -> bytes:
-    from ..video import (encode_y4m, mux_avi_mjpeg, write_mp4_skeleton,
+    from ..video import (encode_y4m, mux_avi_mjpeg, mux_mp4_mjpeg,
                          write_webm_skeleton)
     fmt, n, w, h = _vmeta_params(doc_id)
     k = (doc_id * _KNUTH) % (1 << 32)
     if fmt == "mp4":
-        return write_mp4_skeleton(1000 + k % 9000, w, h)
+        from ..jpeg import encode_jpeg
+        return mux_mp4_mjpeg([encode_jpeg(_frame_px(doc_id, i, w, h))
+                              for i in range(n)], w, h)
     if fmt == "webm":
         return write_webm_skeleton(1000 + k % 9000, w, h)
     if fmt == "gif":
@@ -322,6 +325,16 @@ class VideoProbe:
                               (-1, -1))
                     fmt, (w, h) = kind, vt
                     dur, ok = m["duration_ms"], True
+                    if kind == "mp4":
+                        # intra-frame (MJPEG) tracks expose a sample
+                        # table; Mp4Clip parses it WITHOUT any frame
+                        # decode. Inter-frame codecs / metadata-only
+                        # skeletons keep n_frames = -1.
+                        from ..video import Mp4Clip
+                        try:
+                            nf = Mp4Clip(data).n_frames
+                        except Exception:
+                            pass
                 elif kind == "gif":
                     from ..gif import probe_gif_meta
                     m = probe_gif_meta(data)   # header walk, no LZW
@@ -391,7 +404,7 @@ WITH d AS (
          CASE kind WHEN 0 THEN 'avi' WHEN 1 THEN 'y4m'
                    WHEN 2 THEN 'mp4' WHEN 3 THEN 'webm' ELSE 'gif' END
            AS fmt,
-         CASE WHEN kind IN (2, 3) THEN -1 ELSE 2 + (k // 16) % 7 END
+         CASE WHEN kind = 3 THEN -1 ELSE 2 + (k // 16) % 7 END
            AS n_frames,
          16 + 8 * (k % 3) AS w,
          16 + 8 * ((k // 256) % 2) AS h
@@ -402,7 +415,8 @@ SELECT 'http://vid.test/m/' || CAST(doc_id AS VARCHAR) AS video_id,
        CAST(n_frames AS BIGINT) AS n_frames,
        CAST(w AS BIGINT) AS w,
        CAST(h AS BIGINT) AS h,
-       CAST(CASE WHEN kind IN (2, 3) THEN 1000 + k % 9000
+       CAST(CASE WHEN kind = 2 THEN 40 * n_frames
+                 WHEN kind = 3 THEN 1000 + k % 9000
                  WHEN kind = 4 THEN 100 * n_frames
                  ELSE -1 END AS BIGINT) AS duration_ms,
        TRUE AS meta_ok,
