@@ -1,11 +1,12 @@
 """Video-payload pipeline over derived clips — the video analog of
 audio.py: each document seeds a deterministic short clip, muxed with the
-from-scratch container writers (doc_id%4 → MJPEG AVI via
+from-scratch container writers (doc_id%5 → MJPEG AVI via
 mycelium_ray/video.py, YUV4MPEG2, animated GIF via mycelium_ray/gif.py,
-or MJPEG mp4 with full ISO 14496-12 sample tables) and REALLY demuxed +
-frame-decoded by the SampleFrames actor stage, so the driver's oracle
-gate exercises the full mux→demux→JPEG/Y4M/GIF-LZW-decode path end to
-end across all four containers.
+MJPEG mp4 with full ISO 14496-12 sample tables, or V_MJPEG Matroska
+over RFC 8794 EBML) and REALLY demuxed + frame-decoded by the
+SampleFrames actor stage, so the driver's oracle gate exercises the
+full mux→demux→JPEG/Y4M/GIF-LZW-decode path end to end across all five
+containers.
 
 Clip geometry (frame count, width, height) derives from doc_id by pure
 integer arithmetic mirrored in the SQL oracle, so the sampled frame
@@ -66,23 +67,27 @@ def _gif_frame_px(doc_id: int, i: int, w: int, h: int) -> np.ndarray:
 
 
 def synth_video_row(doc_id: int) -> bytes:
-    """Deterministic clip bytes, doc_id%4 → MJPEG AVI / Y4M / animated
-    GIF / MJPEG mp4 (the four REAL frame containers)."""
-    from ..video import encode_y4m, mux_avi_mjpeg, mux_mp4_mjpeg
+    """Deterministic clip bytes, doc_id%5 → MJPEG AVI / Y4M / animated
+    GIF / MJPEG mp4 / V_MJPEG Matroska (the five REAL frame
+    containers)."""
+    from ..video import (encode_y4m, mux_avi_mjpeg, mux_mkv_mjpeg,
+                         mux_mp4_mjpeg)
     n, w, h = _clip_params(doc_id)
-    kind = doc_id % 4
+    kind = doc_id % 5
     if kind == 2:
         from ..gif import encode_gif
         return encode_gif([_gif_frame_px(doc_id, i, w, h)
                            for i in range(n)])
     frames = [_frame_px(doc_id, i, w, h) for i in range(n)]
+    if kind == 1:
+        return encode_y4m(frames, colorspace="C420jpeg")
+    from ..jpeg import encode_jpeg
+    jpegs = [encode_jpeg(f) for f in frames]
     if kind == 0:
-        from ..jpeg import encode_jpeg
-        return mux_avi_mjpeg([encode_jpeg(f) for f in frames], w, h)
+        return mux_avi_mjpeg(jpegs, w, h)
     if kind == 3:
-        from ..jpeg import encode_jpeg
-        return mux_mp4_mjpeg([encode_jpeg(f) for f in frames], w, h)
-    return encode_y4m(frames, colorspace="C420jpeg")
+        return mux_mp4_mjpeg(jpegs, w, h)
+    return mux_mkv_mjpeg(jpegs, w, h)
 
 
 def derive_video_batch(batch: pa.Table) -> pa.Table:
@@ -231,7 +236,7 @@ WITH d AS (
   FROM d
 ), gk AS (
   SELECT doc_id,
-         CAST(doc_id % 4 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
+         CAST(doc_id % 5 AS VARCHAR) || '|' || CAST(w AS VARCHAR) || '|'
            || CAST(h AS VARCHAR) || '|' || CAST(doc_id % 16 AS VARCHAR)
            || '|' || array_to_string(
                 list_transform(
@@ -325,16 +330,17 @@ class VideoProbe:
                               (-1, -1))
                     fmt, (w, h) = kind, vt
                     dur, ok = m["duration_ms"], True
-                    if kind == "mp4":
-                        # intra-frame (MJPEG) tracks expose a sample
-                        # table; Mp4Clip parses it WITHOUT any frame
-                        # decode. Inter-frame codecs / metadata-only
-                        # skeletons keep n_frames = -1.
-                        from ..video import Mp4Clip
-                        try:
-                            nf = Mp4Clip(data).n_frames
-                        except Exception:
-                            pass
+                    # intra-frame (MJPEG) tracks expose their samples
+                    # in container structure — Mp4Clip parses the
+                    # stsz/stco tables, MkvClip walks Cluster blocks,
+                    # neither decodes a frame. Inter-frame codecs /
+                    # metadata-only skeletons keep n_frames = -1.
+                    from ..video import MkvClip, Mp4Clip
+                    try:
+                        nf = (Mp4Clip(data) if kind == "mp4"
+                              else MkvClip(data)).n_frames
+                    except Exception:
+                        pass
                 elif kind == "gif":
                     from ..gif import probe_gif_meta
                     m = probe_gif_meta(data)   # header walk, no LZW

@@ -27,12 +27,15 @@ selects frame indices BEFORE decode so a 10k-frame clip with
 n_samples=4 decodes 4 frames, not 10k (the reason the demux returns
 offsets, not materialized frames).
 
-Unsupported compressed containers (mp4/ftyp, webm/EBML, mpeg-ts) still
-raise NotImplementedError from open_video — inter-frame codecs (H.264
-etc.) are out of scope without ffmpeg and are stubbed honestly — but
-mp4 CONTAINER METADATA (duration, track dims from moov/mvhd/tkhd, ISO
-14496-12 box walk) is parsed for real by probe_mp4_meta, so triage by
-duration/dims works even where frame decode cannot.
+mp4 (ISO 14496-12) and Matroska/webm (RFC 8794 EBML) are ALSO real for
+intra-frame Motion-JPEG payloads: mux_mp4_mjpeg/Mp4Clip resolve full
+stsd/stts/stsc/stsz/stco sample tables, and mux_mkv_mjpeg/MkvClip walk
+Tracks/Clusters/SimpleBlocks for CodecID "V_MJPEG". The honest
+NotImplementedError boundary now sits at the CODEC level: avc1/hev1 in
+mp4 and V_VP8/V_VP9/V_AV1 in webm need ffmpeg-class inter-frame
+decoders that are out of scope, and container METADATA (duration,
+track dims) is parsed for real by probe_mp4_meta/probe_webm_meta so
+triage works even where frame decode cannot.
 
 Reference parity note: larroy/mycelium has no video path at all; this
 module exists for the build brief's multimodal-column story.
@@ -48,6 +51,8 @@ __all__ = [
     "VideoFormatError", "probe_video", "open_video",
     "mux_avi_mjpeg", "AviClip",
     "encode_y4m", "Y4mClip",
+    "mux_mp4_mjpeg", "Mp4Clip",
+    "mux_mkv_mjpeg", "MkvClip",
     "rgb_to_ycbcr601", "ycbcr601_to_rgb",
 ]
 
@@ -411,11 +416,7 @@ def open_video(data: bytes):
     if kind == "mp4":
         return Mp4Clip(data)
     if kind == "webm":
-        raise NotImplementedError(
-            "webm needs an inter-frame codec (ffmpeg/PyAV, absent "
-            "here); supported real containers: MJPEG AVI, MJPEG mp4, "
-            "YUV4MPEG2, animated GIF (webm container METADATA is "
-            "available via probe_webm_meta)")
+        return MkvClip(data)
     raise VideoFormatError("unrecognized video container")
 
 
@@ -845,24 +846,32 @@ def probe_webm_meta(data: bytes) -> dict:
             "tracks": tracks}
 
 
+def _ebml_id_bytes(eid: int) -> bytes:
+    # element IDs serialize with their marker bit as stored
+    n = (eid.bit_length() + 7) // 8
+    return eid.to_bytes(n, "big")
+
+
+def _ebml_size_bytes(n: int) -> bytes:
+    # 4-byte size varint covers every payload we write (≤ 2^28-1)
+    if n >= 0x10000000:
+        raise VideoFormatError("EBML payload too large for 4-byte size")
+    return struct.pack(">I", n | 0x10000000)
+
+
+def _ebml_elem(eid: int, payload: bytes) -> bytes:
+    return _ebml_id_bytes(eid) + _ebml_size_bytes(len(payload)) + payload
+
+
+def _ebml_uint_payload(v: int) -> bytes:
+    n = max(1, (v.bit_length() + 7) // 8)
+    return v.to_bytes(n, "big")
+
+
 def write_webm_skeleton(duration_ms: int, width: int, height: int) -> bytes:
     """Minimal structurally-valid webm: EBML header + Segment(Info +
     Tracks(TrackEntry(Video))). Metadata fixture, no Clusters."""
-    def vid(eid: int) -> bytes:
-        # element IDs serialize with their marker bit as stored
-        n = (eid.bit_length() + 7) // 8
-        return eid.to_bytes(n, "big")
-
-    def vsize(n: int) -> bytes:
-        # 4-byte size varint covers all fixture payloads
-        return struct.pack(">I", n | 0x10000000)
-
-    def elem(eid: int, payload: bytes) -> bytes:
-        return vid(eid) + vsize(len(payload)) + payload
-
-    def uint_payload(v: int) -> bytes:
-        n = max(1, (v.bit_length() + 7) // 8)
-        return v.to_bytes(n, "big")
+    elem, uint_payload = _ebml_elem, _ebml_uint_payload
 
     ebml_hdr = elem(0x1A45DFA3,
                     elem(0x4282, b"webm")        # DocType
@@ -881,3 +890,165 @@ def write_webm_skeleton(duration_ms: int, width: int, height: int) -> bytes:
     segment = elem(_EBML_SEGMENT,
                    info + elem(_EBML_TRACKS, track))
     return ebml_hdr + segment
+
+
+# ==========================================================================
+# Matroska V_MJPEG (RFC 8794 EBML + Matroska codec id "V_MJPEG")
+# ==========================================================================
+# The same move as MJPEG-mp4: Matroska's block structure is pure EBML,
+# and V_MJPEG samples are intra-coded JPEG pictures the in-repo T.81
+# codec decodes for real. VP8/VP9/AV1 (the codecs actual .webm files
+# carry) stay honestly stubbed — MkvClip raises NotImplementedError on
+# them by CodecID.
+
+_EBML_CLUSTER = 0x1F43B675
+_EBML_CLUSTER_TS = 0xE7
+_EBML_SIMPLEBLOCK = 0xA3
+_EBML_BLOCKGROUP = 0xA0
+_EBML_BLOCK = 0xA1
+_EBML_TRACKNUMBER = 0xD7
+_EBML_TRACKTYPE = 0x83
+_EBML_CODECID = 0x86
+
+
+def mux_mkv_mjpeg(jpeg_frames: list[bytes], width: int, height: int,
+                  fps: tuple[int, int] = (25, 1)) -> bytes:
+    """Mux pre-encoded JPEG frames into a single-track V_MJPEG
+    Matroska file: EBML header (DocType 'matroska') + Segment(Info,
+    Tracks, one Cluster of SimpleBlocks). Timestamps: 1 ms ticks,
+    frame i at i·1000·fps_den/fps_num ms, all keyframes (MJPEG is
+    intra-only)."""
+    if not jpeg_frames:
+        raise VideoFormatError("mkv mux needs at least one frame")
+    elem, uintp = _ebml_elem, _ebml_uint_payload
+    n = len(jpeg_frames)
+    delta_ms = max(1, 1000 * fps[1] // fps[0])
+    if (n - 1) * delta_ms > 0x7FFF:
+        raise VideoFormatError("clip too long for one mkv cluster")
+
+    ebml_hdr = elem(0x1A45DFA3,
+                    elem(0x4282, b"matroska")    # DocType
+                    + elem(0x4287, b"\x04"))     # DocTypeVersion
+    info = elem(_EBML_INFO,
+                elem(_EBML_TIMESCALE, uintp(1_000_000))
+                + elem(_EBML_DURATION,
+                       struct.pack(">d", float(n * delta_ms))))
+    video = elem(_EBML_VIDEO,
+                 elem(_EBML_PIXELW, uintp(width))
+                 + elem(_EBML_PIXELH, uintp(height)))
+    track = elem(_EBML_TRACKENTRY,
+                 elem(_EBML_TRACKNUMBER, b"\x01")
+                 + elem(0x73C5, b"\x01")          # TrackUID
+                 + elem(_EBML_TRACKTYPE, b"\x01")  # video
+                 + elem(_EBML_CODECID, b"V_MJPEG")
+                 + video)
+    blocks = []
+    for i, f in enumerate(jpeg_frames):
+        # SimpleBlock: track varint (0x81 = track 1) + s16 relative
+        # timecode + flags (0x80 keyframe, no lacing) + frame bytes
+        hdr = b"\x81" + struct.pack(">h", i * delta_ms) + b"\x80"
+        blocks.append(elem(_EBML_SIMPLEBLOCK, hdr + f))
+    cluster = elem(_EBML_CLUSTER,
+                   elem(_EBML_CLUSTER_TS, uintp(0)) + b"".join(blocks))
+    segment = elem(_EBML_SEGMENT,
+                   info + elem(_EBML_TRACKS, track) + cluster)
+    return ebml_hdr + segment
+
+
+class MkvClip:
+    """Matroska/webm reader for V_MJPEG tracks: EBML walk over
+    Tracks (codec dispatch) and Clusters (SimpleBlock + BlockGroup/
+    Block), lazy frame slicing. Tracks carrying inter-frame codecs
+    (V_VP8/V_VP9/V_AV1/...) raise NotImplementedError — the honest
+    boundary, now at the CODEC level instead of the container."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != b"\x1a\x45\xdf\xa3":
+            raise VideoFormatError("not an EBML (webm/matroska) file")
+        self._data = data
+        self.width = self.height = 0
+        self._frames: list[tuple[int, int]] = []
+        track_num = None
+        codec = None
+        cluster_spans: list[tuple[int, int]] = []
+        for eid, a, b in _ebml_iter(data, 0, len(data)):
+            if eid != _EBML_SEGMENT:
+                continue
+            for e2, a2, b2 in _ebml_iter(data, a, b):
+                if e2 == _EBML_TRACKS:
+                    for e3, a3, b3 in _ebml_iter(data, a2, b2):
+                        if e3 != _EBML_TRACKENTRY:
+                            continue
+                        tn = ttype = None
+                        cid = None
+                        w = h = 0
+                        for e4, a4, b4 in _ebml_iter(data, a3, b3):
+                            if e4 == _EBML_TRACKNUMBER:
+                                tn = _ebml_uint(data, a4, b4)
+                            elif e4 == _EBML_TRACKTYPE:
+                                ttype = _ebml_uint(data, a4, b4)
+                            elif e4 == _EBML_CODECID:
+                                cid = data[a4:b4].rstrip(b"\x00")
+                            elif e4 == _EBML_VIDEO:
+                                for e5, a5, b5 in _ebml_iter(data, a4, b4):
+                                    if e5 == _EBML_PIXELW:
+                                        w = _ebml_uint(data, a5, b5)
+                                    elif e5 == _EBML_PIXELH:
+                                        h = _ebml_uint(data, a5, b5)
+                        if ttype == 1 and track_num is None:
+                            track_num, codec = tn, cid
+                            self.width, self.height = w, h
+                elif e2 == _EBML_CLUSTER:
+                    cluster_spans.append((a2, b2))
+        if track_num is None:
+            raise VideoFormatError("mkv has no video track")
+        if codec is None:
+            # a metadata skeleton (no CodecID) is malformed as a CLIP,
+            # not an unsupported codec
+            raise VideoFormatError("mkv video track has no CodecID")
+        if codec != b"V_MJPEG":
+            raise NotImplementedError(
+                f"mkv codec {codec!r} is an inter-frame codec (needs "
+                "ffmpeg/PyAV, absent here); V_MJPEG tracks decode for "
+                "real")
+        for a2, b2 in cluster_spans:
+            for e3, a3, b3 in _ebml_iter(data, a2, b2):
+                if e3 == _EBML_SIMPLEBLOCK:
+                    self._add_block(a3, b3, track_num)
+                elif e3 == _EBML_BLOCKGROUP:
+                    for e4, a4, b4 in _ebml_iter(data, a3, b3):
+                        if e4 == _EBML_BLOCK:
+                            self._add_block(a4, b4, track_num)
+        if not self._frames:
+            raise VideoFormatError("mkv V_MJPEG track has no blocks")
+
+    def _add_block(self, a: int, b: int, track_num: int) -> None:
+        data = self._data
+        tn, pos = _ebml_varint(data, a, keep_marker=False)
+        if tn != track_num:
+            return
+        if pos + 3 > b:
+            raise VideoFormatError("truncated mkv block header")
+        flags = data[pos + 2]
+        if flags & 0x06:
+            raise VideoFormatError("mkv block lacing is not supported")
+        self._frames.append((pos + 3, b - (pos + 3)))
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._frames)
+
+    def frame_encoded(self, i: int) -> bytes:
+        off, ln = self._frames[i]
+        return self._data[off:off + ln]
+
+    def frame_rgb(self, i: int) -> np.ndarray:
+        from .imaging import decode_image
+        px, _fmt = decode_image(self.frame_encoded(i))
+        return px
+
+    def frame_pair(self, i: int) -> tuple[bytes, np.ndarray]:
+        fb = self.frame_encoded(i)
+        from .imaging import decode_image
+        px, _fmt = decode_image(fb)
+        return fb, px

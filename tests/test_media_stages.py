@@ -76,10 +76,17 @@ def test_frame_sampling_plumbing(ray_session):
 
 
 def test_frame_sampler_stub_raises_directly():
-    # webm stays the honest codec boundary (mp4 now decodes MJPEG
-    # tracks for real; see test_video.py for its round trips)
+    # the honest boundary is now at the CODEC level: a structurally
+    # valid mkv whose track carries an inter-frame codec (VP9) raises
+    # NotImplementedError (mp4/mkv MJPEG tracks decode for real; see
+    # test_video.py for the round trips)
+    from mycelium_ray.jpeg import encode_jpeg
+    from mycelium_ray.video import mux_mkv_mjpeg
+    frame = np.zeros((16, 16, 3), dtype=np.uint8)
+    mkv = mux_mkv_mjpeg([encode_jpeg(frame)], 16, 16)
+    vp9 = mkv.replace(b"V_MJPEG", b"V_VP9\x00\x00", 1)
     with pytest.raises(NotImplementedError):
-        SampleFrames()._frames(b"\x1a\x45\xdf\xa3xxxx")
+        SampleFrames()._frames(vp9)
 
 
 def test_audio_features_real_wav(ray_session):

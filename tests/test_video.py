@@ -147,8 +147,8 @@ def test_probe_and_open_dispatch():
     # bare ftyp (no moov/track) is malformed, not "unsupported codec"
     with pytest.raises(VideoFormatError):
         open_video(b"\x00\x00\x00\x18ftypmp42")
-    with pytest.raises(NotImplementedError):
-        open_video(b"\x1a\x45\xdf\xa3xxxx")  # webm stays the boundary
+    with pytest.raises(VideoFormatError):
+        open_video(b"\x1a\x45\xdf\xa3xxxx")  # truncated EBML is malformed
     with pytest.raises(VideoFormatError):
         open_video(b"nonsense")
 
@@ -223,7 +223,7 @@ def test_video_dup_groups_match_param_groups(ray_session):
         n, w, h = _clip_params(d)
         take = min(N_SAMPLES, n)
         idxs = tuple(i * n // take for i in range(take))
-        want_key[d] = (d % 4, w, h, d % 16, idxs)
+        want_key[d] = (d % 5, w, h, d % 16, idxs)
     by_key = {}
     for d, key in want_key.items():
         by_key.setdefault(key, []).append(d)
@@ -419,15 +419,15 @@ def test_mp4_inconsistent_sample_tables_detected():
         open_video(bytes(data))
 
 
-def test_sample_frames_real_mp4(ray_session):
-    """SampleFrames demuxes MJPEG mp4 clips end to end (the %4==3 leg
-    of the derived video corpus)."""
+@pytest.mark.parametrize("doc,kind", [(3, "mp4"), (4, "webm")])
+def test_sample_frames_real_mp4_and_mkv(doc, kind, ray_session):
+    """SampleFrames demuxes MJPEG mp4 (%5==3) and V_MJPEG Matroska
+    (%5==4) clips end to end."""
     from mycelium_ray.pipelines.videoops import (_clip_params,
                                                  synth_video_row)
-    doc = next(d for d in range(3, 40, 4) if d % 4 == 3)
     n, w, h = _clip_params(doc)
     blob = synth_video_row(doc)
-    assert probe_video(blob) == "mp4"
+    assert probe_video(blob) == kind
     import pyarrow as pa
     from mycelium_ray.stages.media import SampleFrames
     out = SampleFrames(n_samples=4)(pa.table({
@@ -438,3 +438,56 @@ def test_sample_frames_real_mp4(ray_session):
     assert df["sample_ok"].all()
     assert len(df) == min(4, n)
     assert (df["w"] == w).all() and (df["h"] == h).all()
+
+
+# --------------------------------------------------------------------------
+# V_MJPEG Matroska
+# --------------------------------------------------------------------------
+def test_mkv_mjpeg_mux_demux_bit_exact_frames():
+    from mycelium_ray.video import MkvClip, mux_mkv_mjpeg
+    enc = [encode_jpeg(f) for f in FRAMES]
+    data = mux_mkv_mjpeg(enc, 48, 32)
+    assert probe_video(data) == "webm"
+    clip = open_video(data)
+    assert isinstance(clip, MkvClip)
+    assert clip.n_frames == len(FRAMES)
+    assert (clip.width, clip.height) == (48, 32)
+    for i, e in enumerate(enc):
+        assert clip.frame_encoded(i) == e
+    for i in (0, 3, 6):
+        assert _psnr(clip.frame_rgb(i), FRAMES[i]) >= 40.0
+
+
+def test_mkv_metadata_walk_sees_mjpeg_clip():
+    from mycelium_ray.video import mux_mkv_mjpeg, probe_webm_meta
+    enc = [encode_jpeg(f) for f in FRAMES]
+    m = probe_webm_meta(mux_mkv_mjpeg(enc, 48, 32, fps=(25, 1)))
+    assert m["tracks"] == [(48, 32)]
+    assert m["duration_ms"] == len(FRAMES) * 40
+
+
+def test_mkv_inter_frame_codec_raises_not_implemented():
+    from mycelium_ray.video import mux_mkv_mjpeg
+    data = mux_mkv_mjpeg([encode_jpeg(FRAMES[0])], 48, 32)
+    vp9 = data.replace(b"V_MJPEG", b"V_VP9\x00\x00", 1)
+    with pytest.raises(NotImplementedError, match="V_VP9"):
+        open_video(vp9)
+
+
+def test_mkv_skeleton_is_malformed_as_clip():
+    # the metadata-only webm skeleton (no CodecID, no Clusters) is a
+    # parse error at clip level, not an "unsupported codec"
+    from mycelium_ray.video import write_webm_skeleton
+    with pytest.raises(VideoFormatError):
+        open_video(write_webm_skeleton(2000, 64, 48))
+
+
+def test_mkv_lacing_rejected():
+    from mycelium_ray.video import mux_mkv_mjpeg
+    data = bytearray(mux_mkv_mjpeg([encode_jpeg(FRAMES[0])], 48, 32))
+    # flip the lacing bits in the single SimpleBlock's flags byte: the
+    # block payload is track(0x81) + tc(0x0000) + flags(0x80) + JPEG SOI
+    i = bytes(data).index(b"\x81\x00\x00\x80\xff\xd8")
+    data[i + 3] |= 0x06
+    with pytest.raises(VideoFormatError):
+        open_video(bytes(data))
