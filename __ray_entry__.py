@@ -182,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": urlops.url_canonicalize,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
         "robots_filter": urlops.robots_filter,
+        "anchor_text_agg": urlops.anchor_text_agg,
         "frontier_order": urlops.frontier_order,       # rows-only (stateful)
     }
 
@@ -294,4 +295,5 @@ def oracle_sql() -> dict[str, str]:
         "video_metadata": videoops.VIDEO_METADATA_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
+        "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
     }

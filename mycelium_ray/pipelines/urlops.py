@@ -187,3 +187,102 @@ def _frontier_order_task(sf_dir: str, n_queues: int) -> pa.Table:
             break
     return pa.table({"pos": pa.array(pos_col, pa.int64()),
                      "doc_id": pa.array(id_col, pa.int64())})
+
+
+# --------------------------------------------------------------------------
+# anchor_text_agg: per-target anchor-text aggregation — the classic IR
+# signal built from the reference's link extractor (HTML_lexer.cc
+# op_a_c / link records \x01 url \x02 txt \x03, HTML_lexer.cc:802-832):
+# every page's outlinks are parsed by the REAL lexer (entity handling,
+# rel=nofollow drop) and aggregated per link TARGET.
+#
+# The HTML corpus is derived from documents by integer arithmetic
+# (targets, fan-out, the nofollow plant), so the SQL dual is exact while
+# the parse work is real. Shuffle shape: per-batch pyarrow group_by
+# partials, then ONE groupby on dst_doc — rows ∝ distinct targets.
+# --------------------------------------------------------------------------
+_LINK_KNUTH = 2654435761
+
+
+def anchor_text_agg(sf_dir: str):
+    """(dst_doc, n_inlinks, anchor) — inlink count and anchor text per
+    link target over a derived HTML corpus. Each doc's page carries
+    1 + K%3 followable links (anchor 'doc &amp; link {t}' — the entity
+    exercises M17 unescaping) plus one rel=nofollow link the lexer must
+    drop (M12 semantics)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.htmlparse import extract_links_batch
+
+    n_docs = pq.ParquetFile(
+        f"{sf_dir}/documents.parquet").metadata.num_rows
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        urls, pages = [], []
+        for d in batch["doc_id"].to_pylist():
+            k = (d * _LINK_KNUTH) % (1 << 32)
+            parts = [f"<html><head><title>doc {d}</title></head>"
+                     f"<body><p>Index page of doc {d}.</p>"]
+            for j in range(1 + k % 3):
+                t = (d * 3 + 5 * j + 1) % n_docs
+                parts.append(f'<a href="http://site.test/d/{t}">'
+                             f"doc &amp; link {t}</a>")
+            nf = (d * 3 + 11) % n_docs
+            parts.append(f'<a rel="nofollow" '
+                         f'href="http://site.test/d/{nf}">sponsored</a>')
+            parts.append("</body></html>")
+            urls.append(f"http://site.test/d/{d}")
+            pages.append("".join(parts))
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "content": pa.array(pages, pa.string())})
+
+    links = ds.map_batches(derive, batch_format="pyarrow",
+                           batch_size=256) \
+        .map_batches(extract_links_batch, batch_format="pyarrow")
+
+    def partial(t: pa.Table) -> pa.Table:
+        dst = pa.array([int(u.rsplit("/", 1)[1])
+                        for u in t["dst_url"].to_pylist()], pa.int64())
+        g = (pa.table({"dst_doc": dst, "anchor": t["anchor_text"]})
+             .group_by("dst_doc")
+             .aggregate([("dst_doc", "count"), ("anchor", "min")]))
+        return g.rename_columns(["dst_doc", "n", "anchor"])
+
+    agg = links.map_batches(partial, batch_format="pyarrow")
+
+    def final(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "dst_doc": g["dst_doc"][:1],
+            "n_inlinks": pa.array([pc.sum(g["n"]).as_py()], pa.int64()),
+            "anchor": pa.array([pc.min_max(g["anchor"])["min"].as_py()],
+                               pa.string()),
+        })
+
+    return agg.groupby("dst_doc") \
+        .map_groups(final, batch_format="pyarrow").sort("dst_doc")
+
+
+ANCHOR_TEXT_AGG_SQL = f"""
+WITH n AS (SELECT count(*) AS nd FROM documents),
+d AS (
+  SELECT doc_id, (doc_id * {_LINK_KNUTH}) % {1 << 32} AS k
+  FROM documents
+),
+l AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(1 + k % 3 AS BIGINT) - 1)) AS j
+  FROM d
+),
+t AS (
+  SELECT (l.doc_id * 3 + 5 * l.j + 1) % n.nd AS dst_doc FROM l, n
+)
+SELECT CAST(dst_doc AS BIGINT) AS dst_doc,
+       CAST(count(*) AS BIGINT) AS n_inlinks,
+       'doc & link ' || CAST(dst_doc AS VARCHAR) AS anchor
+FROM t
+GROUP BY dst_doc
+ORDER BY dst_doc
+"""

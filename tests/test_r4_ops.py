@@ -280,3 +280,35 @@ def test_cheapest_supplier_tiebreak(ray_session):
         assert int(row["min_price_cents"]) == m
         assert int(row["s_suppkey"]) == best
     assert len(got) == li["l_partkey"].nunique()
+
+
+def test_anchor_text_agg_serial_recompute(ray_session):
+    """The real-lexer link aggregation equals a serial recompute of the
+    arithmetic link graph; nofollow links are provably excluded and
+    entity-escaped anchors arrive unescaped."""
+    from collections import Counter
+
+    from mycelium_ray.pipelines.urlops import (_LINK_KNUTH,
+                                               anchor_text_agg)
+    got = anchor_text_agg(SF).to_pandas()
+    ids = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id"])["doc_id"].to_pylist()
+    nd = len(ids)
+    want = Counter()
+    nofollow_targets = set()
+    for d in ids:
+        k = (d * _LINK_KNUTH) % (1 << 32)
+        for j in range(1 + k % 3):
+            want[(d * 3 + 5 * j + 1) % nd] += 1
+        nofollow_targets.add((d * 3 + 11) % nd)
+    assert dict(zip(got["dst_doc"], got["n_inlinks"])) == dict(want)
+    # anchors are the UNESCAPED parse of 'doc &amp; link {t}'
+    assert (got["anchor"] == "doc & link " +
+            got["dst_doc"].astype(str)).all()
+    # a target reached ONLY via nofollow links must be absent — prove
+    # the exclusion bites if such a target exists at this sf; if every
+    # nofollow target also has followable inlinks, counts above already
+    # pin the drop (nofollow would inflate them)
+    only_nofollow = nofollow_targets - set(want)
+    for t in only_nofollow:
+        assert t not in set(got["dst_doc"])
