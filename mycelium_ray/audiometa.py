@@ -49,7 +49,7 @@ class AudioMetaError(ValueError):
 
 @dataclass(frozen=True)
 class AudioMeta:
-    fmt: str            # wav | flac | ogg-vorbis | ogg-opus | mp3
+    fmt: str            # wav | flac | ogg-vorbis | ogg-opus | ogg-flac | mp3
     sample_rate: int
     channels: int
     duration_ms: int    # -1 when indeterminable
@@ -182,6 +182,11 @@ def _probe_ogg(data: bytes) -> AudioMeta:
                 ch = body[9]
                 (pre_skip,) = struct.unpack("<H", body[10:12])
                 sr = 48000  # opus granules tick at 48 kHz (RFC 7845 §4)
+            elif body.startswith(b"\x7fFLAC") and len(body) >= 13:
+                # FLAC-to-Ogg mapping: native fLaC+STREAMINFO at +9
+                m = _probe_flac(body[9:])
+                fmt = "ogg-flac"
+                sr, ch = m.sample_rate, m.channels
             else:
                 raise AudioMetaError("unsupported Ogg codec")
         if granule >= 0:
@@ -364,3 +369,99 @@ def write_wav_skeleton(sample_rate: int, channels: int,
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len)
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ==========================================================================
+# Ogg FLAC (the FLAC-to-Ogg mapping, RFC 9639 §10.2 / flac.xiph.org)
+# ==========================================================================
+# The one Ogg codec a from-scratch build can decode for real: the BOS
+# packet is 0x7F 'FLAC' major minor header_count(u16 BE) followed by the
+# NATIVE 'fLaC' magic + STREAMINFO; every audio packet is one native
+# FLAC frame. Reassembling the packets therefore reconstructs a native
+# FLAC stream for the in-repo RFC 9639 decoder (CRC/MD5 verification
+# included). Vorbis/Opus stay honestly stubbed at the codec level.
+
+def _ogg_packets(data: bytes) -> list[bytes]:
+    """Full packet reassembly (lacing + page continuation), with the
+    same CRC verification as _probe_ogg."""
+    if data[:4] != b"OggS":
+        raise AudioMetaError("not Ogg")
+    packets: list[bytes] = []
+    cur = bytearray()
+    pos, n = 0, len(data)
+    while pos + 27 <= n:
+        if data[pos:pos + 4] != b"OggS":
+            raise AudioMetaError("lost Ogg page sync")
+        nsegs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            raise AudioMetaError("truncated Ogg segment table")
+        body0 = pos + 27 + nsegs
+        body_len = sum(seg_table)
+        if body0 + body_len > n:
+            raise AudioMetaError("truncated Ogg page body")
+        page = bytearray(data[pos:body0 + body_len])
+        stored = struct.unpack("<I", page[22:26])[0]
+        page[22:26] = b"\x00\x00\x00\x00"
+        if ogg_crc(bytes(page)) != stored:
+            raise AudioMetaError("Ogg page CRC mismatch")
+        off = body0
+        for seg in seg_table:
+            cur += data[off:off + seg]
+            off += seg
+            if seg < 255:  # lace < 255 terminates a packet
+                packets.append(bytes(cur))
+                cur = bytearray()
+        pos = body0 + body_len
+    if cur:
+        raise AudioMetaError("Ogg stream ends mid-packet")
+    return packets
+
+
+def encode_ogg_flac(samples, sample_rate: int, serial: int = 1,
+                    blocksize: int = 4096) -> bytes:
+    """int16 samples → Ogg FLAC bytes (one native frame per packet/page,
+    granule = last sample position per the mapping spec)."""
+    from .flac import encode_flac_parts
+    header, frames = encode_flac_parts(samples, sample_rate, blocksize)
+    first = b"\x7fFLAC\x01\x00" + struct.pack(">H", 0) + header
+    pages = [_ogg_page(serial, 0, 0, 0x02, first)]
+    import numpy as np
+    n = np.asarray(samples).shape[0]
+    granule = 0
+    for i, fr in enumerate(frames):
+        granule = min((i + 1) * blocksize, n)
+        htype = 0x04 if i == len(frames) - 1 else 0x00
+        pages.append(_ogg_page(serial, i + 1, granule, htype, fr))
+    return b"".join(pages)
+
+
+def decode_ogg_flac(data: bytes):
+    """Ogg FLAC bytes → (sample_rate, channels, samples) via native
+    stream reconstruction + the real RFC 9639 decoder. Vorbis/Opus BOS
+    packets raise NotImplementedError (inter-op with libvorbis-class
+    DSP is out of scope); anything else is a parse error."""
+    pkts = _ogg_packets(data)
+    if not pkts:
+        raise AudioMetaError("empty Ogg stream")
+    first = pkts[0]
+    if first.startswith(b"\x01vorbis") or first.startswith(b"OpusHead"):
+        codec = "vorbis" if first.startswith(b"\x01vorbis") else "opus"
+        raise NotImplementedError(
+            f"ogg {codec} needs a transform-codec decoder "
+            "(libvorbis/libopus, absent here); Ogg FLAC decodes for "
+            "real")
+    if not first.startswith(b"\x7fFLAC") or len(first) < 9:
+        raise AudioMetaError("not an Ogg FLAC stream")
+    hcount = struct.unpack(">H", first[7:9])[0]
+    native = first[9:]
+    if native[:4] != b"fLaC":
+        raise AudioMetaError("Ogg FLAC BOS missing native magic")
+    if 1 + hcount > len(pkts):
+        raise AudioMetaError("Ogg FLAC header packets missing")
+    if hcount:
+        # later metadata blocks follow; clear STREAMINFO's last flag
+        native = (native[:4] + bytes([native[4] & 0x7F]) + native[5:]
+                  + b"".join(pkts[1:1 + hcount]))
+    from .flac import decode_flac
+    return decode_flac(native + b"".join(pkts[1 + hcount:]))

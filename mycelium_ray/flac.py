@@ -512,6 +512,15 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     Independent channels, fixed predictors 0-2 / constant / verbatim,
     one Rice partition per subframe — a small but fully conforming
     encoder (CRC-8, CRC-16, STREAMINFO MD5 all real)."""
+    header, frames = encode_flac_parts(samples, sample_rate, blocksize)
+    return header + b"".join(frames)
+
+
+def encode_flac_parts(samples: np.ndarray, sample_rate: int,
+                      blocksize: int = 4096) -> tuple[bytes, list[bytes]]:
+    """(native header 'fLaC'+STREAMINFO, [frame bytes, ...]) — the
+    pieces the FLAC-to-Ogg mapping needs (one audio PACKET per frame),
+    concatenated verbatim by encode_flac for the native stream."""
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -524,7 +533,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
         raise FlacError("16-bit sample range required")
     bps = 16
 
-    frames = bytearray()
+    frames: list[bytes] = []
     fno = 0
     for off in range(0, n, blocksize):
         blk = x[off:off + blocksize]
@@ -548,7 +557,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
             _encode_subframe(bw, blk[:, c], bps)
         bw.align()
         body = bytes(bw.buf)
-        frames += body + struct.pack(">H", crc16(body))
+        frames.append(body + struct.pack(">H", crc16(body)))
         fno += 1
 
     info = bytearray(34)
@@ -563,4 +572,4 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     info[18:34] = _samples_md5(x, bps)
     header = b"fLaC" + bytes([0x80]) + len(info).to_bytes(3, "big") + \
         bytes(info)
-    return header + bytes(frames)
+    return header, frames

@@ -25,10 +25,11 @@ _KNUTH = 2654435761  # same multiplicative-hash constant as sample_per_source
 
 
 def synth_audio_row(doc_id: int) -> bytes:
-    """Deterministic FLAC clip for a doc: n_samples and pitch derive from
-    doc_id by integer arithmetic (SQL-expressible); waveform is a pure
-    sine, so the encoder sees realistic smooth data (fixed predictors +
-    Rice actually compress)."""
+    """Deterministic clip for a doc, doc_id%3 → FLAC / WAV / Ogg FLAC
+    (the three containers AudioFeatures REALLY decodes): n_samples and
+    pitch derive from doc_id by integer arithmetic (SQL-expressible);
+    waveform is a pure sine, so the encoder sees realistic smooth data
+    (fixed predictors + Rice actually compress)."""
     k = (doc_id * _KNUTH) % (1 << 32)
     n_samples = SR // 2 + k % (SR // 2)  # 0.5 – 1.0 s (the pure-python
     # Rice bit-writer costs ~5 ms/ksample; this bounds the driver's
@@ -37,6 +38,13 @@ def synth_audio_row(doc_id: int) -> bytes:
     t = np.arange(n_samples, dtype=np.float64)
     x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
         .astype(np.int16)
+    kind = doc_id % 3
+    if kind == 1:
+        from ..stages.media import encode_wav
+        return encode_wav(x, SR)
+    if kind == 2:
+        from ..audiometa import encode_ogg_flac
+        return encode_ogg_flac(x, SR)
     from ..flac import encode_flac
     return encode_flac(x, SR)
 
@@ -107,7 +115,7 @@ FROM d
 def _meta_params(doc_id: int) -> tuple[str, int, int]:
     """(fmt, sample_rate, n_units) — integer arithmetic only."""
     k = (doc_id * _KNUTH) % (1 << 32)
-    kind = doc_id % 5
+    kind = doc_id % 6
     if kind == 0:
         return "wav", 16000, 8000 + k % 8000
     if kind == 1:
@@ -116,11 +124,16 @@ def _meta_params(doc_id: int) -> tuple[str, int, int]:
         return "ogg-vorbis", 44100, 22050 + k % 44100
     if kind == 3:
         return "ogg-opus", 48000, 24000 + k % 48000
+    if kind == 5:
+        # REAL Ogg FLAC files (not skeletons): short enough that the
+        # FLAC encode stays cheap, long enough to vary per doc
+        return "ogg-flac", 8000, 2000 + k % 2000
     return "mp3", 44100, 10 + k % 40  # n_units = frames
 
 
 def synth_audio_meta_row(doc_id: int) -> bytes:
-    from ..audiometa import (write_flac_streaminfo_skeleton,
+    from ..audiometa import (encode_ogg_flac,
+                             write_flac_streaminfo_skeleton,
                              write_mp3_skeleton, write_ogg_opus_skeleton,
                              write_ogg_vorbis_skeleton, write_wav_skeleton)
     fmt, sr, n = _meta_params(doc_id)
@@ -132,6 +145,13 @@ def synth_audio_meta_row(doc_id: int) -> bytes:
         return write_ogg_vorbis_skeleton(sr, 1, n)
     if fmt == "ogg-opus":
         return write_ogg_opus_skeleton(1, n)
+    if fmt == "ogg-flac":
+        k = (doc_id * _KNUTH) % (1 << 32)
+        t = np.arange(n, dtype=np.float64)
+        freq = 100 + (k >> 16) % 400
+        x = np.rint(np.sin(2 * np.pi * freq * t / sr) * 0.4 * 32767) \
+            .astype(np.int16)
+        return encode_ogg_flac(x, sr)
     return write_mp3_skeleton(sr, 128, n, mono=True)
 
 
@@ -176,20 +196,23 @@ def audio_metadata(sf_dir: str):
 
 AUDIO_METADATA_SQL = f"""
 WITH d AS (
-  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 5 AS kind
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k, doc_id % 6 AS kind
   FROM documents
 ), p AS (
   SELECT doc_id, kind,
          CASE kind WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
                    WHEN 2 THEN 'ogg-vorbis' WHEN 3 THEN 'ogg-opus'
+                   WHEN 5 THEN 'ogg-flac'
                    ELSE 'mp3' END AS fmt,
          CASE kind WHEN 0 THEN 16000 WHEN 1 THEN 22050
                    WHEN 2 THEN 44100 WHEN 3 THEN 48000
+                   WHEN 5 THEN 8000
                    ELSE 44100 END AS sample_rate,
          CASE kind WHEN 0 THEN 8000 + k % 8000
                    WHEN 1 THEN 11025 + k % 22050
                    WHEN 2 THEN 22050 + k % 44100
                    WHEN 3 THEN 24000 + k % 48000
+                   WHEN 5 THEN 2000 + k % 2000
                    ELSE 10 + k % 40 END AS n_units
   FROM d
 )

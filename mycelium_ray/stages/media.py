@@ -225,6 +225,17 @@ class AudioFeatures:
             else:
                 x = x[:, 0].astype(np.int16)
             return sr, x
+        if data[:4] == b"OggS":
+            # Ogg FLAC decodes for real (native-stream reassembly →
+            # RFC 9639 decoder); vorbis/opus raise NotImplementedError
+            # inside decode_ogg_flac — the codec-level boundary
+            from ..audiometa import decode_ogg_flac
+            sr, ch, x = decode_ogg_flac(data)
+            if ch > 1:
+                x = x.mean(axis=1).astype(np.int16)
+            else:
+                x = x[:, 0].astype(np.int16)
+            return sr, x
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
             import io
             import wave

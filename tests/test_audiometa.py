@@ -121,7 +121,7 @@ def test_audio_metadata_pipeline_vs_params(ray_session):
     df = audio_metadata("/root/testdata/sf0.001").to_pandas()
     assert df["meta_ok"].all()
     assert set(df["fmt"]) == {"wav", "flac", "ogg-vorbis", "ogg-opus",
-                              "mp3"}
+                              "mp3", "ogg-flac"}
     for _, r in df.sample(50, random_state=1).iterrows():
         fmt, sr, n = _meta_params(int(r["doc_id"]))
         assert r["fmt"] == fmt and r["sample_rate"] == sr
@@ -144,3 +144,70 @@ def test_truncated_wav_raises_audiometaerror_not_struct_error():
             + struct.pack("<I", 16) + b"\x01\x00\x01\x00")
     with pytest.raises(AudioMetaError):
         probe_audio(blob)
+
+
+# --------------------------------------------------------------------------
+# Ogg FLAC (the FLAC-to-Ogg mapping): REAL decode path
+# --------------------------------------------------------------------------
+def test_ogg_flac_bit_exact_roundtrip():
+    import numpy as np
+
+    from mycelium_ray.audiometa import (decode_ogg_flac, encode_ogg_flac,
+                                        probe_audio)
+    sr = 8000
+    t = np.arange(sr // 2)
+    x = (0.4 * 32767 * np.sin(2 * np.pi * 300 * t / sr)).astype(np.int16)
+    ogg = encode_ogg_flac(x, sr, blocksize=1024)
+    sr2, ch, y = decode_ogg_flac(ogg)
+    assert (sr2, ch) == (sr, 1)
+    assert np.array_equal(y[:, 0], x)
+    m = probe_audio(ogg)
+    assert m.fmt == "ogg-flac" and m.sample_rate == sr
+    assert m.n_units == len(x)
+    assert m.duration_ms == len(x) * 1000 // sr
+
+
+def test_ogg_flac_vorbis_and_opus_stay_stubbed():
+    import pytest
+
+    from mycelium_ray.audiometa import (decode_ogg_flac,
+                                        write_ogg_opus_skeleton,
+                                        write_ogg_vorbis_skeleton)
+    with pytest.raises(NotImplementedError, match="vorbis"):
+        decode_ogg_flac(write_ogg_vorbis_skeleton(44100, 1, 1000))
+    with pytest.raises(NotImplementedError, match="opus"):
+        decode_ogg_flac(write_ogg_opus_skeleton(1, 48000))
+
+
+def test_ogg_flac_corrupt_page_crc_detected():
+    import numpy as np
+    import pytest
+
+    from mycelium_ray.audiometa import (AudioMetaError, decode_ogg_flac,
+                                        encode_ogg_flac)
+    x = (np.arange(2000) % 100).astype(np.int16)
+    ogg = bytearray(encode_ogg_flac(x, 8000))
+    ogg[-1] ^= 0xFF  # flip a body byte in the last page
+    with pytest.raises(AudioMetaError, match="CRC"):
+        decode_ogg_flac(bytes(ogg))
+
+
+def test_audio_features_stage_decodes_ogg_flac(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from mycelium_ray.audiometa import encode_ogg_flac
+    from mycelium_ray.stages.media import AudioFeatures
+    sr = 8000
+    t = np.arange(sr)
+    x = (0.5 * 32767 * np.sin(2 * np.pi * 440 * t / sr)).astype(np.int16)
+    out = AudioFeatures()(pa.table({
+        "audio_id": pa.array(["a.oga", "b.ogg-vorbis"]),
+        "audio": pa.array([encode_ogg_flac(x, sr),
+                           b"OggS" + b"\x00" * 30], pa.binary()),
+    })).to_pandas().set_index("audio_id")
+    a = out.loc["a.oga"]
+    assert a["audio_ok"] and a["duration_ms"] == 1000
+    assert a["sample_rate"] == sr
+    assert abs(a["rms"] - 0.5 / np.sqrt(2)) < 0.01
+    assert not out.loc["b.ogg-vorbis"]["audio_ok"]
