@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": dedup.dedup_clusters,
         "corpus_filter": textops.corpus_filter,
         "tfidf_top_terms": textops.tfidf_top_terms,
+        "inverted_index": textops.inverted_index,
         "substring_dedup": dedup.substring_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # rows-only (probabilistic)
         "simhash": dedup.simhash,                      # rows-only (bit tricks)
@@ -209,6 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "substring_dedup": dedup.SUBSTRING_DEDUP_SQL,
         "corpus_filter": textops.CORPUS_FILTER_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
+        "inverted_index": textops.INVERTED_INDEX_SQL,
         "ann_topk": ann.ANN_TOPK_SQL,
         "embedding_neardup": ann.EMBEDDING_NEARDUP_SQL,
         "events_window_agg": analytics.EVENTS_WINDOW_AGG_SQL,

@@ -1451,3 +1451,89 @@ JOIN c1 ON b.w1 = c1.w1
 JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
 GROUP BY b.doc_id
 """
+
+
+# --------------------------------------------------------------------------
+# inverted_index: the local indexer's product as a table — per-term
+# dictionary row (document frequency, total term frequency, best doc)
+# over the corpus. Reference: dist/local_indexer.py / local_indexer.cc
+# tokenize-and-index loop; the postings build shares tfidf_top_terms'
+# Arrow-native kernel and term-hash bucketing, so the corpus-wide
+# dictionary costs ONE coarse-bucket shuffle (rows ∝ distinct terms).
+# --------------------------------------------------------------------------
+INVIDX_MIN_DF = 3
+
+
+def inverted_index(sf_dir: str, min_df: int = INVIDX_MIN_DF):
+    """(term, df, total_tf, top_doc) for every [A-Za-z0-9]+ ASCII-lower
+    term with document frequency ≥ ``min_df``; top_doc = the doc with
+    the highest tf (ties → smallest doc_id)."""
+    import pyarrow.compute as pc
+
+    from .dedup import N_BUCKETS, sorted_or_empty
+
+    def postings(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern_regex(text, "[^A-Za-z0-9]+")
+        flat = pc.list_flatten(toks)
+        parent = pc.list_parent_indices(toks)
+        keep = pc.not_equal(flat, "")
+        flat = pc.utf8_lower(flat.filter(keep))
+        doc = pc.take(t["doc_id"], parent.filter(keep))
+        tf = pa.table({"doc_id": doc, "term": flat}) \
+            .group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+        term_hash = token_hash64_many(tf["term"])
+        return pa.table({
+            "doc_id": pc.cast(tf["doc_id"], pa.int64()),
+            "term": tf["term"],
+            "tf": pc.cast(tf["count_all"], pa.int64()),
+            "tbucket": pa.array(
+                (term_hash % np.uint64(N_BUCKETS)).astype("int64")),
+        })
+
+    def dictionary(g: pd.DataFrame) -> pd.DataFrame:
+        # every posting of a term lands in this bucket group
+        g = g.sort_values(["term", "tf", "doc_id"],
+                          ascending=[True, False, True])
+        agg = g.groupby("term", sort=True).agg(
+            df=("doc_id", "nunique"), total_tf=("tf", "sum"),
+            top_doc=("doc_id", "first"))
+        agg = agg[agg["df"] >= min_df].reset_index()
+        return agg.astype({"df": "int64", "total_tf": "int64",
+                           "top_doc": "int64"})
+
+    out = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(postings, batch_format="pyarrow") \
+        .groupby("tbucket").map_groups(dictionary, batch_format="pandas")
+    return sorted_or_empty(
+        out, "term",
+        pa.table({"term": pa.array([], pa.string()),
+                  "df": pa.array([], pa.int64()),
+                  "total_tf": pa.array([], pa.int64()),
+                  "top_doc": pa.array([], pa.int64())}))
+
+
+INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         lower(unnest(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), agg AS (
+  SELECT term, count(*) AS df, sum(tf) AS total_tf
+  FROM tf GROUP BY 1
+), best AS (
+  SELECT term, doc_id AS top_doc,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf
+)
+SELECT a.term,
+       CAST(a.df AS BIGINT) AS df,
+       CAST(a.total_tf AS BIGINT) AS total_tf,
+       CAST(b.top_doc AS BIGINT) AS top_doc
+FROM agg a JOIN best b ON b.term = a.term AND b.rn = 1
+WHERE a.df >= {INVIDX_MIN_DF}
+ORDER BY a.term
+"""
