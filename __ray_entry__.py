@@ -28,7 +28,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
                                         cluster, dedup, dsir, embed, graph,
                                         imageann, textops, tokenize, urlops,
-                                        videoops)
+                                        videoops, warcops)
     from mycelium_ray.pipelines.flagship import (
         image_augment as _image_augment,
         image_channel_stats as _image_channel_stats,
@@ -185,13 +185,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_filter": urlops.robots_filter,
         "anchor_text_agg": urlops.anchor_text_agg,
         "frontier_order": urlops.frontier_order,       # rows-only (stateful)
+        "warc_roundtrip": warcops.warc_roundtrip,
+        "warc_cdx": warcops.warc_cdx,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from mycelium_ray.pipelines import (analytics, ann, audio, cleaning,
                                         dedup, flagship, graph, imageann,
-                                        textops, urlops, videoops)
+                                        textops, urlops, videoops, warcops)
 
     return {
         "pii_redact": cleaning.PII_REDACT_SQL,
@@ -298,4 +300,6 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
         "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
+        "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,
+        "warc_cdx": warcops.WARC_CDX_SQL,
     }
