@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_order": urlops.frontier_order,       # rows-only (stateful)
         "warc_roundtrip": warcops.warc_roundtrip,
         "warc_cdx": warcops.warc_cdx,
+        "sitemap_ingest": urlops.sitemap_ingest,
     }
 
 
@@ -302,4 +303,5 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
         "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,
         "warc_cdx": warcops.WARC_CDX_SQL,
+        "sitemap_ingest": urlops.SITEMAP_INGEST_SQL,
     }

@@ -286,3 +286,76 @@ FROM t
 GROUP BY dst_doc
 ORDER BY dst_doc
 """
+
+
+# --------------------------------------------------------------------------
+# Sitemap ingestion: the per-host /sitemap.xml discovery surface
+# (sitemaps.org protocol) feeding the frontier — the XML dual of the
+# HTML-link discovery path (M12/M15).
+# --------------------------------------------------------------------------
+
+def sitemap_ingest(sf_dir: str):
+    """(doc_id, host, canon_url, lastmod, priority) — per-host sitemap
+    XML parsed by the real sitemap parser, locs canonicalized by the
+    real canonicalizer, doc identity recovered FROM the parsed+canonical
+    loc (the parse is load-bearing; nothing is carried around it).
+
+    Corpus derivation: each source is a host whose urlset lists that
+    host's docs as RAW un-canonical locs (mixed case, dot segments,
+    %-escapes — the url_canonicalize construction), lastmod/priority
+    derived from doc_id by integer rules the SQL oracle mirrors.
+
+    Scale story: one build+parse task per host via groupby(source) —
+    sitemap files are per-host artifacts, so host is the natural
+    partition key (the same key the frontier and robots cache shard
+    by); a 10^10-URL frontier is more hosts and bigger urlsets, never a
+    driver-side loop. A malformed sitemap fails its host's task only.
+    """
+    import datetime
+
+    from ..sitemap import build_urlset, parse_sitemap
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+    base = datetime.date(1995, 1, 1)
+
+    def build_and_parse(g: pd.DataFrame) -> pa.Table:
+        k = g["source"].iloc[0][3:]
+        host = f"src{k}.example.com"
+        entries = []
+        for d in g["doc_id"].tolist():
+            raw = (f"HTTP://Src{k}.Example.COM/docs/../d/{d}/%61sset.png")
+            lastmod = (base + datetime.timedelta(days=d % 365)).isoformat()
+            entries.append((raw, lastmod, (d % 10 + 1) / 10))
+        xml = build_urlset(entries)
+
+        kind, recs = parse_sitemap(xml)
+        assert kind == "urlset"
+        locs = pa.table({"url": pa.array([r["loc"] for r in recs],
+                                         pa.string())})
+        canon = canonicalize_batch(locs)
+        ids = [int(u.rsplit("/", 2)[-2])
+               for u in canon["canon_url"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "host": canon["host"],
+            "canon_url": canon["canon_url"],
+            "lastmod": pa.array([r["lastmod"] for r in recs], pa.string()),
+            "priority": pa.array([r["priority"] for r in recs],
+                                 pa.float64()),
+        })
+
+    return ds.groupby("source").map_groups(build_and_parse,
+                                           batch_format="pandas")
+
+
+SITEMAP_INGEST_SQL = """
+SELECT doc_id,
+       'src' || substr(source, 4) || '.example.com' AS host,
+       'http://src' || substr(source, 4) || '.example.com/d/'
+         || CAST(doc_id AS VARCHAR) || '/asset.png' AS canon_url,
+       strftime(DATE '1995-01-01' + INTERVAL (doc_id % 365) DAY,
+                '%Y-%m-%d') AS lastmod,
+       CAST((doc_id % 10) + 1 AS DOUBLE) / 10.0 AS priority
+FROM documents
+"""
