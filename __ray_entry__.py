@@ -120,6 +120,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_distribution": analytics.customer_order_distribution,
         "waiting_suppliers": analytics.waiting_suppliers,
         "cheapest_supplier_per_part": analytics.cheapest_supplier_per_part,
+        "trade_volume": analytics.trade_volume,
+        "market_share": analytics.market_share,
+        "top_supplier": analytics.top_supplier,
+        "quantity_brand_revenue": analytics.quantity_brand_revenue,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -188,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": warcops.warc_roundtrip,
         "warc_cdx": warcops.warc_cdx,
         "sitemap_ingest": urlops.sitemap_ingest,
+        "recrawl_schedule": urlops.recrawl_schedule,
     }
 
 
@@ -249,6 +254,10 @@ def oracle_sql() -> dict[str, str]:
             analytics.CUSTOMER_ORDER_DISTRIBUTION_SQL,
         "waiting_suppliers": analytics.WAITING_SUPPLIERS_SQL,
         "cheapest_supplier_per_part": analytics.CHEAPEST_SUPPLIER_SQL,
+        "trade_volume": analytics.TRADE_VOLUME_SQL,
+        "market_share": analytics.MARKET_SHARE_SQL,
+        "top_supplier": analytics.TOP_SUPPLIER_SQL,
+        "quantity_brand_revenue": analytics.QUANTITY_BRAND_REVENUE_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,
@@ -304,4 +313,5 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,
         "warc_cdx": warcops.WARC_CDX_SQL,
         "sitemap_ingest": urlops.SITEMAP_INGEST_SQL,
+        "recrawl_schedule": urlops.RECRAWL_SCHEDULE_SQL,
     }

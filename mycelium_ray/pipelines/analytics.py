@@ -3999,3 +3999,539 @@ SELECT CAST(w.l_partkey AS BIGINT) AS p_partkey,
        s.s_name AS s_name
 FROM w JOIN supplier s ON s.s_suppkey = w.supp
 """
+
+
+# --------------------------------------------------------------------------
+# trade_volume (TPC-H Q7 shape): the dual-role-dimension join — nation
+# joined once through the supplier and once through the customer, with
+# direction-sensitive grouping by (supp_nation, cust_nation, year).
+# Widened from Q7's single nation pair to a region pair (ASIA<->EUROPE,
+# both directions) so every sf has rows on both legs (the sf0.001
+# supplier table holds 10 suppliers over 25 nations).
+# --------------------------------------------------------------------------
+Q7_REGIONS = ("ASIA", "EUROPE")
+Q7_DATE_LO = "1995-01-01"
+Q7_DATE_HI = "1997-01-01"
+
+
+def trade_volume(sf_dir: str):
+    """(supp_nation, cust_nation, l_year, revenue_cbp, n) — cross-region
+    shipments between ASIA and EUROPE, both directions, by ship year.
+
+    Physical plan: nation/region (≤25 rows) and the supplier→nationkey
+    probe array broadcast once via ray.put (suppliers are 1000× smaller
+    than lineitem at every TPC-H SF — Q5's justification); shuffle 1 is
+    orders ⋈ customer on custkey (customer pre-filtered map-side to the
+    two regions), shuffle 2 joins date-pruned lineitem (supplier-region
+    gate applied map-side via the broadcast probe) on orderkey, with
+    per-(supp_nat, cust_nat, year) integer partials inside each bucket
+    and a 50-or-so-row combine. Both shuffles ∝ cluster CPUs.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    n_buckets = _n_join_buckets()
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    regiont = _pq.read_table(f"{sf_dir}/region.parquet")
+    rname = {int(rk): str(rn) for rk, rn in zip(
+        regiont["r_regionkey"].to_pylist(), regiont["r_name"].to_pylist())}
+    nat_name: dict[int, str] = {}
+    nat_region: dict[int, str] = {}
+    for nk, nm, rk in zip(nation["n_nationkey"].to_pylist(),
+                          nation["n_name"].to_pylist(),
+                          nation["n_regionkey"].to_pylist()):
+        if rname.get(int(rk)) in Q7_REGIONS:
+            nat_name[int(nk)] = str(nm)
+            nat_region[int(nk)] = rname[int(rk)]
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skey = sup["s_suppkey"].to_numpy()
+    snat = sup["s_nationkey"].to_numpy()
+    smap = np.full(int(skey.max()) + 1, -1, dtype=np.int32)
+    in_r = np.isin(snat, np.array(list(nat_name), dtype=snat.dtype))
+    smap[skey[in_r]] = snat[in_r]
+    smap_ref = ray.put(smap)
+    nat_keys_ref = ray.put(set(nat_name))
+    # nation -> 0/1 region side for the cross-direction gate
+    side_of = {nk: Q7_REGIONS.index(r) for nk, r in nat_region.items()}
+    side_ref = ray.put(np.array(
+        [side_of.get(i, -1) for i in range(26)], dtype=np.int32))
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"),
+            "bucket": (df["o_custkey"] % n_buckets).astype("int64"),
+            "side": 0,
+            "okey": df["o_orderkey"].astype("int64"),
+            "nat": np.int32(-1),
+        })
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_nationkey"].isin(ray.get(nat_keys_ref))]
+        return pd.DataFrame({
+            "key": d["c_custkey"].astype("int64"),
+            "bucket": (d["c_custkey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "okey": np.int64(0),
+            "nat": d["c_nationkey"].astype("int32"),
+        })
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "okey"]]
+        c = g[g["side"] == 1][["key", "nat"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame({
+            "key": m["okey"].astype("int64"),
+            "bucket": (m["okey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "cnat": m["nat"].astype("int32"),
+            "snat": np.int32(-1),
+            "yr": np.int32(0),
+            "rev": np.int64(0),
+        })
+
+    o_nat = orders.map_batches(tag_orders, batch_format="pandas").union(
+        customer.map_batches(tag_customer, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_cust, batch_format="pandas")
+
+    lo = _dt.datetime.fromisoformat(Q7_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q7_DATE_HI)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        arr = ray.get(smap_ref)
+        sk = df["l_suppkey"].to_numpy()
+        nat = np.where(sk < len(arr), arr[np.minimum(sk, len(arr) - 1)],
+                       -1).astype("int32")
+        keep = nat >= 0
+        d = df[keep]
+        price = np.rint(d["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(d["l_discount"].to_numpy() * 100).astype("int64")
+        return pd.DataFrame({
+            "key": d["l_orderkey"].astype("int64"),
+            "bucket": (d["l_orderkey"] % n_buckets).astype("int64"),
+            "side": 0,
+            "cnat": np.int32(-1),
+            "snat": nat[keep],
+            "yr": d["l_shipdate"].dt.year.astype("int32"),
+            "rev": price * (100 - disc),
+        })
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        sides = ray.get(side_ref)
+        l = g[g["side"] == 0][["key", "snat", "yr", "rev"]]
+        o = g[g["side"] == 1][["key", "cnat"]]
+        m = l.merge(o, on="key")
+        # cross-direction only: supplier and customer in DIFFERENT regions
+        m = m[sides[m["snat"].to_numpy()]
+              != sides[m["cnat"].to_numpy()]]
+        return m.groupby(["snat", "cnat", "yr"], as_index=False).agg(
+            revenue_cbp=("rev", "sum"), n=("rev", "size"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["snat", "cnat", "yr"], as_index=False).agg(
+            revenue_cbp=("revenue_cbp", "sum"), n=("n", "sum"))
+        return pd.DataFrame({
+            "supp_nation": out["snat"].map(nat_name),
+            "cust_nation": out["cnat"].map(nat_name),
+            "l_year": out["yr"].astype("int64"),
+            "revenue_cbp": out["revenue_cbp"].astype("int64"),
+            "n": out["n"].astype("int64"),
+        })
+
+    return li.map_batches(tag_li, batch_format="pandas").union(o_nat) \
+        .groupby("bucket").map_groups(join_li, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+TRADE_VOLUME_SQL = f"""
+SELECT sn.n_name AS supp_nation,
+       cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_cbp,
+       count(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN region sr ON sn.n_regionkey = sr.r_regionkey
+JOIN region cr ON cn.n_regionkey = cr.r_regionkey
+WHERE ((sr.r_name = '{Q7_REGIONS[0]}' AND cr.r_name = '{Q7_REGIONS[1]}')
+    OR (sr.r_name = '{Q7_REGIONS[1]}' AND cr.r_name = '{Q7_REGIONS[0]}'))
+  AND l_shipdate >= TIMESTAMP '{Q7_DATE_LO}'
+  AND l_shipdate <  TIMESTAMP '{Q7_DATE_HI}'
+GROUP BY 1, 2, 3
+"""
+
+
+# --------------------------------------------------------------------------
+# market_share (TPC-H Q8 shape): a ratio-of-conditional-sums over the
+# widest join tree — per order year, the share of EUROPE's PROMO-part
+# order revenue supplied by NATION_3.
+# --------------------------------------------------------------------------
+Q8_REGION = "EUROPE"
+Q8_TYPE = "PROMO"
+Q8_NATION_KEY = 3
+Q8_DATE_LO = "1995-01-01"
+Q8_DATE_HI = "1997-01-01"
+
+
+def market_share(sf_dir: str):
+    """(o_year, num_cbp, den_cbp, mkt_share) — numerator and denominator
+    emitted alongside the double ratio so the oracle pins the exact
+    integers, not just the rounded quotient.
+
+    Physical plan: the part side collapses to a broadcast partkey SET
+    (the p_type filter selects ~1/6 of parts; at 100 TB this is the
+    selective-filter-then-broadcast rule — a few MB of int64 keys, vs a
+    partkey shuffle of the whole lineitem); supplier→nationkey is the
+    same broadcast probe array as Q5/Q7. One bucketed shuffle joins
+    date-pruned orders ⋈ region-gated customer on custkey, a second
+    joins part-gated lineitem on orderkey; per-year integer partials,
+    3-row combine, one guarded division mirrored verbatim in SQL.
+    """
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    n_buckets = _n_join_buckets()
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    regiont = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkeys = {int(rk) for rk, rn in zip(regiont["r_regionkey"].to_pylist(),
+                                       regiont["r_name"].to_pylist())
+             if rn == Q8_REGION}
+    region_nats = {int(nk) for nk, rk in zip(
+        nation["n_nationkey"].to_pylist(),
+        nation["n_regionkey"].to_pylist()) if int(rk) in rkeys}
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pkeys = {int(k) for k, t in zip(part["p_partkey"].to_pylist(),
+                                    part["p_type"].to_pylist())
+             if t == Q8_TYPE}
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skey = sup["s_suppkey"].to_numpy()
+    smap = np.full(int(skey.max()) + 1, -1, dtype=np.int32)
+    smap[skey] = sup["s_nationkey"].to_numpy().astype(np.int32)
+
+    pkeys_ref = ray.put(np.array(sorted(pkeys), dtype=np.int64))
+    smap_ref = ray.put(smap)
+    cust_nats_ref = ray.put(region_nats)
+
+    lo = _dt.datetime.fromisoformat(Q8_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q8_DATE_HI)
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+    customer = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_nationkey"])
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_custkey"].astype("int64"),
+            "bucket": (df["o_custkey"] % n_buckets).astype("int64"),
+            "side": 0,
+            "okey": df["o_orderkey"].astype("int64"),
+            "yr": df["o_orderdate"].dt.year.astype("int32"),
+        })
+
+    def tag_customer(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["c_nationkey"].isin(ray.get(cust_nats_ref))]
+        return pd.DataFrame({
+            "key": d["c_custkey"].astype("int64"),
+            "bucket": (d["c_custkey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "okey": np.int64(0),
+            "yr": np.int32(0),
+        })
+
+    def join_cust(g: pd.DataFrame) -> pd.DataFrame:
+        o = g[g["side"] == 0][["key", "okey", "yr"]]
+        c = g[g["side"] == 1][["key"]]
+        m = o.merge(c, on="key")
+        return pd.DataFrame({
+            "key": m["okey"].astype("int64"),
+            "bucket": (m["okey"] % n_buckets).astype("int64"),
+            "side": 1,
+            "yr": m["yr"].astype("int32"),
+            "num": np.int64(0),
+            "den": np.int64(0),
+        })
+
+    o_yr = orders.map_batches(tag_orders, batch_format="pandas").union(
+        customer.map_batches(tag_customer, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_cust, batch_format="pandas")
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_extendedprice", "l_discount"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        pk = ray.get(pkeys_ref)
+        arr = ray.get(smap_ref)
+        keep = np.isin(df["l_partkey"].to_numpy(), pk)
+        d = df[keep]
+        sk = d["l_suppkey"].to_numpy()
+        nat = np.where(sk < len(arr), arr[np.minimum(sk, len(arr) - 1)],
+                       -1)
+        price = np.rint(d["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(d["l_discount"].to_numpy() * 100).astype("int64")
+        rev = price * (100 - disc)
+        return pd.DataFrame({
+            "key": d["l_orderkey"].astype("int64"),
+            "bucket": (d["l_orderkey"] % n_buckets).astype("int64"),
+            "side": 0,
+            "yr": np.int32(0),
+            "num": np.where(nat == Q8_NATION_KEY, rev, 0),
+            "den": rev,
+        })
+
+    def join_li(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "num", "den"]]
+        o = g[g["side"] == 1][["key", "yr"]]
+        m = l.merge(o, on="key")
+        return m.groupby("yr", as_index=False).agg(
+            num_cbp=("num", "sum"), den_cbp=("den", "sum"))
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("yr", as_index=False).agg(
+            num_cbp=("num_cbp", "sum"), den_cbp=("den_cbp", "sum"))
+        den = out["den_cbp"].to_numpy()
+        share = np.where(den == 0, 0.0,
+                         out["num_cbp"].to_numpy() / np.maximum(den, 1))
+        return pd.DataFrame({
+            "o_year": out["yr"].astype("int64"),
+            "num_cbp": out["num_cbp"].astype("int64"),
+            "den_cbp": out["den_cbp"].astype("int64"),
+            "mkt_share": share,
+        })
+
+    return li.map_batches(tag_li, batch_format="pandas").union(o_yr) \
+        .groupby("bucket").map_groups(join_li, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+MARKET_SHARE_SQL = f"""
+WITH t AS (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(round(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev,
+         s_nationkey
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region    ON cn.n_regionkey = r_regionkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  WHERE r_name = '{Q8_REGION}' AND p_type = '{Q8_TYPE}'
+    AND o_orderdate >= TIMESTAMP '{Q8_DATE_LO}'
+    AND o_orderdate <  TIMESTAMP '{Q8_DATE_HI}'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN s_nationkey = {Q8_NATION_KEY} THEN rev
+                     ELSE 0 END) AS BIGINT) AS num_cbp,
+       CAST(sum(rev) AS BIGINT) AS den_cbp,
+       coalesce(CAST(sum(CASE WHEN s_nationkey = {Q8_NATION_KEY} THEN rev
+                              ELSE 0 END) AS DOUBLE)
+                / nullif(CAST(sum(rev) AS DOUBLE), 0), 0.0) AS mkt_share
+FROM t
+GROUP BY o_year
+"""
+
+
+# --------------------------------------------------------------------------
+# top_supplier (TPC-H Q15 shape): argmax over a grouped aggregate —
+# the supplier(s) with maximum revenue in a 3-month ship window.
+# --------------------------------------------------------------------------
+Q15_DATE_LO = "1996-01-01"
+Q15_DATE_HI = "1996-04-01"
+
+
+def top_supplier(sf_dir: str):
+    """(s_suppkey, s_name, total_revenue_cbp) — ties all returned, the
+    classic Q15 contract.
+
+    Physical plan: date-pruned column-pruned scan → Arrow-native
+    per-batch partial sums by suppkey (pre-aggregation bounds every
+    shuffle row count at n_suppliers, not n_lineitems) → one suppkey
+    groupby combine → the max gate runs on the ≤n_suppliers result in a
+    single task; names attach from the broadcast supplier dim there.
+    """
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as _pq
+    import ray
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    names_ref = ray.put({int(k): str(n) for k, n in zip(
+        sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist())})
+
+    lo = _dt.datetime.fromisoformat(Q15_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q15_DATE_HI)
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi))
+
+    def partial(t: pa.Table) -> pa.Table:
+        price = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t["l_discount"], pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(price, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
+        g = pa.table({"s_suppkey": pc.cast(t["l_suppkey"], pa.int64()),
+                      "rev": rev}).group_by("s_suppkey") \
+            .aggregate([("rev", "sum")])
+        return g.rename_columns(["s_suppkey", "rev"])
+
+    def pick_max(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("s_suppkey", as_index=False)["rev"].sum()
+        best = out[out["rev"] == out["rev"].max()]
+        names = ray.get(names_ref)
+        return pd.DataFrame({
+            "s_suppkey": best["s_suppkey"].astype("int64"),
+            "s_name": best["s_suppkey"].map(names),
+            "total_revenue_cbp": best["rev"].astype("int64"),
+        })
+
+    return li.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(pick_max, batch_format="pandas")
+
+
+TOP_SUPPLIER_SQL = f"""
+WITH r AS (
+  SELECT l_suppkey AS s_suppkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) AS total_revenue_cbp
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{Q15_DATE_LO}'
+    AND l_shipdate <  TIMESTAMP '{Q15_DATE_HI}'
+  GROUP BY 1
+)
+SELECT CAST(r.s_suppkey AS BIGINT) AS s_suppkey,
+       s.s_name AS s_name,
+       r.total_revenue_cbp
+FROM r JOIN supplier s ON s.s_suppkey = r.s_suppkey
+WHERE r.total_revenue_cbp = (SELECT max(total_revenue_cbp) FROM r)
+"""
+
+
+# --------------------------------------------------------------------------
+# quantity_brand_revenue (TPC-H Q19 shape): disjunctive multi-attribute
+# predicates (OR of brand×size×quantity conjunctions) across a join —
+# the planner shape where the part side collapses to a broadcast filter.
+# --------------------------------------------------------------------------
+Q19_CASES = (("Brand#12", 1, 15, 1, 20),
+             ("Brand#23", 1, 25, 10, 30),
+             ("Brand#15", 1, 35, 20, 40))
+
+
+def quantity_brand_revenue(sf_dir: str):
+    """(revenue_cbp, n) — one row: revenue over lineitems matching ANY
+    of the three (brand, size range, quantity range) conjunctions.
+
+    Physical plan: zero shuffle. The three brands select a handful of
+    parts, so the part side becomes a broadcast partkey→case-bitmask
+    probe array (size gates folded in at build time); each lineitem
+    batch evaluates the quantity gates vectorized against the probed
+    bitmask and emits a 1-row integer partial; a 1-row-per-block
+    combine finishes. At 100 TB the scan is the whole cost — exactly
+    what Q19 is a benchmark of.
+    """
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+    import ray
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_size"])
+    pk = part["p_partkey"].to_numpy()
+    brand = part["p_brand"].to_pylist()
+    size = part["p_size"].to_numpy()
+    mask = np.zeros(int(pk.max()) + 1, dtype=np.uint8)
+    for bit, (b, slo, shi, _qlo, _qhi) in enumerate(Q19_CASES):
+        sel = (np.array([x == b for x in brand])
+               & (size >= slo) & (size <= shi))
+        mask[pk[sel]] |= (1 << bit)
+    mask_ref = ray.put(mask)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_quantity",
+                                  "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        arr = ray.get(mask_ref)
+        pkv = t["l_partkey"].to_numpy()
+        bits = np.where(pkv < len(arr),
+                        arr[np.minimum(pkv, len(arr) - 1)], 0)
+        qty = t["l_quantity"].to_numpy()
+        keep = np.zeros(len(pkv), dtype=bool)
+        for bit, (_b, _slo, _shi, qlo, qhi) in enumerate(Q19_CASES):
+            keep |= ((bits & (1 << bit)) != 0) & (qty >= qlo) & (qty <= qhi)
+        price = np.rint(t["l_extendedprice"].to_numpy()[keep]
+                        * 100).astype(np.int64)
+        disc = np.rint(t["l_discount"].to_numpy()[keep]
+                       * 100).astype(np.int64)
+        rev = int((price * (100 - disc)).sum())
+        return pa.table({"revenue_cbp": pa.array([rev], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    def combine(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "revenue_cbp": pa.array(
+                [pc.sum(t["revenue_cbp"]).as_py() or 0], pa.int64()),
+            "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+        })
+
+    return li.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine, batch_format="pyarrow")
+
+
+QUANTITY_BRAND_REVENUE_SQL = f"""
+SELECT CAST(coalesce(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))), 0)
+            AS BIGINT) AS revenue_cbp,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = '{Q19_CASES[0][0]}'
+       AND p_size BETWEEN {Q19_CASES[0][1]} AND {Q19_CASES[0][2]}
+       AND l_quantity BETWEEN {Q19_CASES[0][3]} AND {Q19_CASES[0][4]})
+   OR (p_brand = '{Q19_CASES[1][0]}'
+       AND p_size BETWEEN {Q19_CASES[1][1]} AND {Q19_CASES[1][2]}
+       AND l_quantity BETWEEN {Q19_CASES[1][3]} AND {Q19_CASES[1][4]})
+   OR (p_brand = '{Q19_CASES[2][0]}'
+       AND p_size BETWEEN {Q19_CASES[2][1]} AND {Q19_CASES[2][2]}
+       AND l_quantity BETWEEN {Q19_CASES[2][3]} AND {Q19_CASES[2][4]})
+"""

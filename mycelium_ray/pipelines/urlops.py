@@ -359,3 +359,54 @@ SELECT doc_id,
        CAST((doc_id % 10) + 1 AS DOUBLE) / 10.0 AS priority
 FROM documents
 """
+
+
+def recrawl_schedule(sf_dir: str):
+    """(doc_id, canon_url, due) — the recrawl planner: compare each
+    sitemap entry's ``lastmod`` against the store's last-fetch date and
+    mark stale URLs due for refetch (the planning-level dual of the T6
+    If-Modified-Since revalidation the fetch path does per request —
+    crawler.cc sends the conditional GET; this op decides WHO gets one).
+
+    Inputs: the parsed sitemap feed (sitemap_ingest — real XML parse +
+    canonicalizer) joined against a derived last-fetch column (fetch
+    date = 1995-01-01 + (doc_id*7 % 365) days, an integer rule the SQL
+    oracle mirrors). Both sides key on doc_id and the comparison is
+    map-side within the sitemap rows (the fetch date derives from the
+    same key), so the op is one streaming pass — at 10^10 URLs the real
+    store probe is the same per-batch lookup the URL-seen set already
+    does (state/urlseen.py), sharded by url hash, never a driver loop.
+    """
+    import pyarrow.compute as pc
+
+    sm = sitemap_ingest(sf_dir)
+
+    def plan(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"]
+        # derived store column: last fetch date per URL
+        day = pc.cast(
+            pc.subtract(pc.multiply(ids, 7),
+                        pc.multiply(pc.divide(pc.multiply(ids, 7), 365),
+                                    365)), pa.int64())
+        base = pa.scalar(9131, pa.int64())  # days(1995-01-01 - epoch)
+        fetched_days = pc.add(base, day)
+        # parsed lastmod -> days-since-epoch (date32 storage is that int)
+        lastmod_days = pc.cast(pc.cast(
+            pc.cast(pc.strptime(t["lastmod"], format="%Y-%m-%d", unit="s"),
+                    pa.date32()), pa.int32()), pa.int64())
+        due = pc.greater(lastmod_days, fetched_days)
+        return pa.table({"doc_id": ids,
+                         "canon_url": t["canon_url"],
+                         "due": due})
+
+    return sm.map_batches(plan, batch_format="pyarrow")
+
+
+RECRAWL_SCHEDULE_SQL = """
+SELECT doc_id,
+       'http://src' || substr(source, 4) || '.example.com/d/'
+         || CAST(doc_id AS VARCHAR) || '/asset.png' AS canon_url,
+       (DATE '1995-01-01' + INTERVAL (doc_id % 365) DAY)
+         > (DATE '1995-01-01' + INTERVAL ((doc_id * 7) % 365) DAY) AS due
+FROM documents
+"""
