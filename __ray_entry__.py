@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # --- text analysis (documents) ---
         "token_count": textops.token_count,
+        "train_val_split": textops.train_val_split,
+        "events_window_join": analytics.events_window_join,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
         "token_freq_score": textops.token_freq_score,
@@ -207,6 +209,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": cleaning.DECONTAMINATE_SQL,
         "boilerplate_lines": cleaning.BOILERPLATE_LINES_SQL,
         "token_count": textops.TOKEN_COUNT_SQL,
+        "train_val_split": textops.TRAIN_VAL_SPLIT_SQL,
+        "events_window_join": analytics.EVENTS_WINDOW_JOIN_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,
         "token_freq_score": textops.TOKEN_FREQ_SCORE_SQL,

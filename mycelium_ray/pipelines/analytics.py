@@ -4535,3 +4535,79 @@ WHERE (p_brand = '{Q19_CASES[0][0]}'
        AND p_size BETWEEN {Q19_CASES[2][1]} AND {Q19_CASES[2][2]}
        AND l_quantity BETWEEN {Q19_CASES[2][3]} AND {Q19_CASES[2][4]})
 """
+
+
+# --------------------------------------------------------------------------
+# events_window_join (stream window self-join): for every purchase, how
+# many errors did the same user hit in the trailing 24 h? The canonical
+# event-correlation join, distributed with HALO REPLICATION: time is
+# sliced into window-sized buckets, the small side (errors) is written
+# to its own bucket AND the next one, so every qualifying pair co-lives
+# in exactly one (user, bucket) group and no pair is counted twice.
+# --------------------------------------------------------------------------
+WJ_WINDOW_US = 24 * 3600 * 1_000_000
+
+
+def events_window_join(sf_dir: str):
+    """(event_id, n_errors_24h) per purchase event.
+
+    Scale story: the shuffle key is (user_id, time-bucket), so skew is
+    bounded by one user-day of events; halo replication doubles only
+    the error side (≤2× the smaller input), never the purchases; within
+    a group the count is two binary searches on the sorted error
+    timestamps — no pair materialization anywhere. At 100 TB this is
+    the standard interval-join recipe (bucket + halo ∝ window/bucket
+    ratio, here exactly 1).
+    """
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin(["purchase", "error"]))
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        bucket = pc.divide(us, pa.scalar(WJ_WINDOW_US, pa.int64()))
+        is_p = pc.equal(t["event_type"], pa.scalar("purchase"))
+        base = pa.table({
+            "user_id": t["user_id"],
+            "tbucket": bucket,
+            "side": pc.cast(pc.invert(is_p), pa.int8()),  # 0=purchase
+            "event_id": t["event_id"],
+            "ts_us": us,
+        })
+        err = base.filter(pc.equal(base["side"], pa.scalar(1, pa.int8())))
+        halo = err.set_column(
+            1, "tbucket", pc.add(err["tbucket"], pa.scalar(1, pa.int64())))
+        return pa.concat_tables([base, halo])
+
+    def count_group(g: pd.DataFrame) -> pd.DataFrame:
+        p = g[g["side"] == 0]
+        if len(p) == 0:
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "n_errors_24h": pd.Series([], dtype="int64")})
+        e_ts = np.sort(g.loc[g["side"] == 1, "ts_us"].to_numpy())
+        t_p = p["ts_us"].to_numpy()
+        n = (np.searchsorted(e_ts, t_p, side="left")
+             - np.searchsorted(e_ts, t_p - WJ_WINDOW_US, side="left"))
+        return pd.DataFrame({"event_id": p["event_id"].astype("int64"),
+                             "n_errors_24h": n.astype("int64")})
+
+    return ev.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["user_id", "tbucket"]) \
+        .map_groups(count_group, batch_format="pandas")
+
+
+EVENTS_WINDOW_JOIN_SQL = """
+SELECT p.event_id,
+       CAST(count(e.ts) AS BIGINT) AS n_errors_24h
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+LEFT JOIN (SELECT user_id, ts FROM events
+           WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts - INTERVAL 24 HOUR AND e.ts < p.ts
+GROUP BY p.event_id
+"""

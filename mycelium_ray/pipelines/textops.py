@@ -1537,3 +1537,60 @@ FROM agg a JOIN best b ON b.term = a.term AND b.rn = 1
 WHERE a.df >= {INVIDX_MIN_DF}
 ORDER BY a.term
 """
+
+
+# --------------------------------------------------------------------------
+# train_val_split: deterministic corpus partitioning for training —
+# every pipeline that feeds a trainer ends with one of these. The split
+# is a pure function of doc identity (Knuth multiplicative hash, HIGH
+# bits, ~1/10 validation), so reruns, resumes and multi-job readers all
+# agree with zero coordination AND the split stays uncorrelated with
+# source/doc_id stripes (a doc_id % k rule puts whole sources in one
+# split on this corpus); the query reports the per-(split, source)
+# document and token mass the trainer's data-mixing config consumes.
+# --------------------------------------------------------------------------
+VAL_EVERY = 10
+_SPLIT_KNUTH = 2654435761
+
+
+def train_val_split(sf_dir: str):
+    """(split, source, n_docs, n_tokens) — map-side split assignment +
+    Arrow per-batch partials; the shuffle carries ≤ 2×n_sources rows."""
+    import pyarrow.compute as pc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.fill_null(t["text"], "")
+        tok = pc.cast(pc.count_substring_regex(text, r"\S+"), pa.int64())
+        h = (t["doc_id"].to_numpy().astype(np.uint64)
+             * _SPLIT_KNUTH) % (1 << 32)
+        is_val = pa.array(((h >> 16) % VAL_EVERY) == 0)
+        split = pc.if_else(is_val, pa.scalar("val"), pa.scalar("train"))
+        g = pa.table({"split": split, "source": t["source"],
+                      "n_docs": pa.array(np.ones(len(t), np.int64)),
+                      "n_tokens": tok}) \
+            .group_by(["split", "source"]) \
+            .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+        return g.rename_columns(["split", "source", "n_docs", "n_tokens"])
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["split", "source"], as_index=False).agg(
+            n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        return out.astype({"n_docs": "int64", "n_tokens": "int64"})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+TRAIN_VAL_SPLIT_SQL = f"""
+SELECT CASE WHEN ((doc_id * {_SPLIT_KNUTH}) % 4294967296 // 65536)
+              % {VAL_EVERY} = 0
+            THEN 'val' ELSE 'train' END AS split,
+       source,
+       count(*) AS n_docs,
+       CAST(sum(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x <> ''))) AS BIGINT) AS n_tokens
+FROM documents
+GROUP BY 1, 2
+"""
