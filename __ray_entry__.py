@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_cdx": warcops.warc_cdx,
         "sitemap_ingest": urlops.sitemap_ingest,
         "recrawl_schedule": urlops.recrawl_schedule,
+        "crawl_delta": urlops.crawl_delta,
     }
 
 
@@ -318,4 +319,5 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx": warcops.WARC_CDX_SQL,
         "sitemap_ingest": urlops.SITEMAP_INGEST_SQL,
         "recrawl_schedule": urlops.RECRAWL_SCHEDULE_SQL,
+        "crawl_delta": urlops.CRAWL_DELTA_SQL,
     }

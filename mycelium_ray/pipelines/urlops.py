@@ -410,3 +410,119 @@ SELECT doc_id,
          > (DATE '1995-01-01' + INTERVAL ((doc_id * 7) % 365) DAY) AS due
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# crawl_delta: incremental-crawl snapshot diff over the versioned
+# TableStore — the change-detection pass every recrawl cycle runs
+# between its previous and current fetched tables.
+# --------------------------------------------------------------------------
+
+def _delta_snapshot(sf_dir: str, version: int):
+    """Derived fetched-table snapshot v1/v2: content hash per URL, with
+    deterministic drift between versions (doc_id%13==0 absent from v1
+    => NEW in v2; doc_id%11==0 absent from v2 => GONE; doc_id%7==0
+    carries different bytes in v2 => CHANGED). The hash is computed
+    from the actual content string — the delta op compares HASHES, the
+    integer rules exist only so the SQL oracle can mirror the result."""
+    from ..hashing import url_hash64_many
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        texts = t["text"].to_pylist()
+        if version == 1:
+            keep = ids % 13 != 0
+            salt = np.zeros(len(ids), dtype=bool)
+        else:
+            keep = ids % 11 != 0
+            salt = ids % 7 == 0
+        content = [tx + (" [updated]" if s else "")
+                   for tx, s in zip(texts, salt)]
+        h = url_hash64_many(np.array(content, dtype=object))
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "content_hash": pa.array(h[keep].astype(np.int64),
+                                     pa.int64()),
+        })
+
+    return ds.map_batches(derive, batch_format="pyarrow")
+
+
+def crawl_delta(sf_dir: str):
+    """(doc_id, status) with status ∈ {new, gone, changed, same} — the
+    diff of fetched-table snapshot v1 vs v2, computed by comparing the
+    stored content hashes.
+
+    Physical plan: both snapshots are published to the versioned
+    TableStore via ``publish_dataset`` (distributed part writes, atomic
+    rename+_OK — a rerun reuses published versions), read back
+    version-pinned, and diffed with ONE bucketed shuffle (doc_id % nb,
+    nb ∝ cluster CPUs) and a vectorized outer merge per bucket. At
+    100 TB snapshots written partition-aligned make this a per-partition
+    merge with no shuffle at all; the bucket join is the general case.
+    """
+    import os
+
+    import ray
+
+    from ..state.store import TableStore
+
+    root = ("/tmp/mycelium_delta_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+    store = TableStore(root)
+    for v in (1, 2):
+        if not store.exists("fetched", v):
+            store.publish_dataset("fetched", _delta_snapshot(sf_dir, v), v)
+
+    try:
+        nb = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    except Exception:
+        nb = 8
+
+    def tag(side: int):
+        def run(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            ids = t["doc_id"]
+            bucket = pc.subtract(
+                ids, pc.multiply(pc.divide(ids, nb), nb))
+            return pa.table({
+                "doc_id": ids,
+                "bucket": pc.cast(bucket, pa.int64()),
+                "side": pa.array(np.full(len(t), side, np.int8)),
+                "content_hash": t["content_hash"],
+            })
+        return run
+
+    v1 = rd.read_parquet(store.version_files("fetched", 1)) \
+        .map_batches(tag(0), batch_format="pyarrow")
+    v2 = rd.read_parquet(store.version_files("fetched", 2)) \
+        .map_batches(tag(1), batch_format="pyarrow")
+
+    def diff(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0][["doc_id", "content_hash"]]
+        b = g[g["side"] == 1][["doc_id", "content_hash"]]
+        m = a.merge(b, on="doc_id", how="outer", suffixes=("_a", "_b"))
+        ha = m["content_hash_a"]
+        hb = m["content_hash_b"]
+        status = np.where(ha.isna(), "new",
+                          np.where(hb.isna(), "gone",
+                                   np.where(ha != hb, "changed", "same")))
+        return pd.DataFrame({"doc_id": m["doc_id"].astype("int64"),
+                             "status": status})
+
+    return v1.union(v2).groupby("bucket") \
+        .map_groups(diff, batch_format="pandas")
+
+
+CRAWL_DELTA_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 0 THEN 'new'
+            WHEN doc_id % 11 = 0 THEN 'gone'
+            WHEN doc_id % 7 = 0 THEN 'changed'
+            ELSE 'same' END AS status
+FROM documents
+WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 0)
+"""

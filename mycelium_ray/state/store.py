@@ -98,6 +98,40 @@ class TableStore:
             f.write("ok")
         return final
 
+    def publish_dataset(self, name: str, ds, version: int) -> str:
+        """Atomic publish of one version from a ``ray.data.Dataset`` —
+        the distributed dual of ``write``: every task writes its own
+        part file into the temp directory (row data never crosses the
+        driver), then the driver does the same rename+_OK publish. On a
+        multi-node cluster the version directory must live on shared
+        storage (the same requirement every path in this store has).
+        Parquet only (lance's fragment writer isn't in this container).
+        Idempotent: re-publishing an existing version is a no-op."""
+        final = self._vdir(name, version)
+        if os.path.exists(os.path.join(final, "_OK")):
+            return final
+        tmp = final + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        ds.write_parquet(tmp)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        with open(os.path.join(final, "_OK"), "w") as f:
+            f.write("ok")
+        return final
+
+    def version_files(self, name: str, version: int) -> list[str]:
+        """Paths of a published parquet version's part files — for
+        feeding ``ray.data.read_parquet`` directly (the _OK marker and
+        any sidecars are excluded)."""
+        vdir = self._vdir(name, version)
+        if not os.path.exists(os.path.join(vdir, "_OK")):
+            raise FileNotFoundError(f"{name} v{version} not published")
+        return sorted(os.path.join(vdir, f) for f in os.listdir(vdir)
+                      if f.endswith(".parquet"))
+
     def read(self, name: str, version: int | None = None) -> pa.Table:
         if version is None:
             version = self.latest_version(name)
