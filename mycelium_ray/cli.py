@@ -48,12 +48,18 @@ def _ray_init(num_cpus: int | None) -> bool:
     """Guarded init; returns True when THIS call started the session (the
     CLI only shuts down a session it owns — embedding in a larger program
     or the test fixture leaves the outer session alone)."""
+    import os
+
     import ray
     if ray.is_initialized():
         return False
-    kwargs = dict(address="local", include_dashboard=False,
+    # Under `ray job submit` the job driver must JOIN the running cluster
+    # (RAY_ADDRESS is set by the job runtime, e.g. "auto"); standalone it
+    # starts a local session. num_cpus only applies to a session we start.
+    address = os.environ.get("RAY_ADDRESS", "local")
+    kwargs = dict(address=address, include_dashboard=False,
                   logging_level="ERROR")
-    if num_cpus:
+    if num_cpus and address == "local":
         kwargs["num_cpus"] = num_cpus
     ray.init(**kwargs)
     return True
