@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- text analysis (documents) ---
         "token_count": textops.token_count,
         "train_val_split": textops.train_val_split,
+        "charset_decode": textops.charset_decode,
         "events_window_join": analytics.events_window_join,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
@@ -211,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_lines": cleaning.BOILERPLATE_LINES_SQL,
         "token_count": textops.TOKEN_COUNT_SQL,
         "train_val_split": textops.TRAIN_VAL_SPLIT_SQL,
+        "charset_decode": textops.CHARSET_DECODE_SQL,
         "events_window_join": analytics.EVENTS_WINDOW_JOIN_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

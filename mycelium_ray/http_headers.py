@@ -159,3 +159,28 @@ FMT_TO_CTYPE = {
     "y4m": ContentType.VIDEO_Y4M,
     "unknown": ContentType.UNRECOGNIZED,
 }
+
+
+# --- text charset sniffing (BOM + UTF-8 heuristic) -----------------------
+# The M18 charset leg: the reference converts fetched text to UTF-8 before
+# lexing (utils.cc charset path); the Ray stage sniffs the wire bytes and
+# the decode itself happens vectorized in the pipeline (textops).
+
+_BOMS = [
+    (b"\xef\xbb\xbf", "utf-8-sig"),
+    (b"\xff\xfe", "utf-16-le"),
+    (b"\xfe\xff", "utf-16-be"),
+]
+
+
+def sniff_charset(data: bytes) -> str:
+    """BOM-first charset sniff; BOM-less input falls back to a strict
+    UTF-8 trial, then latin-1 (which never fails — the browser rule)."""
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return enc
+    try:
+        data.decode("utf-8")
+        return "utf-8"
+    except UnicodeDecodeError:
+        return "latin-1"

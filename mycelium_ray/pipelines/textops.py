@@ -1594,3 +1594,72 @@ SELECT CASE WHEN ((doc_id * {_SPLIT_KNUTH}) % 4294967296 // 65536)
 FROM documents
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# charset_decode: the text-transcode leg of the fetch path (M18/M19) —
+# wire payloads arrive in whatever encoding the server used; the engine
+# sniffs (BOM-first) and decodes to UTF-8 before any text op runs.
+# --------------------------------------------------------------------------
+
+def charset_decode(sf_dir: str):
+    """(doc_id, encoding, n_bytes, text_sha256) — derived wire payloads
+    (doc_id%4 selects utf-8 / utf-8 with BOM / utf-16-le / utf-16-be,
+    integer rules the oracle mirrors) are sniffed by the real
+    BOM/UTF-8-trial sniffer and decoded; text_sha256 hashes the DECODED
+    text, so a single wrong byte anywhere in encode→sniff→decode breaks
+    the oracle match against sha256(text) computed from the source
+    column. Map-side only: one streaming pass, zero shuffle."""
+    import hashlib
+
+    from ..http_headers import sniff_charset
+
+    # wire encoders (explicit BOMs — python's utf-16-le/-be codecs are
+    # BOM-less) and the BOM-stripping decoder for each sniff verdict
+    _WIRE = [
+        lambda s: s.encode("utf-8"),
+        lambda s: b"\xef\xbb\xbf" + s.encode("utf-8"),
+        lambda s: b"\xff\xfe" + s.encode("utf-16-le"),
+        lambda s: b"\xfe\xff" + s.encode("utf-16-be"),
+    ]
+    _DECODE = {"utf-8": "utf-8", "utf-8-sig": "utf-8-sig",
+               "utf-16-le": "utf-16", "utf-16-be": "utf-16",
+               "latin-1": "latin-1"}
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        encs, nbytes, shas = [], [], []
+        for d, tx in zip(ids, texts):
+            payload = _WIRE[d % 4](tx or "")     # the simulated wire bytes
+            got = sniff_charset(payload)
+            # utf-8 without BOM sniffs as plain utf-8 (ASCII corpus);
+            # the utf-16 decode goes through the BOM-aware codec
+            decoded = payload.decode(_DECODE[got])
+            encs.append(got)
+            nbytes.append(len(payload))
+            shas.append(hashlib.sha256(decoded.encode("utf-8")).hexdigest())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "encoding": pa.array(encs, pa.string()),
+            "n_bytes": pa.array(nbytes, pa.int64()),
+            "text_sha256": pa.array(shas, pa.string()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+CHARSET_DECODE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'utf-8'
+                       WHEN 1 THEN 'utf-8-sig'
+                       WHEN 2 THEN 'utf-16-le'
+                       ELSE 'utf-16-be' END AS encoding,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN strlen(text)
+                 WHEN doc_id % 4 = 1 THEN strlen(text) + 3
+                 ELSE 2 * strlen(text) + 2 END AS BIGINT) AS n_bytes,
+       sha256(text) AS text_sha256
+FROM documents
+"""

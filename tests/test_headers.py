@@ -74,3 +74,34 @@ def test_sniff_magic():
     assert sniff_format(b"RIFFxxxxAVI rest") == "avi"   # r4: real demuxer
     assert sniff_format(b"YUV4MPEG2 W2 H2 C444\n") == "y4m"
     assert sniff_format(b"RIFFxxxxWAVErest") == "unknown"
+
+
+def test_sniff_charset():
+    from mycelium_ray.http_headers import sniff_charset
+
+    assert sniff_charset("plain ascii".encode()) == "utf-8"
+    assert sniff_charset("déjà vu".encode("utf-8")) == "utf-8"
+    assert sniff_charset(b"\xef\xbb\xbf" + b"x") == "utf-8-sig"
+    assert sniff_charset(b"\xff\xfe" + "hé".encode("utf-16-le")) == "utf-16-le"
+    assert sniff_charset(b"\xfe\xff" + "hé".encode("utf-16-be")) == "utf-16-be"
+    # invalid utf-8 falls back to latin-1 (the never-fails browser rule)
+    assert sniff_charset("café".encode("latin-1")) == "latin-1"
+
+
+def test_sniff_charset_roundtrips_non_ascii():
+    """The decode mapping used by textops.charset_decode reproduces the
+    exact original text for non-ASCII content in every BOM class."""
+    from mycelium_ray.http_headers import sniff_charset
+
+    text = "naïve — ünïcodé ✓"
+    wires = [
+        text.encode("utf-8"),
+        b"\xef\xbb\xbf" + text.encode("utf-8"),
+        b"\xff\xfe" + text.encode("utf-16-le"),
+        b"\xfe\xff" + text.encode("utf-16-be"),
+    ]
+    dec = {"utf-8": "utf-8", "utf-8-sig": "utf-8-sig",
+           "utf-16-le": "utf-16", "utf-16-be": "utf-16"}
+    for w in wires:
+        got = sniff_charset(w)
+        assert w.decode(dec[got]) == text
