@@ -127,6 +127,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "market_share": analytics.market_share,
         "top_supplier": analytics.top_supplier,
         "quantity_brand_revenue": analytics.quantity_brand_revenue,
+        "order_priority_check": analytics.order_priority_check,
+        "nation_profit": analytics.nation_profit,
+        "important_part_values": analytics.important_part_values,
+        "part_supplier_counts": analytics.part_supplier_counts,
+        "excess_share_suppliers": analytics.excess_share_suppliers,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -265,6 +270,11 @@ def oracle_sql() -> dict[str, str]:
         "market_share": analytics.MARKET_SHARE_SQL,
         "top_supplier": analytics.TOP_SUPPLIER_SQL,
         "quantity_brand_revenue": analytics.QUANTITY_BRAND_REVENUE_SQL,
+        "order_priority_check": analytics.ORDER_PRIORITY_CHECK_SQL,
+        "nation_profit": analytics.NATION_PROFIT_SQL,
+        "important_part_values": analytics.IMPORTANT_PART_VALUES_SQL,
+        "part_supplier_counts": analytics.PART_SUPPLIER_COUNTS_SQL,
+        "excess_share_suppliers": analytics.EXCESS_SHARE_SUPPLIERS_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,

@@ -4611,3 +4611,504 @@ LEFT JOIN (SELECT user_id, ts FROM events
  AND e.ts >= p.ts - INTERVAL 24 HOUR AND e.ts < p.ts
 GROUP BY p.event_id
 """
+
+
+# --------------------------------------------------------------------------
+# order_priority_check (TPC-H Q4 shape): EXISTS semi-join — count orders
+# per priority that have at least one "late-penalty" lineitem (l_tax >
+# l_discount, the row-local dual of Q4's commitdate < receiptdate, which
+# this schema lacks). One bucketed shuffle on orderkey; the lineitem side
+# is deduplicated per batch BEFORE the shuffle so at most one row per
+# (batch, orderkey) moves.
+# --------------------------------------------------------------------------
+Q4_DATE_LO = "1996-01-01"
+Q4_DATE_HI = "1997-01-01"
+
+
+def order_priority_check(sf_dir: str):
+    """(o_orderpriority, n) for 1996 orders with >=1 l_tax>l_discount
+    lineitem."""
+    import datetime as _dt
+
+    import pyarrow.compute as pc
+    import pyarrow.dataset as pads
+
+    n_buckets = _n_join_buckets()
+    lo = _dt.datetime.fromisoformat(Q4_DATE_LO)
+    hi = _dt.datetime.fromisoformat(Q4_DATE_HI)
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"],
+                             filter=(pads.field("o_orderdate") >= lo)
+                             & (pads.field("o_orderdate") < hi))
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"],
+                         filter=pads.field("l_tax") > pads.field("l_discount"))
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        okey = pc.unique(t["l_orderkey"]).to_numpy()
+        return pa.table({
+            "key": pa.array(okey, pa.int64()),
+            "bucket": pa.array(okey % n_buckets, pa.int64()),
+            "side": pa.array(np.zeros(len(okey), dtype=np.int8)),
+            "priority": pa.array([""] * len(okey), pa.string()),
+        })
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        okey = t["o_orderkey"].to_numpy()
+        return pa.table({
+            "key": pa.array(okey, pa.int64()),
+            "bucket": pa.array(okey % n_buckets, pa.int64()),
+            "side": pa.array(np.ones(len(okey), dtype=np.int8)),
+            "priority": t["o_orderpriority"],
+        })
+
+    def semi_count(g: pd.DataFrame) -> pd.DataFrame:
+        have = set(g.loc[g["side"] == 0, "key"].to_numpy().tolist())
+        o = g[g["side"] == 1]
+        hit = o[o["key"].isin(have)]
+        out = hit.groupby("priority", as_index=False).agg(n=("key", "size"))
+        return pd.DataFrame({"o_orderpriority": out["priority"],
+                             "n": out["n"].astype("int64")})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("o_orderpriority", as_index=False).agg(
+            n=("n", "sum")).sort_values("o_orderpriority")
+        return out.astype({"n": "int64"}).reset_index(drop=True)
+
+    return li.map_batches(tag_li, batch_format="pyarrow") \
+        .union(orders.map_batches(tag_orders, batch_format="pyarrow")) \
+        .groupby("bucket").map_groups(semi_count, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+ORDER_PRIORITY_CHECK_SQL = f"""
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '{Q4_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{Q4_DATE_HI}'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_tax > l_discount)
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# nation_profit (TPC-H Q9 shape): profit by (supplier nation, order year)
+# for one part family. Q9's ps_supplycost (no partsupp table here) is
+# stood in by p_retailprice: profit_cbp = price_c*(100-disc) -
+# retail_c*100*qty, integer-exact. part (filtered) and supplier are
+# broadcast probe arrays; the only shuffle is the date-carrying
+# lineitem ⋈ orders join on orderkey, bucketed ∝ CPUs.
+# --------------------------------------------------------------------------
+Q9_PART_TOKEN = "widget"
+
+
+def nation_profit(sf_dir: str):
+    """(nation, o_year, profit_cbp, n) over '%widget%' parts."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    n_buckets = _n_join_buckets()
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name", "p_retailprice"])
+    keep = pc.match_substring(part["p_name"], Q9_PART_TOKEN)
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy()
+    retail_c = np.rint(part["p_retailprice"].to_numpy() * 100).astype("int64")
+    rmap = np.full(int(pk.max()) + 1 if len(pk) else 1, -1, dtype=np.int64)
+    rmap[pk] = retail_c
+    rmap_ref = ray.put(rmap)
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    smap = np.full(int(sup["s_suppkey"].to_numpy().max()) + 1, -1,
+                   dtype=np.int32)
+    smap[sup["s_suppkey"].to_numpy()] = sup["s_nationkey"].to_numpy()
+    smap_ref = ray.put(smap)
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_name = {int(k): str(v) for k, v in zip(
+        nation["n_nationkey"].to_pylist(), nation["n_name"].to_pylist())}
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_partkey", "l_suppkey",
+                                  "l_quantity", "l_extendedprice",
+                                  "l_discount"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderdate"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        rm = ray.get(rmap_ref)
+        sm = ray.get(smap_ref)
+        pkv = df["l_partkey"].to_numpy()
+        rc = np.where(pkv < len(rm), rm[np.minimum(pkv, len(rm) - 1)], -1)
+        d = df[rc >= 0]
+        rc = rc[rc >= 0]
+        price = np.rint(d["l_extendedprice"].to_numpy() * 100).astype("int64")
+        disc = np.rint(d["l_discount"].to_numpy() * 100).astype("int64")
+        qty = np.rint(d["l_quantity"].to_numpy()).astype("int64")
+        sk = d["l_suppkey"].to_numpy()
+        return pd.DataFrame({
+            "key": d["l_orderkey"].astype("int64"),
+            "bucket": (d["l_orderkey"] % n_buckets).astype("int64"),
+            "side": np.int8(0),
+            "nat": sm[np.minimum(sk, len(sm) - 1)].astype("int32"),
+            "amt": price * (100 - disc) - rc * 100 * qty,
+            "yr": np.int32(0),
+        })
+
+    def tag_orders(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "bucket": (df["o_orderkey"] % n_buckets).astype("int64"),
+            "side": np.int8(1),
+            "nat": np.int32(-1),
+            "amt": np.int64(0),
+            "yr": df["o_orderdate"].dt.year.astype("int32"),
+        })
+
+    def join_year(g: pd.DataFrame) -> pd.DataFrame:
+        l = g[g["side"] == 0][["key", "nat", "amt"]]
+        if len(l) == 0:
+            return pd.DataFrame({"nat": pd.Series([], dtype="int32"),
+                                 "yr": pd.Series([], dtype="int32"),
+                                 "profit": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        o = g[g["side"] == 1][["key", "yr"]]
+        m = l.merge(o, on="key")
+        out = m.groupby(["nat", "yr"], as_index=False).agg(
+            profit=("amt", "sum"), n=("amt", "size"))
+        return out.astype({"profit": "int64", "n": "int64"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["nat", "yr"], as_index=False).agg(
+            profit=("profit", "sum"), n=("n", "sum"))
+        return pd.DataFrame({
+            "nation": out["nat"].map(nat_name),
+            "o_year": out["yr"].astype("int64"),
+            "profit_cbp": out["profit"].astype("int64"),
+            "n": out["n"].astype("int64"),
+        })
+
+    return li.map_batches(tag_li, batch_format="pandas") \
+        .union(orders.map_batches(tag_orders, batch_format="pandas")) \
+        .groupby("bucket").map_groups(join_year, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+NATION_PROFIT_SQL = f"""
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                - CAST(round(p_retailprice * 100) AS BIGINT) * 100
+                  * CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         AS profit_cbp,
+       count(*) AS n
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN part     ON p_partkey = l_partkey
+WHERE p_name LIKE '%{Q9_PART_TOKEN}%'
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# important_part_values (TPC-H Q11 shape): grouped value per part vs a
+# GLOBAL scalar subquery threshold. Q11's 0.0001/SF fraction is replaced
+# by the scale-free integer-exact gate  2*value*n_parts > 3*total (parts
+# worth more than 1.5x the average part; 1.5 keeps the gate non-vacuous
+# at sf0.001 where only ~4 suppliers sit in the region). Region-gated suppliers are a
+# broadcast mask; per-part values come from Arrow partials + one bounded
+# groupby (one row per part); the global total is a second tiny aggregate
+# over that per-part table, never a rescan.
+# --------------------------------------------------------------------------
+Q11_REGION = "EUROPE"
+
+
+def important_part_values(sf_dir: str):
+    """(l_partkey, value_cents) for parts supplied from EUROPE worth
+    more than 1.5x the average, value-descending."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    regiont = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {str(n): int(k) for k, n in zip(
+        regiont["r_regionkey"].to_pylist(), regiont["r_name"].to_pylist())}
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_in = {int(nk) for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                                        nation["n_regionkey"].to_pylist())
+              if int(rk) == rkey[Q11_REGION]}
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    skey = sup["s_suppkey"].to_numpy()
+    smask = np.zeros(int(skey.max()) + 1, dtype=bool)
+    smask[skey[np.isin(sup["s_nationkey"].to_numpy(),
+                       np.array(sorted(nat_in), dtype=np.int64))]] = True
+    smask_ref = ray.put(smask)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey",
+                                  "l_extendedprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        m = ray.get(smask_ref)
+        sk = t["l_suppkey"].to_numpy()
+        keep = (sk < len(m)) & m[np.minimum(sk, len(m) - 1)]
+        pkv = t["l_partkey"].to_numpy()[keep]
+        cents = np.rint(
+            t["l_extendedprice"].to_numpy()[keep] * 100).astype("int64")
+        g = pa.table({"l_partkey": pa.array(pkv, pa.int64()),
+                      "v": pa.array(cents, pa.int64())}) \
+            .group_by("l_partkey").aggregate([("v", "sum")])
+        return pa.table({"l_partkey": g["l_partkey"], "v": g["v_sum"]})
+
+    per_part = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_partkey").aggregate(Sum("v", alias_name="value_cents"))
+
+    tot = per_part.aggregate(Sum("value_cents", alias_name="t"),
+                             Count(alias_name="np"))
+    total, n_parts = int(tot["t"]), int(tot["np"])
+
+    def gate(t: pa.Table) -> pa.Table:
+        keep = pc.greater(pc.multiply(t["value_cents"],
+                                      pa.scalar(2 * n_parts, pa.int64())),
+                          pa.scalar(3 * total, pa.int64()))
+        return t.filter(keep)
+
+    return per_part.map_batches(gate, batch_format="pyarrow") \
+        .sort(["value_cents", "l_partkey"], descending=[True, False])
+
+
+IMPORTANT_PART_VALUES_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = '{Q11_REGION}'
+  GROUP BY 1
+), tot AS (SELECT sum(value_cents) AS t, count(*) AS np FROM pv)
+SELECT l_partkey, value_cents
+FROM pv, tot
+WHERE value_cents * np * 2 > 3 * t
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# part_supplier_counts (TPC-H Q16 shape): COUNT(DISTINCT supplier) per
+# part attribute group with a NOT-IN supplier exclusion. The part↔supplier
+# relation (no partsupp table) is the distinct (l_partkey, l_suppkey)
+# pairs observed in lineitem. Two-level distinct: per-batch pair dedup →
+# pair-bucket groupby dedup + attr attach → (attrs, suppkey)-bucket
+# groupby dedup + partial counts → tiny combine. Both shuffles ∝ CPUs and
+# carry only deduplicated pair rows.
+# --------------------------------------------------------------------------
+Q16_BRAND_NOT = "Brand#13"
+Q16_TYPE_NOT_PREFIX = "PROMO"
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+Q16_BAD_ACCTBAL = 1000.0
+
+
+def part_supplier_counts(sf_dir: str):
+    """(p_brand, p_type, p_size, supplier_cnt) over distinct lineitem
+    part-supplier pairs, excluding low-acctbal suppliers."""
+    import pyarrow.parquet as _pq
+
+    n_buckets = _n_join_buckets()
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_brand", "p_type",
+                                   "p_size"])
+    brand = np.asarray(part["p_brand"].to_pylist())
+    ptype = np.asarray(part["p_type"].to_pylist())
+    size = part["p_size"].to_numpy()
+    keep = ((brand != Q16_BRAND_NOT)
+            & ~np.char.startswith(ptype, Q16_TYPE_NOT_PREFIX)
+            & np.isin(size, np.array(Q16_SIZES)))
+    pk = part["p_partkey"].to_numpy()[keep]
+    attrs = {int(k): (b, t, int(s)) for k, b, t, s in zip(
+        pk, brand[keep], ptype[keep], size[keep])}
+    attrs_ref = ray.put(attrs)
+
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_acctbal"])
+    bad = set(sup.filter(
+        pa.compute.less(sup["s_acctbal"], Q16_BAD_ACCTBAL))
+        ["s_suppkey"].to_pylist())
+    bad_ref = ray.put(bad)
+    pkset_ref = ray.put(set(attrs))
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey"])
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        pks = ray.get(pkset_ref)
+        badk = ray.get(bad_ref)
+        d = df[df["l_partkey"].isin(pks)
+               & ~df["l_suppkey"].isin(badk)].drop_duplicates()
+        return pd.DataFrame({
+            "pk": d["l_partkey"].astype("int64"),
+            "sk": d["l_suppkey"].astype("int64"),
+            "bucket": ((d["l_partkey"] * 31 + d["l_suppkey"])
+                       % n_buckets).astype("int64"),
+        })
+
+    def pair_dedup(g: pd.DataFrame) -> pd.DataFrame:
+        a = ray.get(attrs_ref)
+        d = g[["pk", "sk"]].drop_duplicates()
+        trip = d["pk"].map(a)
+        return pd.DataFrame({
+            "p_brand": trip.str[0],
+            "p_type": trip.str[1],
+            "p_size": trip.str[2].astype("int64"),
+            "sk": d["sk"],
+            "bucket2": ((d["sk"] * 127 + d["pk"] * 0
+                         + trip.str[2]) % n_buckets).astype("int64"),
+        })
+
+    def count_partial(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[["p_brand", "p_type", "p_size", "sk"]].drop_duplicates()
+        out = d.groupby(["p_brand", "p_type", "p_size"],
+                        as_index=False).agg(c=("sk", "size"))
+        return out.astype({"c": "int64"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["p_brand", "p_type", "p_size"],
+                         as_index=False).agg(supplier_cnt=("c", "sum"))
+        out = out.sort_values(
+            ["supplier_cnt", "p_brand", "p_type", "p_size"],
+            ascending=[False, True, True, True])
+        return out.astype({"supplier_cnt": "int64",
+                           "p_size": "int64"}).reset_index(drop=True)
+
+    return li.map_batches(pair_partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(pair_dedup, batch_format="pandas") \
+        .groupby("bucket2").map_groups(count_partial,
+                                       batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+PART_SUPPLIER_COUNTS_SQL = f"""
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> '{Q16_BRAND_NOT}'
+  AND p_type NOT LIKE '{Q16_TYPE_NOT_PREFIX}%'
+  AND p_size IN {Q16_SIZES!r}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_acctbal < {Q16_BAD_ACCTBAL})
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# --------------------------------------------------------------------------
+# excess_share_suppliers (TPC-H Q20 shape): nested-aggregate semi-join —
+# suppliers in one region who shipped MORE than 2x a part's fair
+# per-supplier share of a part family (q*ns > 2*tq, integer-exact; the
+# availqty > 0.5*shipped correlated subquery stood in by the fair-share
+# rule since there is no partsupp table). Shuffle 1 is keyed by partkey
+# (group size = that part's supplier fan, ~tens of rows) over per-batch
+# (pk, sk, qty) partials; qualifying suppliers are then a bounded
+# dimension-sized groupby.
+# --------------------------------------------------------------------------
+Q20_PART_TOKEN = "widget"
+Q20_REGION = "EUROPE"
+
+
+def excess_share_suppliers(sf_dir: str):
+    """(s_suppkey, s_name) of EUROPE suppliers with an over-2x-fair-share
+    position in any '%widget%' part."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as _pq
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    pk = part.filter(pc.match_substring(part["p_name"], Q20_PART_TOKEN)) \
+        ["p_partkey"].to_numpy()
+    pmask = np.zeros(int(pk.max()) + 1 if len(pk) else 1, dtype=bool)
+    pmask[pk] = True
+    pmask_ref = ray.put(pmask)
+
+    regiont = _pq.read_table(f"{sf_dir}/region.parquet")
+    rkey = {str(n): int(k) for k, n in zip(
+        regiont["r_regionkey"].to_pylist(), regiont["r_name"].to_pylist())}
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet")
+    nat_in = {int(nk) for nk, rk in zip(nation["n_nationkey"].to_pylist(),
+                                        nation["n_regionkey"].to_pylist())
+              if int(rk) == rkey[Q20_REGION]}
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    sname = {int(k): str(n) for k, n, nk in zip(
+        sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist(),
+        sup["s_nationkey"].to_pylist()) if int(nk) in nat_in}
+    sname_ref = ray.put(sname)
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_partkey", "l_suppkey", "l_quantity"])
+
+    def qty_partial(t: pa.Table) -> pa.Table:
+        m = ray.get(pmask_ref)
+        pkv = t["l_partkey"].to_numpy()
+        keep = (pkv < len(m)) & m[np.minimum(pkv, len(m) - 1)]
+        g = pa.table({
+            "pk": pa.array(pkv[keep], pa.int64()),
+            "sk": pa.array(t["l_suppkey"].to_numpy()[keep], pa.int64()),
+            "q": pa.array(np.rint(t["l_quantity"].to_numpy()[keep])
+                          .astype("int64"), pa.int64()),
+        }).group_by(["pk", "sk"]).aggregate([("q", "sum")])
+        return pa.table({"pk": g["pk"], "sk": g["sk"], "q": g["q_sum"]})
+
+    def fair_share(g: pd.DataFrame) -> pd.DataFrame:
+        per = g.groupby("sk", as_index=False).agg(q=("q", "sum"))
+        tq = int(per["q"].sum())
+        ns = len(per)
+        win = per[per["q"].to_numpy() * ns > 2 * tq]
+        return pd.DataFrame({"sk": win["sk"].astype("int64")})
+
+    def name_suppliers(df: pd.DataFrame) -> pd.DataFrame:
+        nm = ray.get(sname_ref)
+        d = df[df["sk"].isin(nm)].drop_duplicates("sk")
+        return pd.DataFrame({
+            "s_suppkey": d["sk"].astype("int64"),
+            "s_name": d["sk"].map(nm),
+        })
+
+    return li.map_batches(qty_partial, batch_format="pyarrow") \
+        .groupby("pk").map_groups(fair_share, batch_format="pandas") \
+        .groupby("sk").map_groups(lambda g: g.head(1),
+                                  batch_format="pandas") \
+        .map_batches(name_suppliers, batch_format="pandas") \
+        .sort("s_suppkey")
+
+
+EXCESS_SHARE_SUPPLIERS_SQL = f"""
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS q
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE '%{Q20_PART_TOKEN}%'
+  GROUP BY 1, 2
+), pt AS (
+  SELECT pk, sum(q) AS tq, count(*) AS ns FROM ps GROUP BY 1
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM ps
+JOIN pt USING (pk)
+JOIN supplier ON sk = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE q * ns > 2 * tq AND r_name = '{Q20_REGION}'
+ORDER BY s_suppkey
+"""
