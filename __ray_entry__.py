@@ -201,6 +201,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_cdx": warcops.warc_cdx,
         "sitemap_ingest": urlops.sitemap_ingest,
         "recrawl_schedule": urlops.recrawl_schedule,
+        "redirect_resolve": urlops.redirect_resolve,
+        "mirror_hosts": urlops.mirror_hosts,
         "crawl_delta": urlops.crawl_delta,
     }
 
@@ -331,5 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "warc_cdx": warcops.WARC_CDX_SQL,
         "sitemap_ingest": urlops.SITEMAP_INGEST_SQL,
         "recrawl_schedule": urlops.RECRAWL_SCHEDULE_SQL,
+        "redirect_resolve": urlops.REDIRECT_RESOLVE_SQL,
+        "mirror_hosts": urlops.MIRROR_HOSTS_SQL,
         "crawl_delta": urlops.CRAWL_DELTA_SQL,
     }

@@ -526,3 +526,285 @@ SELECT doc_id,
 FROM documents
 WHERE NOT (doc_id % 13 = 0 AND doc_id % 11 = 0)
 """
+
+
+# --------------------------------------------------------------------------
+# redirect_resolve: follow HTTP-redirect chains to their terminal URL with
+# cycle detection — distributed pointer jumping (path doubling), the
+# MAXREDIRS/O3 semantics lifted from per-fetch (transport.py) to a corpus
+# batch op. Each round rewrites ptr[u] <- ptr[ptr[u]] via ONE bucketed
+# hash join, so R = ceil(log2(longest chain)) rounds resolve everything;
+# a round that resolves nothing proves the remainder is cyclic (every
+# terminal-reaching node at distance <= 2^r is done after round r, and
+# the nearest unresolved one sits at 2^r + 1 <= 2^(r+1)), which is the
+# loop-exit rule. Shuffle per round ∝ unresolved nodes, ∝ CPUs buckets.
+#
+# Redirect edges derive from doc_id (SQL mirrors the closed form; the
+# engine only ever follows edges):
+#   doc_id % 100 in {97, 98, 99} → 3-cycle 97→98→99→97 (crawler traps)
+#   doc_id % 10 == 0             → terminal (200 OK)
+#   otherwise                    → doc_id - 1
+# Corpus sizes are multiples of 100 at every sf, so each hundred-block
+# (and thus each cycle) is complete.
+# --------------------------------------------------------------------------
+def _redirect_dst(doc: np.ndarray) -> np.ndarray:
+    """dst per doc, -1 for terminals (no outgoing edge)."""
+    m100 = doc % 100
+    dst = doc - 1
+    dst = np.where(doc % 10 == 0, -1, dst)
+    dst = np.where(m100 == 97, doc + 1, dst)
+    dst = np.where(m100 == 98, doc + 1, dst)
+    dst = np.where(m100 == 99, doc - 2, dst)
+    return dst.astype("int64")
+
+
+def redirect_resolve(sf_dir: str):
+    """(doc_id, status, final_doc, hops) — status 'ok' with the terminal
+    doc + exact hop count, or 'loop' with final_doc = hops = -1."""
+    import ray
+
+    n_buckets = _n_rr_buckets()
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def init_state(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        dst = _redirect_dst(doc)
+        red = dst >= 0
+        return pa.table({
+            "u": pa.array(doc[red], pa.int64()),
+            "p": pa.array(dst[red], pa.int64()),
+            "d": pa.array(np.ones(int(red.sum()), dtype=np.int64)),
+            "done": pa.array(np.zeros(int(red.sum()), dtype=bool)),
+        })
+
+    def terminals(t: pa.Table) -> pa.Table:
+        doc = t["doc_id"].to_numpy()
+        term = doc[_redirect_dst(doc) < 0]
+        return pa.table({
+            "doc_id": pa.array(term, pa.int64()),
+            "status": pa.array(["ok"] * len(term), pa.string()),
+            "final_doc": pa.array(term, pa.int64()),
+            "hops": pa.array(np.zeros(len(term), dtype=np.int64)),
+        })
+
+    state = ds.map_batches(init_state, batch_format="pyarrow").materialize()
+
+    def tag_sides(t: pa.Table) -> pa.Table:
+        # side 0: probe rows keyed by the pointer target; side 1: the
+        # state row itself keyed by its own node id.
+        u = t["u"].to_numpy()
+        p = t["p"].to_numpy()
+        d = t["d"].to_numpy()
+        done = t["done"].to_numpy(zero_copy_only=False)
+        probe = ~done
+        return pa.table({
+            "key": pa.array(np.concatenate([p[probe], u]), pa.int64()),
+            "bucket": pa.array(
+                np.concatenate([p[probe], u]) % n_buckets, pa.int64()),
+            "side": pa.array(np.concatenate(
+                [np.zeros(int(probe.sum()), dtype=np.int8),
+                 np.ones(len(u), dtype=np.int8)])),
+            "u": pa.array(np.concatenate([u[probe], u]), pa.int64()),
+            "p": pa.array(np.concatenate([p[probe], p]), pa.int64()),
+            "d": pa.array(np.concatenate([d[probe], d]), pa.int64()),
+            "done": pa.array(np.concatenate(
+                [done[probe], done]).astype(bool)),
+        })
+
+    def jump(g: pd.DataFrame) -> pd.DataFrame:
+        a = g[g["side"] == 0]
+        b = g[g["side"] == 1]
+        out = [pd.DataFrame({"u": b["u"], "p": b["p"], "d": b["d"],
+                             "done": b["done"]})[b["done"]]]
+        if len(a):
+            m = a.merge(
+                b[["key", "p", "d", "done"]].rename(columns={
+                    "p": "p2", "d": "d2", "done": "done2"}),
+                on="key", how="left")
+            hit = m["p2"].notna()
+            # pointer target is itself terminal (no state row): resolved
+            out.append(pd.DataFrame({
+                "u": m.loc[~hit, "u"], "p": m.loc[~hit, "key"],
+                "d": m.loc[~hit, "d"], "done": True}))
+            h = m[hit]
+            out.append(pd.DataFrame({
+                "u": h["u"],
+                "p": h["p2"].astype("int64"),
+                "d": (h["d"] + h["d2"]).astype("int64"),
+                "done": h["done2"].astype(bool),
+            }))
+        res = pd.concat(out, ignore_index=True)
+        return res.astype({"u": "int64", "p": "int64", "d": "int64",
+                           "done": "bool"})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    def done_count(s) -> int:
+        def flag(t: pa.Table) -> pa.Table:
+            return pa.table({"f": pa.array(
+                t["done"].to_numpy(zero_copy_only=False).astype("int64"))})
+        agg = s.map_batches(flag, batch_format="pyarrow").sum("f")
+        return int(agg or 0)
+
+    n_done = done_count(state)
+    for _ in range(64):  # 2^64 hops — structural upper bound
+        state = state.map_batches(tag_sides, batch_format="pyarrow") \
+            .groupby("bucket").map_groups(jump, batch_format="pandas") \
+            .materialize()
+        now_done = done_count(state)
+        if now_done == n_done:
+            break  # nothing new resolved → the rest is cyclic
+        n_done = now_done
+
+    def finish(t: pa.Table) -> pa.Table:
+        done = t["done"].to_numpy(zero_copy_only=False)
+        u = t["u"].to_numpy()
+        p = t["p"].to_numpy()
+        d = t["d"].to_numpy()
+        return pa.table({
+            "doc_id": pa.array(u, pa.int64()),
+            "status": pa.array(np.where(done, "ok", "loop")),
+            "final_doc": pa.array(np.where(done, p, -1), pa.int64()),
+            "hops": pa.array(np.where(done, d, -1), pa.int64()),
+        })
+
+    return state.map_batches(finish, batch_format="pyarrow") \
+        .union(ds.map_batches(terminals, batch_format="pyarrow")) \
+        .sort("doc_id")
+
+
+def _n_rr_buckets() -> int:
+    try:
+        import ray
+        return max(16, 4 * int(ray.cluster_resources().get("CPU", 4)))
+    except Exception:
+        return 16
+
+
+REDIRECT_RESOLVE_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 100 IN (97, 98, 99) THEN 'loop'
+            ELSE 'ok' END AS status,
+       CASE WHEN doc_id % 100 IN (97, 98, 99) THEN -1
+            ELSE doc_id - doc_id % 10 END AS final_doc,
+       CASE WHEN doc_id % 100 IN (97, 98, 99) THEN -1
+            ELSE doc_id % 10 END AS hops
+FROM documents
+ORDER BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# mirror_hosts: detect mirrored hosts by content-set Jaccard — the crawl
+# dedup that catches whole-site copies rather than per-page duplicates.
+# Per-doc content fingerprints derive from doc_id via TWO families whose
+# moduli interact with the host stride (source = src{doc_id % 20}):
+# family A = doc%16 (hosts share all 4 values iff k ≡ k' mod 4), family
+# B = doc%6 + 1000 (hosts share all 3 iff k ≡ k' mod 2). That yields a
+# three-tier Jaccard: 1.0 (same mod-4 class), 3/11 (same parity only),
+# 0 (cross parity) — the oracle recomputes the same sets in SQL. Plan:
+# per-batch distinct (host, cid)
+# Arrow partials → global distinct via one bucketed groupby → host set
+# sizes as a second bounded groupby (broadcast: hosts are a dimension) →
+# per-cid host pairs (fan bounded by hosts-per-cid; at web scale hot
+# fingerprints would be banded first like minhash buckets) → per-pair
+# intersection counts → Jaccard gate. Both shuffles ∝ CPUs.
+# --------------------------------------------------------------------------
+MIRROR_JACCARD_MIN = 0.1
+
+
+def mirror_hosts(sf_dir: str):
+    """(host_a, host_b, n_common, jaccard) for host pairs with content
+    Jaccard ≥ 0.1 — same-mirror-group pairs at every sf."""
+    import ray
+
+    n_buckets = _n_rr_buckets()
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def cid_partial(df: pd.DataFrame) -> pd.DataFrame:
+        k = df["source"].str.slice(3).astype(int)
+        both = pd.concat([
+            pd.DataFrame({"host": df["source"], "k": k,
+                          "cid": df["doc_id"] % 16}),
+            pd.DataFrame({"host": df["source"], "k": k,
+                          "cid": df["doc_id"] % 6 + 1000}),
+        ], ignore_index=True)
+        # bucket must be a DETERMINISTIC function of (host, cid): Python's
+        # str hash is per-process salted and would scatter the same row
+        # across buckets, defeating the global dedup
+        d = both.drop_duplicates(["host", "cid"])
+        return pd.DataFrame({
+            "host": d["host"],
+            "cid": d["cid"].astype("int64"),
+            "bucket": ((d["cid"] * 131 + d["k"])
+                       % n_buckets).astype("int64"),
+        })
+
+    pairs_in = ds.map_batches(cid_partial, batch_format="pandas") \
+        .groupby("bucket").map_groups(
+            lambda g: g[["host", "cid"]].drop_duplicates(),
+            batch_format="pandas").materialize()
+
+    sizes = {r["host"]: int(r["count()"])
+             for r in pairs_in.groupby("host").count().take_all()}
+    sizes_ref = ray.put(sizes)
+
+    def host_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        hosts = sorted(g["host"].unique())
+        if len(hosts) < 2:
+            return pd.DataFrame({"host_a": pd.Series([], dtype="object"),
+                                 "host_b": pd.Series([], dtype="object"),
+                                 "n": pd.Series([], dtype="int64")})
+        out = [(a, b) for i, a in enumerate(hosts) for b in hosts[i + 1:]]
+        return pd.DataFrame({
+            "host_a": [p[0] for p in out],
+            "host_b": [p[1] for p in out],
+            "n": np.ones(len(out), dtype=np.int64),
+        })
+
+    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby(["host_a", "host_b"], as_index=False).agg(
+            n=("n", "sum"))
+        return out.astype({"n": "int64"})
+
+    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        sz = ray.get(sizes_ref)
+        out = df.groupby(["host_a", "host_b"], as_index=False).agg(
+            n_common=("n", "sum"))
+        na = out["host_a"].map(sz).astype("int64")
+        nb = out["host_b"].map(sz).astype("int64")
+        j = out["n_common"].astype("float64") / (na + nb - out["n_common"])
+        out["jaccard"] = j
+        out = out[j >= MIRROR_JACCARD_MIN]
+        return out.sort_values(["host_a", "host_b"]) \
+            .reset_index(drop=True).astype({"n_common": "int64"})
+
+    return pairs_in.groupby("cid") \
+        .map_groups(host_pairs, batch_format="pandas") \
+        .map_batches(pair_partial, batch_format="pandas") \
+        .repartition(1).map_batches(jaccard, batch_format="pandas")
+
+
+MIRROR_HOSTS_SQL = f"""
+WITH hc AS (
+  SELECT DISTINCT source AS host, doc_id % 16 AS cid FROM documents
+  UNION
+  SELECT DISTINCT source AS host, doc_id % 6 + 1000 AS cid FROM documents
+), sz AS (
+  SELECT host, count(*) AS n FROM hc GROUP BY 1
+), common AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_common
+  FROM hc a JOIN hc b ON a.cid = b.cid AND a.host < b.host
+  GROUP BY 1, 2
+)
+SELECT host_a, host_b, CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sz sa ON sa.host = host_a
+JOIN sz sb ON sb.host = host_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
+      >= {MIRROR_JACCARD_MIN}
+ORDER BY host_a, host_b
+"""

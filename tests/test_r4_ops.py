@@ -312,3 +312,54 @@ def test_anchor_text_agg_serial_recompute(ray_session):
     only_nofollow = nofollow_targets - set(want)
     for t in only_nofollow:
         assert t not in set(got["dst_doc"])
+
+
+def test_redirect_resolve_matches_serial_chase(ray_session):
+    """Pointer-jumping result == a serial edge-following resolver that
+    knows nothing about the closed form (cycle budget = n_nodes)."""
+    from mycelium_ray.pipelines.urlops import _redirect_dst, redirect_resolve
+
+    got = redirect_resolve(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id"])["doc_id"].to_numpy()
+    dst = {int(d): int(t) for d, t in zip(docs, _redirect_dst(docs))
+           if t >= 0}
+
+    for _, row in got.sample(n=100, random_state=7).iterrows():
+        u = int(row["doc_id"])
+        cur, hops = u, 0
+        status = "ok"
+        for _ in range(len(docs) + 1):
+            if cur not in dst:
+                break
+            cur = dst[cur]
+            hops += 1
+        else:
+            status = "loop"
+        assert row["status"] == status, u
+        if status == "ok":
+            assert int(row["final_doc"]) == cur and int(row["hops"]) == hops
+        else:
+            assert int(row["final_doc"]) == -1 and int(row["hops"]) == -1
+
+    # every doc accounted for exactly once
+    assert got["doc_id"].tolist() == sorted(docs.tolist())
+
+
+def test_mirror_hosts_tiers(ray_session):
+    """Three-tier design: same mod-4 hosts J=1, same parity J=3/11,
+    cross parity absent; pair set is exactly the same-parity pairs."""
+    from mycelium_ray.pipelines.urlops import mirror_hosts
+
+    got = mirror_hosts(SF).to_pandas()
+    assert len(got) == 90  # C(10,2) per parity class x 2
+    for _, r in got.iterrows():
+        ka = int(r["host_a"][3:])
+        kb = int(r["host_b"][3:])
+        assert ka % 2 == kb % 2
+        if ka % 4 == kb % 4:
+            assert r["jaccard"] == 1.0 and r["n_common"] == 7
+        else:
+            assert abs(r["jaccard"] - 3 / 11) < 1e-12
+            assert r["n_common"] == 3
