@@ -173,6 +173,31 @@ class TableStore:
                 os.remove(blob)
         return drop
 
+    def compact(self, name: str, version: int | None = None,
+                target_bytes: int = 128 << 20) -> tuple[str, int]:
+        """Merge a published version's small part files into
+        ~``target_bytes`` parts, published as a NEW version. The
+        small-files problem is the dominant failure mode of resumable
+        per-shard output at 100 TB (10^5 shards x per-task parts); this
+        is the Iceberg/Delta ``rewrite_data_files`` analog. The rewrite
+        is distributed (ray.data streams the parts and each output task
+        writes its own file — rows never cross the driver), the source
+        version stays readable throughout (time-travel + concurrent
+        readers), and ``vacuum`` reclaims it later. Idempotent under
+        retry via the same tmp+rename+_OK publish every writer uses.
+        Returns (new version dir, n output parts requested)."""
+        import ray.data as _rd
+        if version is None:
+            version = self.latest_version(name)
+            if version is None:
+                raise FileNotFoundError(f"no published versions of {name}")
+        files = self.version_files(name, version)
+        total = sum(os.path.getsize(f) for f in files)
+        n_out = max(1, min(len(files), -(-total // target_bytes)))
+        ds = _rd.read_parquet(files).repartition(int(n_out))
+        new_v = self.latest_version(name) + 1
+        return self.publish_dataset(name, ds, new_v), int(n_out)
+
     def vacuum_blobs(self, name: str, keep_last: int = 2) -> list[int]:
         """Same growth bound for blob-only checkpoint streams (e.g. the
         crawl's ``crawl_ckpt`` snapshots, which have no table versions):

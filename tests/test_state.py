@@ -221,3 +221,28 @@ def test_store_vacuum_blobs(tmp_path):
     assert st.vacuum_blobs("crawl_ckpt", keep_last=2) == [1, 2]
     assert st.blob_versions("crawl_ckpt") == [3, 4]
     assert st.read_blob("crawl_ckpt", 4) == {"v": 4}
+
+
+def test_store_compact_merges_parts(tmp_path, ray_session):
+    import pyarrow as pa
+
+    import ray.data as rd
+    from mycelium_ray.state.store import TableStore
+
+    st = TableStore(str(tmp_path / "store"))
+    ds = rd.range(10_000).map_batches(
+        lambda t: pa.table({"k": t["id"], "v": t["id"].to_numpy() * 3}),
+        batch_format="pyarrow").repartition(16)
+    st.publish_dataset("fetched", ds, 1)
+    assert len(st.version_files("fetched", 1)) == 16
+
+    vdir, n_out = st.compact("fetched")
+    assert st.versions("fetched") == [1, 2]
+    assert len(st.version_files("fetched", 2)) < 16
+    # source version untouched, content multiset preserved
+    a = st.read("fetched", 1).to_pandas().sort_values("k").reset_index(drop=True)
+    b = st.read("fetched", 2).to_pandas().sort_values("k").reset_index(drop=True)
+    assert a.equals(b)
+    # vacuum reclaims the fragmented version afterwards
+    assert st.vacuum("fetched", keep_last=1) == [1]
+    assert st.read("fetched")["k"].to_pylist()[:1]  # still readable
