@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "important_part_values": analytics.important_part_values,
         "part_supplier_counts": analytics.part_supplier_counts,
         "excess_share_suppliers": analytics.excess_share_suppliers,
+        "events_late_arrivals": analytics.events_late_arrivals,
         "events_pivot": analytics.events_pivot,
         "promo_revenue_share": analytics.promo_revenue_share,
         "forecast_revenue": analytics.forecast_revenue,
@@ -204,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_ingest": urlops.sitemap_ingest,
         "recrawl_schedule": urlops.recrawl_schedule,
         "redirect_resolve": urlops.redirect_resolve,
+        "crawl_budget": urlops.crawl_budget,
         "mirror_hosts": urlops.mirror_hosts,
         "crawl_delta": urlops.crawl_delta,
     }
@@ -279,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "important_part_values": analytics.IMPORTANT_PART_VALUES_SQL,
         "part_supplier_counts": analytics.PART_SUPPLIER_COUNTS_SQL,
         "excess_share_suppliers": analytics.EXCESS_SHARE_SUPPLIERS_SQL,
+        "events_late_arrivals": analytics.EVENTS_LATE_ARRIVALS_SQL,
         "events_pivot": analytics.EVENTS_PIVOT_SQL,
         "promo_revenue_share": analytics.PROMO_REVENUE_SQL,
         "forecast_revenue": analytics.FORECAST_REVENUE_SQL,
@@ -337,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "sitemap_ingest": urlops.SITEMAP_INGEST_SQL,
         "recrawl_schedule": urlops.RECRAWL_SCHEDULE_SQL,
         "redirect_resolve": urlops.REDIRECT_RESOLVE_SQL,
+        "crawl_budget": urlops.CRAWL_BUDGET_SQL,
         "mirror_hosts": urlops.MIRROR_HOSTS_SQL,
         "crawl_delta": urlops.CRAWL_DELTA_SQL,
     }

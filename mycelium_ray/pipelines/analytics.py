@@ -5112,3 +5112,117 @@ JOIN region ON n_regionkey = r_regionkey
 WHERE q * ns > 2 * tq AND r_name = '{Q20_REGION}'
 ORDER BY s_suppkey
 """
+
+
+# --------------------------------------------------------------------------
+# events_late_arrivals: streaming watermark accounting — per event type,
+# how many events arrive LATE (event time below the running watermark =
+# running max event-time minus allowed lateness W)? Arrival order is the
+# derived index arr = event_id XOR 255 (the corpus's event_id order is
+# perfectly in-order; XOR-255 shuffles within 256-blocks to model real
+# network reordering while staying bijective and oracle-mirrorable), and
+# W = 64 average inter-event gaps, computed integer-exact from the span.
+#
+# The distributed shape is a GLOBAL PREFIX-MAX (the cumulative-sum
+# window's max dual, but over the whole stream, not per key): range-
+# bucket by arr (dense, skew-free) → pass 1: per-bucket max(ts) partials
+# → tiny exclusive scan on the driver (B ∝ CPUs rows) broadcast back →
+# pass 2: per-bucket sort + running max seeded by the prior-bucket scan.
+# Shuffle ∝ buckets, rows move once.
+# --------------------------------------------------------------------------
+LATE_W_GAPS = 64
+
+
+def events_late_arrivals(sf_dir: str):
+    """(event_type, n_late, n_total), late = ts below the arrival
+    watermark with W = 64 average gaps of allowed lateness."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "ts", "event_type"])
+
+    stats = ds.map_batches(
+        lambda t: pa.table({
+            "lo": pa.array([pc.min(pc.cast(t["ts"], pa.int64())).as_py()],
+                           pa.int64()),
+            "hi": pa.array([pc.max(pc.cast(t["ts"], pa.int64())).as_py()],
+                           pa.int64()),
+            "n": pa.array([len(t)], pa.int64()),
+            "amax": pa.array(
+                [int(np.max(t["event_id"].to_numpy() ^ 255))], pa.int64()),
+        }), batch_format="pyarrow") \
+        .repartition(1).map_batches(
+            lambda d: pd.DataFrame({"lo": [d["lo"].min()],
+                                    "hi": [d["hi"].max()],
+                                    "n": [d["n"].sum()],
+                                    "amax": [d["amax"].max()]}),
+            batch_format="pandas").take(1)[0]
+    w_us = (int(stats["hi"]) - int(stats["lo"])) * LATE_W_GAPS \
+        // int(stats["n"])
+    n_buckets = _n_join_buckets()
+    width = int(stats["amax"]) // n_buckets + 1
+
+    def tag(t: pa.Table) -> pa.Table:
+        arr = t["event_id"].to_numpy() ^ 255
+        return pa.table({
+            "arr": pa.array(arr, pa.int64()),
+            "us": pc.cast(t["ts"], pa.int64()),
+            "event_type": t["event_type"],
+            "bucket": pa.array(arr // width, pa.int64()),
+        })
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow").materialize()
+
+    # pass 1: per-bucket max event time → exclusive prefix scan (driver
+    # side is B rows, ∝ CPUs — never the stream)
+    bmax = {int(r["bucket"]): int(r["max(us)"])
+            for r in tagged.groupby("bucket").max("us").take_all()}
+    prior: dict[int, int] = {}
+    run = -(1 << 62)
+    for b in sorted(bmax):
+        prior[b] = run
+        run = max(run, bmax[b])
+    prior_ref = ray.put(prior)
+
+    def count_late(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("arr")
+        us = g["us"].to_numpy()
+        wm = np.maximum.accumulate(
+            np.concatenate([[ray.get(prior_ref)[int(g["bucket"].iat[0])]],
+                            us[:-1]]))
+        late = us < wm - w_us
+        out = pd.DataFrame({"event_type": g["event_type"], "late": late})
+        res = out.groupby("event_type", as_index=False).agg(
+            n_late=("late", "sum"), n_total=("late", "size"))
+        return res.astype({"n_late": "int64", "n_total": "int64"})
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).agg(
+            n_late=("n_late", "sum"), n_total=("n_total", "sum"))
+        return out.sort_values("event_type").reset_index(drop=True) \
+            .astype({"n_late": "int64", "n_total": "int64"})
+
+    return tagged.groupby("bucket") \
+        .map_groups(count_late, batch_format="pandas") \
+        .repartition(1).map_batches(combine, batch_format="pandas")
+
+
+EVENTS_LATE_ARRIVALS_SQL = f"""
+WITH s AS (
+  SELECT (epoch_us(max(ts)) - epoch_us(min(ts))) * {LATE_W_GAPS}
+           // count(*) AS w_us
+  FROM events
+), w AS (
+  SELECT event_type, epoch_us(ts) AS us,
+         max(epoch_us(ts)) OVER (ORDER BY xor(event_id, 255)
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) FILTER (us < wm - (SELECT w_us FROM s)) AS BIGINT)
+         AS n_late,
+       count(*) AS n_total
+FROM w
+GROUP BY 1
+ORDER BY 1
+"""

@@ -808,3 +808,76 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common)
       >= {MIRROR_JACCARD_MIN}
 ORDER BY host_a, host_b
 """
+
+
+# --------------------------------------------------------------------------
+# crawl_budget: per-host frontier drain planning — given each host's queue
+# length, its robots policy (REAL parser: path rules + Crawl-delay) and
+# the 1-in-flight-per-host politeness invariant, how long does the host
+# queue take to drain? This is the scheduler's capacity estimate: hosts
+# with est_drain dominating the horizon get sharded/deprioritized. Plan:
+# per-batch Arrow count partials per source → one bounded groupby (hosts
+# are a dimension) → the real Robots parser decides fetchability and
+# delay on the 20-row result. Deci-second ints keep the oracle exact.
+# --------------------------------------------------------------------------
+DEFAULT_DELAY_DS = 5  # 0.5 s between same-host fetches when robots is silent
+
+
+def crawl_budget(sf_dir: str):
+    """(host, n_urls, n_fetchable, crawl_delay_ds, est_drain_ds) per
+    source host, value-checked against the arithmetic policy mirror."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("source").aggregate([([], "count_all")])
+        return pa.table({"source": g["source"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    per_host = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n_urls"))
+
+    def plan(df: pd.DataFrame) -> pd.DataFrame:
+        cache = {kind: Robots(body) for kind, body in _ROBOTS_BODIES.items()}
+        hosts, fetchable, delays = [], [], []
+        for src, n in zip(df["source"], df["n_urls"]):
+            k = int(src[3:])
+            hosts.append(f"src{k}.example.com")
+            r = cache.get(k % 3)
+            # representative path: every derived URL lives under /d/
+            ok = r is None or r.path_allowed("*", "/d/0/asset.png")
+            fetchable.append(int(n) if ok else 0)
+            d = r.crawl_delay("*") if r is not None else None
+            delays.append(int(d * 10) if d else DEFAULT_DELAY_DS)
+        out = pd.DataFrame({
+            "host": hosts,
+            "n_urls": df["n_urls"].astype("int64"),
+            "n_fetchable": pd.Series(fetchable, dtype="int64"),
+            "crawl_delay_ds": pd.Series(delays, dtype="int64"),
+        })
+        out["est_drain_ds"] = (out["n_fetchable"]
+                               * out["crawl_delay_ds"]).astype("int64")
+        return out.sort_values("host").reset_index(drop=True)
+
+    return per_host.repartition(1).map_batches(plan, batch_format="pandas")
+
+
+CRAWL_BUDGET_SQL = f"""
+SELECT 'src' || substr(source, 4) || '.example.com' AS host,
+       count(*) AS n_urls,
+       CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 0
+            ELSE count(*) END AS n_fetchable,
+       CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 2 THEN 20
+            ELSE {DEFAULT_DELAY_DS} END AS crawl_delay_ds,
+       CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 1 THEN 0
+            ELSE count(*) END
+       * CASE WHEN CAST(substr(source, 4) AS INT) % 3 = 2 THEN 20
+              ELSE {DEFAULT_DELAY_DS} END AS est_drain_ds
+FROM documents
+GROUP BY source
+ORDER BY host
+"""
