@@ -185,6 +185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_embed": imageann.image_embed,        # rows-only (pixel floats)
         "image_similarity_search": imageann.image_similarity_search,
         "caption_align": imageann.caption_align,
+        "image_curation_pipeline": imageann.image_curation_pipeline,
         "image_channel_stats": _image_channel_stats,  # rows-only (pixel decode)
         "image_sharpness": _image_sharpness,          # rows-only (pixel decode)
         "image_metadata": _image_metadata,       # rows-only (rng-seeded dims;
@@ -327,6 +328,7 @@ def oracle_sql() -> dict[str, str]:
         "webdataset_roundtrip": flagship.WEBDATASET_ROUNDTRIP_SQL,
         "image_similarity_search": imageann.IMAGE_SIMILARITY_SQL,
         "caption_align": imageann.CAPTION_ALIGN_SQL,
+        "image_curation_pipeline": imageann.IMAGE_CURATION_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,

@@ -262,3 +262,158 @@ WHERE q.doc_id IN (0, 50, 100)
   AND d.doc_id % 50 = 0
   AND d.doc_id % 150 = q.doc_id % 150
 """
+
+
+# --------------------------------------------------------------------------
+# image_curation_pipeline: the image-side dual of textops.curation_pipeline
+# — one composed LAION-style curation pass over derived image+caption rows:
+#   1. caption-length gate (cheap, BEFORE any decode);
+#   2. alignment gate (REAL decode + two-tower cosine, CaptionAlignScore
+#      semantics incl. the swapped-caption and dup-pixel plants);
+#   3. exact-image dedup among survivors (REAL byte hashing, min-doc_id
+#      representative — one bucketed shuffle, dedup_exact's shape).
+# A dup-family plant (doc_id % 23 == 7 → one of 3 shared captions) keeps
+# the 'duplicate' outcome non-vacuous at every sf; every status class is
+# populated everywhere. Per-row verdicts, CASE precedence mirrored in SQL.
+# --------------------------------------------------------------------------
+CUR_FAM_MOD = 23
+CUR_FAM_RES = 7
+CUR_MIN_CAPTION = 100
+
+
+def _family_caption(m: int) -> str:
+    return (f"curation dup family {m}: "
+            + "shared caption for exact byte image dedup " * 3)
+
+
+class CurationScore:
+    """(doc_id, content, caption) → (doc_id, caplen_ok, align_ok,
+    img_hash). Length gate runs before decode (drop cheap, decode only
+    what survives); alignment reuses the CaptionAlignScore towers;
+    img_hash is the 64-bit hash of the REAL encoded bytes."""
+
+    def __init__(self, threshold: float = SIM_THRESHOLD,
+                 min_caption: int = CUR_MIN_CAPTION):
+        self.align = CaptionAlignScore(threshold)
+        self.min_caption = min_caption
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..hashing import url_hash64
+        from ..imaging import ImageDecodeError, decode_image
+        caplen_ok, align_ok, hashes = [], [], []
+        for data, cap in zip(batch["content"].to_pylist(),
+                             batch["caption"].to_pylist()):
+            if len(cap or "") < self.min_caption:
+                caplen_ok.append(False)
+                align_ok.append(False)
+                hashes.append(0)
+                continue
+            caplen_ok.append(True)
+            try:
+                px, _ = decode_image(data)
+                img_e = embed_pixels(px, self.align.proj)
+                cap_e = self.align._caption_embedding(cap)
+                ok = bool(img_e @ cap_e >= self.align.threshold)
+            except ImageDecodeError:
+                ok = False
+            align_ok.append(ok)
+            hashes.append(
+                int(np.uint64(url_hash64(data)).astype(np.int64)) if ok
+                else 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "caplen_ok": pa.array(caplen_ok, pa.bool_()),
+            "align_ok": pa.array(align_ok, pa.bool_()),
+            "img_hash": pa.array(hashes, pa.int64()),
+        })
+
+
+def image_curation_pipeline(sf_dir: str):
+    """(doc_id, status) with status ∈ {kept, short_caption, misaligned,
+    duplicate} under the composed gates, value-checked end-to-end."""
+    from .dedup import N_BUCKETS
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        from .flagship import synth_image_row
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        base = [_family_caption(d % 3)
+                if d % CUR_FAM_MOD == CUR_FAM_RES else t
+                for d, t in zip(ids, texts)]
+        caps = [b + _ALIGN_SWAP_SUFFIX if d % ALIGN_SWAP_MOD == 3 else b
+                for d, b in zip(ids, base)]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "content": pa.array(
+                [synth_image_row(d, b)[0] for d, b in zip(ids, base)],
+                pa.binary()),
+            "caption": pa.array(caps, pa.string()),
+        })
+
+    scored = ds.map_batches(derive, batch_format="pyarrow",
+                            batch_size=256) \
+        .map_batches(CurationScore(), batch_format="pyarrow",
+                     batch_size=128, concurrency=4).materialize()
+
+    def dropped(t: pa.Table) -> pa.Table:
+        cl = t["caplen_ok"].to_numpy(zero_copy_only=False)
+        al = t["align_ok"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy()
+        keep = ~(cl & al)
+        status = np.where(cl[keep], "misaligned", "short_caption")
+        return pa.table({"doc_id": pa.array(ids[keep], pa.int64()),
+                         "status": pa.array(status)})
+
+    def surv(t: pa.Table) -> pa.Table:
+        m = (t["caplen_ok"].to_numpy(zero_copy_only=False)
+             & t["align_ok"].to_numpy(zero_copy_only=False))
+        h = t["img_hash"].to_numpy()[m]
+        return pa.table({
+            "doc_id": pa.array(t["doc_id"].to_numpy()[m], pa.int64()),
+            "img_hash": pa.array(h, pa.int64()),
+            "bucket": pa.array(h % N_BUCKETS, pa.int64()),
+        })
+
+    def dedup(g):
+        rep = g.groupby("img_hash")["doc_id"].transform("min")
+        # arrow output so the union's block types match the dropped side
+        return pa.table({
+            "doc_id": pa.array(g["doc_id"].to_numpy(), pa.int64()),
+            "status": pa.array(
+                np.where(g["doc_id"].to_numpy() == rep.to_numpy(),
+                         "kept", "duplicate")),
+        })
+
+    verdicts = scored.map_batches(surv, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(dedup, batch_format="pandas") \
+        .union(scored.map_batches(dropped, batch_format="pyarrow"))
+    return verdicts.sort("doc_id")
+
+
+IMAGE_CURATION_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {CUR_FAM_MOD} = {CUR_FAM_RES}
+              THEN {len(_family_caption(0))} ELSE length(text) END
+           + CASE WHEN doc_id % {ALIGN_SWAP_MOD} = 3 THEN 10 ELSE 0 END
+           AS caplen,
+         (doc_id % {ALIGN_SWAP_MOD} <> 3 AND doc_id % 50 <> 0) AS aligned,
+         CASE WHEN doc_id % {CUR_FAM_MOD} = {CUR_FAM_RES}
+              THEN 'F' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE 'T' || text END AS pix_key
+  FROM documents
+), surv AS (
+  SELECT doc_id, pix_key FROM base
+  WHERE caplen >= {CUR_MIN_CAPTION} AND aligned
+), rep AS (SELECT pix_key, min(doc_id) AS rep_id FROM surv GROUP BY 1)
+SELECT b.doc_id,
+       CASE WHEN b.caplen < {CUR_MIN_CAPTION} THEN 'short_caption'
+            WHEN NOT b.aligned THEN 'misaligned'
+            WHEN b.doc_id <> r.rep_id THEN 'duplicate'
+            ELSE 'kept' END AS status
+FROM base b LEFT JOIN rep r ON b.pix_key = r.pix_key
+ORDER BY b.doc_id
+"""
