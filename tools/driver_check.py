@@ -24,6 +24,13 @@ import pandas as pd
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Keys whose DuckDB ORACLE (not the engine) goes quadratic/recursive at
+# sf1 — range-join CTEs, recursive connected components, all-pairs
+# verification (BASELINE.md "sf1 hotspot attribution").
+SLOW_ORACLE_KEYS = {"orders_band_join", "dedup_clusters", "corpus_filter",
+                    "curation_pipeline", "ngram_jaccard_pairs",
+                    "editdist_pairs", "substring_dedup"}
+
 
 def _empty_typed(ds) -> "pd.DataFrame":
     """Typed empty DataFrame from a Dataset's schema — ds.to_pandas()
@@ -84,6 +91,11 @@ def main() -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
     ap.add_argument("--only", default=None)
     ap.add_argument("--num-cpus", type=int, default=8)
+    ap.add_argument("--skip-slow", action="store_true",
+                    help="skip keys whose DUCKDB ORACLE is quadratic or "
+                         "recursive (minutes-to-hours at sf1; the engine "
+                         "side of each is profiled separately in "
+                         "BASELINE.md)")
     args = ap.parse_args()
 
     import ray
@@ -110,6 +122,8 @@ def main() -> int:
     n_fail = 0
     for key, fn in qs.items():
         if only and key not in only:
+            continue
+        if args.skip_slow and key in SLOW_ORACLE_KEYS:
             continue
         row: dict = {"err": None}
         t0 = time.time()
