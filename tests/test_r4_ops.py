@@ -396,3 +396,46 @@ def test_image_redact_pixel_semantics(ray_session):
             # and redaction really changed the box for non-flat content
             checked_lossless += 1
     assert checked_lossless > 10
+
+
+def test_events_late_arrivals_matches_serial_scan(ray_session):
+    """Distributed prefix-max == a single-process numpy recompute of the
+    watermark over the same derived arrival order."""
+    from mycelium_ray.pipelines.analytics import (LATE_W_GAPS,
+                                                  events_late_arrivals)
+
+    got = events_late_arrivals(SF).to_pandas().set_index("event_type")
+
+    t = pq.read_table(f"{SF}/events.parquet",
+                      columns=["event_id", "ts", "event_type"])
+    us = t["ts"].cast("int64").to_numpy()
+    arr = t["event_id"].to_numpy() ^ 255
+    order = np.argsort(arr)
+    us_o = us[order]
+    types = np.asarray(t["event_type"].to_pylist())[order]
+    w_us = (us.max() - us.min()) * LATE_W_GAPS // len(us)
+    wm = np.concatenate([[-(1 << 62)], np.maximum.accumulate(us_o)[:-1]])
+    late = us_o < wm - w_us
+    assert late.any() and not late.all()  # non-vacuous both ways
+    for et in np.unique(types):
+        m = types == et
+        assert got.loc[et, "n_late"] == int(late[m].sum())
+        assert got.loc[et, "n_total"] == int(m.sum())
+
+
+def test_crawl_budget_invariants(ray_session):
+    from mycelium_ray.pipelines.urlops import DEFAULT_DELAY_DS, crawl_budget
+
+    got = crawl_budget(SF).to_pandas()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["source"])
+    assert got["n_urls"].sum() == len(docs)
+    assert len(got) == 20
+    for _, r in got.iterrows():
+        k = int(r["host"].split(".")[0][3:])
+        if k % 3 == 1:       # robots disallows /d/ → nothing fetchable
+            assert r["n_fetchable"] == 0 and r["est_drain_ds"] == 0
+        else:
+            assert r["n_fetchable"] == r["n_urls"]
+        expect_delay = 20 if k % 3 == 2 else DEFAULT_DELAY_DS
+        assert r["crawl_delay_ds"] == expect_delay
+        assert r["est_drain_ds"] == r["n_fetchable"] * r["crawl_delay_ds"]
