@@ -25,11 +25,13 @@ _KNUTH = 2654435761  # same multiplicative-hash constant as sample_per_source
 
 
 def synth_audio_row(doc_id: int) -> bytes:
-    """Deterministic clip for a doc, doc_id%3 → FLAC / WAV / Ogg FLAC
-    (the three containers AudioFeatures REALLY decodes): n_samples and
-    pitch derive from doc_id by integer arithmetic (SQL-expressible);
-    waveform is a pure sine, so the encoder sees realistic smooth data
-    (fixed predictors + Rice actually compress)."""
+    """Deterministic clip for a doc, doc_id%6 → FLAC / WAV-16 /
+    Ogg FLAC / WAV-24 / WAV-µlaw / WAV-alaw (every codec path
+    AudioFeatures REALLY decodes, incl. the r4 wavcodec.py G.711 pair):
+    n_samples and pitch derive from doc_id by integer arithmetic
+    (SQL-expressible); waveform is a pure sine, so the encoder sees
+    realistic smooth data (fixed predictors + Rice actually compress;
+    companding quantization actually bites)."""
     k = (doc_id * _KNUTH) % (1 << 32)
     n_samples = SR // 2 + k % (SR // 2)  # 0.5 – 1.0 s (the pure-python
     # Rice bit-writer costs ~5 ms/ksample; this bounds the driver's
@@ -38,13 +40,17 @@ def synth_audio_row(doc_id: int) -> bytes:
     t = np.arange(n_samples, dtype=np.float64)
     x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
         .astype(np.int16)
-    kind = doc_id % 3
+    kind = doc_id % 6
     if kind == 1:
         from ..stages.media import encode_wav
         return encode_wav(x, SR)
     if kind == 2:
         from ..audiometa import encode_ogg_flac
         return encode_ogg_flac(x, SR)
+    if kind >= 3:
+        from ..wavcodec import encode_wav_any
+        enc = {3: "pcm24", 4: "ulaw", 5: "alaw"}[kind]
+        return encode_wav_any(x, SR, enc)
     from ..flac import encode_flac
     return encode_flac(x, SR)
 

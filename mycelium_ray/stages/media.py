@@ -237,20 +237,19 @@ class AudioFeatures:
                 x = x[:, 0].astype(np.int16)
             return sr, x
         if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
-            import io
-            import wave
-            with wave.open(io.BytesIO(data)) as w:
-                if w.getsampwidth() != 2:
-                    raise NotImplementedError("only 16-bit PCM WAV")
-                frames = w.readframes(w.getnframes())
-                x = np.frombuffer(frames, dtype="<i2")
-                ch = w.getnchannels()
-                if ch > 1:  # downmix to mono
-                    x = x.reshape(-1, ch).mean(axis=1).astype(np.int16)
-                return w.getframerate(), x
+            # from-scratch RIFF walk (wavcodec.py): 8/16/24/32-bit PCM,
+            # float32/64, G.711 A-law/µ-law, WAVE_FORMAT_EXTENSIBLE —
+            # the old "only 16-bit PCM WAV" boundary is gone
+            from ..wavcodec import decode_wav_any
+            sr, ch, x = decode_wav_any(data)
+            if ch > 1:  # downmix to mono
+                x = x.mean(axis=1).astype(np.int16)
+            else:
+                x = x[:, 0]
+            return sr, x
         raise NotImplementedError(
             "mp3/ogg need libsndfile/ffmpeg, absent from this container; "
-            "WAV/PCM and FLAC are decoded for real")
+            "WAV (all PCM/float/G.711 variants) and FLAC decode for real")
 
 
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:

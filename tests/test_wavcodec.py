@@ -1,0 +1,106 @@
+"""wavcodec.py conformance: G.711 closed-form identities, every WAV
+sample-format round trip, container-walk robustness, and the
+AudioFeatures integration across all six derived codec kinds."""
+import numpy as np
+import pytest
+
+from mycelium_ray.wavcodec import (ENCODINGS, alaw_decode, alaw_encode,
+                                   decode_wav_any, encode_wav_any,
+                                   ulaw_decode, ulaw_encode)
+
+
+def test_g711_all_codes_round_trip():
+    codes = np.arange(256, dtype=np.uint8)
+    # A-law: exact identity over the full code space
+    assert np.array_equal(alaw_encode(alaw_decode(codes)), codes)
+    # µ-law: identity except the canonical negative-zero code 0x7F
+    # (decodes to 0, which re-encodes as +0 = 0xFF)
+    rt = ulaw_encode(ulaw_decode(codes))
+    bad = codes[rt != codes]
+    assert bad.tolist() == [0x7F]
+    assert ulaw_decode(np.array([0x7F], np.uint8))[0] == 0
+    assert ulaw_decode(np.array([0xFF], np.uint8))[0] == 0
+
+
+def test_g711_decode_tables_shape():
+    codes = np.arange(256, dtype=np.uint8)
+    u, a = ulaw_decode(codes), alaw_decode(codes)
+    # known table extremes
+    assert u.max() == 32124 and u.min() == -32124
+    assert a.max() == 32256 and a.min() == -32256
+    # odd symmetry between the sign halves (up to the -0 special case)
+    assert np.array_equal(u[:127], -u[128:255])
+    # monotone within the negative half: -32124 rises to -0
+    assert np.all(np.diff(u[:128]) > 0)
+    assert np.all(np.diff(np.sort(a)) >= 0)
+
+
+SINE = np.rint(np.sin(np.arange(5000) / 17.0) * 21000).astype(np.int16)
+
+
+@pytest.mark.parametrize("enc", ENCODINGS)
+def test_wav_round_trip_every_encoding(enc):
+    sr, ch, y = decode_wav_any(encode_wav_any(SINE, 12345, enc))
+    assert (sr, ch) == (12345, 1)
+    y = y[:, 0]
+    assert len(y) == len(SINE)
+    if enc in ("pcm16", "pcm16x", "pcm24", "pcm32", "float32", "float64"):
+        np.testing.assert_array_equal(y, SINE)   # lossless for int16 input
+    elif enc == "pcm8":
+        assert np.abs(y.astype(int) - SINE.astype(int)).max() <= 255
+    else:  # G.711 companding: relative error bounded by segment size
+        err = np.abs(y.astype(int) - SINE.astype(int))
+        assert err.max() <= 1024
+        assert err.mean() < 200
+
+
+def test_wav_chunk_walk_robustness():
+    import struct
+    base = encode_wav_any(SINE[:100], 8000, "pcm16")
+    # insert a LIST chunk (odd length → pad byte) before fmt
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    reordered = base[:12] + junk + base[12:]
+    total = len(reordered) - 8
+    reordered = reordered[:4] + struct.pack("<I", total) + reordered[8:]
+    sr, ch, y = decode_wav_any(reordered)
+    np.testing.assert_array_equal(y[:, 0], SINE[:100])
+    with pytest.raises(ValueError):
+        decode_wav_any(b"RIFF\x00\x00\x00\x00AVI fake")
+    with pytest.raises(ValueError):  # fmt present, data missing
+        decode_wav_any(base[: base.index(b"data")])
+
+
+def test_stereo_decode_and_downmix_shape():
+    import struct
+    # interleave two channels by hand (encoder is mono by design)
+    x = SINE[:200]
+    inter = np.empty(400, dtype=np.int16)
+    inter[0::2] = x
+    inter[1::2] = -x
+    mono = encode_wav_any(inter, 8000, "pcm16")
+    # patch channels=2 in fmt (offset: RIFF(12) + 'fmt '+len(8) + tag(2))
+    fmt_off = 12 + 8
+    patched = bytearray(mono)
+    patched[fmt_off + 2:fmt_off + 4] = struct.pack("<H", 2)
+    sr, ch, y = decode_wav_any(bytes(patched))
+    assert ch == 2 and y.shape == (200, 2)
+    np.testing.assert_array_equal(y[:, 0], x)
+    np.testing.assert_array_equal(y[:, 1], -x)
+
+
+def test_audio_features_decodes_all_six_kinds(ray_session):
+    import pyarrow.parquet as pq
+
+    from mycelium_ray.pipelines.audio import (SR, _KNUTH,
+                                              audio_features_pipeline)
+
+    got = audio_features_pipeline("/root/testdata/sf0.001").to_pandas()
+    assert got["audio_ok"].all()
+    assert (got["sample_rate"] == SR).all()
+    # every codec kind present and duration exact per the derivation
+    kinds = got["doc_id"] % 6
+    assert set(kinds.unique()) == set(range(6))
+    k = (got["doc_id"].to_numpy().astype(np.uint64) * _KNUTH) % (1 << 32)
+    n_samples = SR // 2 + k % (SR // 2)
+    np.testing.assert_array_equal(
+        got["duration_ms"].to_numpy(), n_samples * 1000 // SR)
