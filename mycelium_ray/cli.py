@@ -242,6 +242,11 @@ def cmd_query(args) -> int:
         n = len(df)
         with __import__("pandas").option_context("display.max_rows", 20):
             print(df)
+    if getattr(args, "stats", False) and hasattr(res, "stats"):
+        # Ray Data's per-stage execution profile (wall time, rows,
+        # memory per operator) — the EXPLAIN ANALYZE surface; printed
+        # after the result so the JSON line below stays last
+        print(res.stats(), file=sys.stderr)
     print(json.dumps({"query": args.name, "sf_dir": args.sf_dir,
                       "rows": n, "sec": round(time.perf_counter() - t0, 3),
                       "out": args.out}), flush=True)
@@ -356,6 +361,9 @@ def build_parser() -> argparse.ArgumentParser:
     q = sub.add_parser("query", help="run a queries() operator")
     q.add_argument("name")
     q.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    q.add_argument("--stats", action="store_true",
+                   help="print the Ray Data per-stage execution profile "
+                        "(EXPLAIN ANALYZE) to stderr after the result")
     q.add_argument("--out", help="write result parquet here instead of "
                                  "printing")
     q.add_argument("--num-cpus", type=int, default=None)
