@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                        # IVF index, read-pruned)
         "ann_topk_pq": ann.ann_topk_pq,                # rows-only (PQ/ADC +
                                                        # exact refine, 32x codes)
+        "ann_recall": ann.ann_recall,                 # rows-only (eval of
+                                                       # approximate paths)
         "embedding_neardup": ann.embedding_neardup,
         "embedding_kmeans": cluster.embedding_kmeans,  # rows-only (iterative)
         "semantic_dedup": cluster.semantic_dedup,      # rows-only (SemDeDup)

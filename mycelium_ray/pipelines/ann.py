@@ -751,3 +751,42 @@ def ann_topk_pq(sf_dir: str, k: int = TOPK, with_stats: bool = False):
     return table, {"bytes_raw": n_rows * dim * 4,
                    "bytes_pq": n_rows * PQ_M,
                    "compression": dim * 4 / PQ_M}
+
+
+# --------------------------------------------------------------------------
+# ann_recall: the ANN family's evaluation harness — recall@k of every
+# approximate path (LSH, IVF, persisted-index IVF, PQ/ADC) against the
+# exact scan, per query and averaged. Each path's scan is the same
+# distributed pipeline users run; only the k·Q-row result sets meet on
+# the driver (bounded by construction). Rows-only oracle (approximate by
+# design); the recall floors are pinned in tests/test_ann.py.
+# --------------------------------------------------------------------------
+def ann_recall(sf_dir: str, k: int = TOPK):
+    """(method, recall_at_k, n_queries) over the approximate ANN paths."""
+    exact = ann_topk(sf_dir, k).to_pandas()
+    truth = {int(q): set(g["vec_id"].tolist())
+             for q, g in exact.groupby("query_id")}
+
+    def recall_of(table) -> float:
+        df = table.to_pandas()
+        if len(df) == 0:
+            return 0.0
+        per_q = []
+        for q, g in df.groupby("query_id"):
+            t = truth.get(int(q), set())
+            if t:
+                per_q.append(len(t & set(g["vec_id"].tolist())) / len(t))
+        return float(np.mean(per_q)) if per_q else 0.0
+
+    methods = [
+        ("lsh", lambda: ann_topk_lsh(sf_dir, k)),
+        ("ivf", lambda: ann_topk_ivf(sf_dir, k)),
+        ("ivf_indexed", lambda: ann_topk_indexed(sf_dir, k)),
+        ("pq", lambda: ann_topk_pq(sf_dir, k)),
+    ]
+    rows = [(name, recall_of(fn()), len(truth)) for name, fn in methods]
+    return pa.table({
+        "method": pa.array([r[0] for r in rows], pa.string()),
+        "recall_at_k": pa.array([r[1] for r in rows], pa.float64()),
+        "n_queries": pa.array([r[2] for r in rows], pa.int64()),
+    })

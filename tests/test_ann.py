@@ -37,3 +37,22 @@ def test_pq_encode_deterministic_and_bounded(ray_session):
     c2 = _pq_encode(x, books)
     assert (c1 == c2).all()
     assert c1.dtype == np.uint8 and c1.max() < PQ_K
+
+
+def test_ann_recall_harness(ray_session):
+    """The evaluation op reports sane recalls for every approximate path
+    (unclustered gaussian embeddings are the LSH/IVF worst case, so the
+    floors are conservative; PQ refines a shortlist and stays high)."""
+    from mycelium_ray.pipelines.ann import ann_recall
+
+    got = ann_recall("/root/testdata/sf0.001").to_pandas() \
+        .set_index("method")
+    assert set(got.index) == {"lsh", "ivf", "ivf_indexed", "pq"}
+    assert (got["n_queries"] == 5).all()
+    assert (got["recall_at_k"] <= 1.0).all()
+    assert got.loc["pq", "recall_at_k"] >= 0.8
+    assert got.loc["lsh", "recall_at_k"] >= 0.4
+    assert got.loc["ivf", "recall_at_k"] >= 0.4
+    # the persisted index must agree with the in-memory IVF path
+    assert got.loc["ivf_indexed", "recall_at_k"] == \
+        got.loc["ivf", "recall_at_k"]
