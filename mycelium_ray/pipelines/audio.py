@@ -25,9 +25,10 @@ _KNUTH = 2654435761  # same multiplicative-hash constant as sample_per_source
 
 
 def synth_audio_row(doc_id: int) -> bytes:
-    """Deterministic clip for a doc, doc_id%6 → FLAC / WAV-16 /
-    Ogg FLAC / WAV-24 / WAV-µlaw / WAV-alaw (every codec path
-    AudioFeatures REALLY decodes, incl. the r4 wavcodec.py G.711 pair):
+    """Deterministic clip for a doc, doc_id%7 → FLAC / WAV-16 /
+    Ogg FLAC / WAV-24 / WAV-µlaw / WAV-alaw / WAV-IMA-ADPCM (every codec
+    path AudioFeatures REALLY decodes — the r4 wavcodec.py G.711
+    companders and the predictive ADPCM coder included):
     n_samples and pitch derive from doc_id by integer arithmetic
     (SQL-expressible); waveform is a pure sine, so the encoder sees
     realistic smooth data (fixed predictors + Rice actually compress;
@@ -40,7 +41,7 @@ def synth_audio_row(doc_id: int) -> bytes:
     t = np.arange(n_samples, dtype=np.float64)
     x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
         .astype(np.int16)
-    kind = doc_id % 6
+    kind = doc_id % 7
     if kind == 1:
         from ..stages.media import encode_wav
         return encode_wav(x, SR)
@@ -49,7 +50,7 @@ def synth_audio_row(doc_id: int) -> bytes:
         return encode_ogg_flac(x, SR)
     if kind >= 3:
         from ..wavcodec import encode_wav_any
-        enc = {3: "pcm24", 4: "ulaw", 5: "alaw"}[kind]
+        enc = {3: "pcm24", 4: "ulaw", 5: "alaw", 6: "ima_adpcm"}[kind]
         return encode_wav_any(x, SR, enc)
     from ..flac import encode_flac
     return encode_flac(x, SR)

@@ -103,7 +103,7 @@ _FMT_ULAW = 7
 _FMT_EXTENSIBLE = 0xFFFE
 
 ENCODINGS = ("pcm8", "pcm16", "pcm24", "pcm32", "float32", "float64",
-             "alaw", "ulaw", "pcm16x")
+             "alaw", "ulaw", "pcm16x", "ima_adpcm")
 
 
 def encode_wav_any(samples: np.ndarray, sample_rate: int,
@@ -139,10 +139,17 @@ def encode_wav_any(samples: np.ndarray, sample_rate: int,
     elif encoding == "ulaw":
         payload = ulaw_encode(x).tobytes()
         tag, width = _FMT_ULAW, 1
+    elif encoding == "ima_adpcm":
+        payload, _ = adpcm_encode(x)
+        tag, width = _FMT_IMA_ADPCM, 0
     else:
         raise ValueError(f"unknown encoding {encoding!r}")
 
-    if encoding == "pcm16x":
+    if encoding == "ima_adpcm":
+        fmt = struct.pack("<HHIIHHHH", _FMT_IMA_ADPCM, 1, sample_rate,
+                          sample_rate * _ADPCM_BLOCK_ALIGN // ADPCM_SPB,
+                          _ADPCM_BLOCK_ALIGN, 4, 2, ADPCM_SPB)
+    elif encoding == "pcm16x":
         sub = struct.pack("<H", _FMT_PCM) + b"\x00\x00" + \
             b"\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
         fmt = struct.pack("<HHIIHHHHI", _FMT_EXTENSIBLE, 1, sample_rate,
@@ -172,10 +179,13 @@ def decode_wav_any(data: bytes) -> tuple[int, int, np.ndarray]:
     tag = None
     sr = ch = width = None
     payload = None
+    n_fact = None
     while pos + 8 <= end:
         cid = data[pos:pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
         body = data[pos + 8:pos + 8 + ln]
+        if cid == b"fact" and ln >= 4:
+            (n_fact,) = struct.unpack("<I", body[:4])
         if cid == b"fmt ":
             if ln < 16:
                 raise ValueError("short fmt chunk")
@@ -218,8 +228,119 @@ def decode_wav_any(data: bytes) -> tuple[int, int, np.ndarray]:
     elif tag == _FMT_ULAW:
         x = ulaw_decode(np.frombuffer(payload, dtype=np.uint8)) \
             .astype(np.int32)
+    elif tag == _FMT_IMA_ADPCM:
+        if ch != 1:
+            raise NotImplementedError("multi-channel IMA ADPCM")
+        x = adpcm_decode(payload, n_fact).astype(np.int32)
     else:
         raise NotImplementedError(f"WAVE format tag {tag} width {width}")
 
     n = (len(x) // ch) * ch
     return int(sr), int(ch), x[:n].astype(np.int16).reshape(-1, ch)
+
+
+# --------------------------------------------------------------------------
+# IMA/DVI4 ADPCM (WAVE format tag 0x11) — the predictive-codec class:
+# 4-bit codes against an adaptive step-size table, per-block predictor
+# reset (each block decodes independently — the seek/resume property).
+# Encoder and decoder run the identical reconstruction, vectorized
+# ACROSS blocks (the per-sample loop is the codec's data dependency; the
+# batch axis is free parallelism).
+# --------------------------------------------------------------------------
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+_FMT_IMA_ADPCM = 0x11
+_ADPCM_BLOCK_ALIGN = 256                      # mono bytes per block
+ADPCM_SPB = (_ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # samples per block (505)
+
+
+def _ima_reconstruct(pred, idx, code):
+    """One IMA step for vectors of (predictor, table index, 4-bit code):
+    returns (new_pred, new_idx). Shared verbatim by encode and decode —
+    drift between the two is structurally impossible."""
+    step = _IMA_STEPS[idx]
+    diffq = (step >> 3) + np.where(code & 4, step, 0) \
+        + np.where(code & 2, step >> 1, 0) + np.where(code & 1, step >> 2, 0)
+    pred = np.where(code & 8, pred - diffq, pred + diffq)
+    pred = np.clip(pred, -32768, 32767)
+    idx = np.clip(idx + _IMA_INDEX[code & 7], 0, 88)
+    return pred, idx
+
+
+def adpcm_encode(x: np.ndarray) -> tuple[bytes, int]:
+    """int16 mono samples → (IMA ADPCM block stream, n_samples). The
+    last block is zero-padded; the true length travels in the WAV fact
+    chunk."""
+    x = np.asarray(x, dtype=np.int16)
+    n = len(x)
+    n_blocks = max(1, -(-n // ADPCM_SPB))
+    xp = np.zeros(n_blocks * ADPCM_SPB, dtype=np.int16)
+    xp[:n] = x
+    blk = xp.reshape(n_blocks, ADPCM_SPB).astype(np.int32)
+
+    pred = blk[:, 0].copy()
+    # seed each block's table index from its own difference scale (the
+    # header carries it, so any choice is conformant; starting at 0
+    # would slew-rate-limit the first samples of every block)
+    dscale = np.percentile(np.abs(np.diff(blk, axis=1)), 90, axis=1) \
+        .astype(np.int32)
+    idx = np.clip(np.searchsorted(_IMA_STEPS, dscale), 0, 88) \
+        .astype(np.int32)
+    idx0 = idx.copy()
+    codes = np.empty((n_blocks, ADPCM_SPB - 1), dtype=np.uint8)
+    for t in range(1, ADPCM_SPB):
+        step = _IMA_STEPS[idx]
+        diff = blk[:, t] - pred
+        sign = (diff < 0).astype(np.int32)
+        mag = np.abs(diff)
+        code = np.zeros(n_blocks, dtype=np.int32)
+        s = step.copy()
+        for bit in (4, 2, 1):
+            ge = mag >= s
+            code |= np.where(ge, bit, 0)
+            mag = np.where(ge, mag - s, mag)
+            s >>= 1
+        code |= sign << 3
+        pred, idx = _ima_reconstruct(pred, idx, code)
+        codes[:, t - 1] = code
+    # headers + packed nibbles (low nibble first), per block
+    lo = codes[:, 0::2]
+    hi = codes[:, 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)
+    out = bytearray()
+    for b in range(n_blocks):
+        out += struct.pack("<hBB", int(blk[b, 0]), int(idx0[b]), 0)
+        out += packed[b].tobytes()
+    return bytes(out), n
+
+
+def adpcm_decode(data: bytes, n_samples: int | None = None) -> np.ndarray:
+    """IMA ADPCM block stream → int16 mono samples (truncated to
+    ``n_samples`` when the fact chunk supplied one)."""
+    if len(data) % _ADPCM_BLOCK_ALIGN:
+        raise ValueError("ADPCM stream not block-aligned")
+    raw = np.frombuffer(data, dtype=np.uint8) \
+        .reshape(-1, _ADPCM_BLOCK_ALIGN)
+    n_blocks = len(raw)
+    pred = raw[:, 0:2].copy().view("<i2")[:, 0].astype(np.int32)
+    idx = np.clip(raw[:, 2].astype(np.int32), 0, 88)
+    packed = raw[:, 4:]
+    codes = np.empty((n_blocks, (ADPCM_SPB - 1)), dtype=np.int32)
+    codes[:, 0::2] = packed & 0x0F
+    codes[:, 1::2] = packed >> 4
+    out = np.empty((n_blocks, ADPCM_SPB), dtype=np.int16)
+    out[:, 0] = pred.astype(np.int16)
+    for t in range(1, ADPCM_SPB):
+        pred, idx = _ima_reconstruct(pred, idx, codes[:, t - 1])
+        out[:, t] = pred.astype(np.int16)
+    flat = out.ravel()
+    return flat[:n_samples] if n_samples is not None else flat

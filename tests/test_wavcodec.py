@@ -88,7 +88,7 @@ def test_stereo_decode_and_downmix_shape():
     np.testing.assert_array_equal(y[:, 1], -x)
 
 
-def test_audio_features_decodes_all_six_kinds(ray_session):
+def test_audio_features_decodes_all_seven_kinds(ray_session):
     import pyarrow.parquet as pq
 
     from mycelium_ray.pipelines.audio import (SR, _KNUTH,
@@ -98,9 +98,33 @@ def test_audio_features_decodes_all_six_kinds(ray_session):
     assert got["audio_ok"].all()
     assert (got["sample_rate"] == SR).all()
     # every codec kind present and duration exact per the derivation
-    kinds = got["doc_id"] % 6
-    assert set(kinds.unique()) == set(range(6))
+    kinds = got["doc_id"] % 7
+    assert set(kinds.unique()) == set(range(7))
     k = (got["doc_id"].to_numpy().astype(np.uint64) * _KNUTH) % (1 << 32)
     n_samples = SR // 2 + k % (SR // 2)
     np.testing.assert_array_equal(
         got["duration_ms"].to_numpy(), n_samples * 1000 // SR)
+
+
+def test_adpcm_properties():
+    from mycelium_ray.wavcodec import (ADPCM_SPB, adpcm_decode,
+                                       adpcm_encode)
+    x = np.rint(np.sin(np.arange(7000) / 13.0) * 18000).astype(np.int16)
+    blob, n = adpcm_encode(x)
+    y = adpcm_decode(blob, n)
+    assert len(y) == len(x)
+    err = np.abs(y.astype(int) - x.astype(int))
+    snr = 10 * np.log10((x.astype(float) ** 2).mean()
+                        / (err.astype(float) ** 2).mean())
+    assert snr > 35
+    # block independence (the seek/resume property): decoding any block
+    # slice alone equals that slice of the full decode
+    from mycelium_ray.wavcodec import _ADPCM_BLOCK_ALIGN
+    b2 = blob[_ADPCM_BLOCK_ALIGN:2 * _ADPCM_BLOCK_ALIGN]
+    solo = adpcm_decode(b2)
+    np.testing.assert_array_equal(solo, adpcm_decode(blob)[ADPCM_SPB:
+                                                           2 * ADPCM_SPB])
+    # fact-chunk truncation: non-multiple lengths round-trip exactly
+    xs = x[:ADPCM_SPB + 17]
+    blob2, n2 = adpcm_encode(xs)
+    assert n2 == len(xs) and len(adpcm_decode(blob2, n2)) == len(xs)
