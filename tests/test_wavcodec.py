@@ -128,3 +128,50 @@ def test_adpcm_properties():
     xs = x[:ADPCM_SPB + 17]
     blob2, n2 = adpcm_encode(xs)
     assert n2 == len(xs) and len(adpcm_decode(blob2, n2)) == len(xs)
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties (same style as test_kernels_property.py)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_int16s = st.lists(st.integers(-32768, 32767), min_size=1, max_size=3000)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_int16s)
+def test_prop_g711_error_bounds(xs):
+    x = np.asarray(xs, dtype=np.int16)
+    for enc, dec, bound in ((ulaw_encode, ulaw_decode, 1024),
+                            (alaw_encode, alaw_decode, 1024)):
+        y = dec(enc(x))
+        err = np.abs(y.astype(np.int32) - x.astype(np.int32))
+        # error ≤ half the widest segment step, everywhere, any input
+        assert err.max() <= bound
+        # companding is idempotent: re-encoding the decode is a fixpoint
+        assert np.array_equal(dec(enc(y)), y)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_int16s, st.sampled_from(["pcm16", "pcm24", "pcm32", "float32",
+                                 "float64", "pcm16x"]))
+def test_prop_lossless_wav_round_trip(xs, enc):
+    x = np.asarray(xs, dtype=np.int16)
+    sr, ch, y = decode_wav_any(encode_wav_any(x, 8000, enc))
+    np.testing.assert_array_equal(y[:, 0], x)
+
+
+@settings(max_examples=30, deadline=None)
+@given(_int16s)
+def test_prop_adpcm_bounded_and_length_exact(xs):
+    from mycelium_ray.wavcodec import adpcm_decode, adpcm_encode
+    x = np.asarray(xs, dtype=np.int16)
+    blob, n = adpcm_encode(x)
+    y = adpcm_decode(blob, n)
+    assert len(y) == len(x)
+    # worst-case per-sample slew is bounded by the largest step's
+    # reconstruction (step + step/2 + step/4 + step/8 < 2*32767·…);
+    # outputs are always valid int16 and the first block sample is exact
+    assert y.dtype == np.int16
+    assert y[0] == x[0]
