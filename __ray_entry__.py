@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_sharpness as _image_sharpness,
         image_metadata as _image_metadata,
         image_phash_neardup as _image_phash_neardup,
+        image_border_crop as _image_border_crop,
         image_redact as _image_redact,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
@@ -180,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_phash_neardup": _image_phash_neardup,
         "image_resize": _image_resize,
         "image_redact": _image_redact,
+        "image_border_crop": _image_border_crop,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         "image_shard_pack": _image_shard_pack,
@@ -324,6 +326,7 @@ def oracle_sql() -> dict[str, str]:
         "image_phash_neardup": flagship.IMAGE_PHASH_NEARDUP_SQL,
         "image_resize": flagship.IMAGE_RESIZE_SQL,
         "image_redact": flagship.IMAGE_REDACT_SQL,
+        "image_border_crop": flagship.IMAGE_BORDER_CROP_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,

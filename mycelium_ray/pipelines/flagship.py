@@ -573,3 +573,75 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS redact_ok
 FROM documents
 """
+
+
+BORDER_MOD = 9
+BORDER_RES = 4
+
+
+def image_border_crop(sf_dir: str):
+    """(image_id, had_border, dims_match, crop_ok) — letterbox removal
+    end-to-end: derive image rows, plant a constant gray letterbox on
+    doc_id % 9 == 4 rows (3 + doc_id % 5 rows top and bottom, re-encoded
+    losslessly), then the CropBorders stage detects and strips it. The
+    oracle pins detection exactness per row: had_border on exactly the
+    planted rows, and dims_match — the crop restored the ORIGINAL
+    geometry (an over- or under-crop anywhere breaks the value hash).
+    Random-noise content makes a false uniform edge vanishingly unlikely
+    (P ≈ 256^-(3w) per row)."""
+    from ..imaging import decode_image, encode_image
+    from ..stages.media import CropBorders
+
+    ds = flagship(sf_dir).select_columns(
+        ["image_id", "doc_id", "content", "w_true", "h_true"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        out = []
+        for d, data in zip(ids, blobs):
+            px, _ = decode_image(data)
+            if d % BORDER_MOD == BORDER_RES:
+                k = 3 + d % 5
+                pad = np.full((k, px.shape[1], 3), 128, dtype=np.uint8)
+                px = np.concatenate([pad, px, pad], axis=0)
+            # lossless re-encode for ALL rows so detection is exact and
+            # every row pays the same codec path
+            out.append(encode_image(px, "png"))
+        return pa.table({
+            "image_id": t["image_id"],
+            "doc_id": t["doc_id"],
+            "content": pa.array(out, pa.binary()),
+            "w_true": t["w_true"],
+            "h_true": t["h_true"],
+        })
+
+    planted = ds.map_batches(plant, batch_format="pyarrow",
+                             batch_size=128)
+    cropped = planted.map_batches(CropBorders(), batch_format="pyarrow",
+                                  batch_size=128, concurrency=4)
+
+    def verdict(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        match = pc.and_(
+            pc.equal(pc.cast(t["cropped_w"], pa.int32()),
+                     pc.cast(t["w_true"], pa.int32())),
+            pc.equal(pc.cast(t["cropped_h"], pa.int32()),
+                     pc.cast(t["h_true"], pa.int32())))
+        return pa.table({
+            "image_id": t["image_id"],
+            "had_border": t["had_border"],
+            "dims_match": match,
+            "crop_ok": t["crop_ok"],
+        })
+
+    return cropped.map_batches(verdict, batch_format="pyarrow")
+
+
+IMAGE_BORDER_CROP_SQL = f"""
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       doc_id % {BORDER_MOD} = {BORDER_RES} AS had_border,
+       TRUE AS dims_match,
+       TRUE AS crop_ok
+FROM documents
+"""

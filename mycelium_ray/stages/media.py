@@ -480,3 +480,60 @@ class RedactRegions:
             .append_column("box_w", pa.array(ws, pa.int32())) \
             .append_column("box_h", pa.array(hs, pa.int32())) \
             .append_column("redact_ok", pa.array(ok, pa.bool_()))
+
+
+class CropBorders:
+    """content:binary → letterbox/pillarbox removal: strip maximal
+    uniform edge bands (every pixel equal to its corner pixel), the
+    standard pre-phash cleanup for scraped images (borders dominate the
+    hash and hide near-dups). Real decode; lossless PNG re-encode so the
+    crop is byte-faithful. Error rows pass through crop_ok=False."""
+
+    @staticmethod
+    def detect(px: np.ndarray) -> tuple[int, int, int, int]:
+        """(top, bottom, left, right) uniform-band widths."""
+        h, w = px.shape[:2]
+
+        def band(axis_slices, corner):
+            n = 0
+            for sl in axis_slices:
+                plane = px[sl]
+                if np.all(plane == corner):
+                    n += 1
+                else:
+                    break
+            return n
+
+        top = band([np.s_[i, :] for i in range(h - 1)], px[0, 0])
+        bot = band([np.s_[h - 1 - i, :] for i in range(h - 1 - top)],
+                   px[h - 1, 0])
+        left = band([np.s_[:, i] for i in range(w - 1)], px[0, 0])
+        right = band([np.s_[:, w - 1 - i] for i in range(w - 1 - left)],
+                     px[0, w - 1])
+        return top, bot, left, right
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, ok, hb, wc, hc = [], [], [], [], []
+        for data in batch["content"].to_pylist():
+            try:
+                px, _ = decode_image(data)
+                t, b, l, r = self.detect(px)
+                h, w = px.shape[:2]
+                cropped = px[t:h - b, l:w - r]
+                out_bytes.append(encode_image(cropped, "png"))
+                ok.append(True)
+                hb.append(bool(t or b or l or r))
+                hc.append(cropped.shape[0])
+                wc.append(cropped.shape[1])
+            except (ImageDecodeError, Exception):
+                out_bytes.append(data)
+                ok.append(False)
+                hb.append(False)
+                hc.append(-1)
+                wc.append(-1)
+        return batch.drop_columns(["content"]) \
+            .append_column("content", pa.array(out_bytes, pa.binary())) \
+            .append_column("had_border", pa.array(hb, pa.bool_())) \
+            .append_column("cropped_w", pa.array(wc, pa.int32())) \
+            .append_column("cropped_h", pa.array(hc, pa.int32())) \
+            .append_column("crop_ok", pa.array(ok, pa.bool_()))

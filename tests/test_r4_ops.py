@@ -439,3 +439,25 @@ def test_crawl_budget_invariants(ray_session):
         expect_delay = 20 if k % 3 == 2 else DEFAULT_DELAY_DS
         assert r["crawl_delay_ds"] == expect_delay
         assert r["est_drain_ds"] == r["n_fetchable"] * r["crawl_delay_ds"]
+
+
+def test_crop_borders_detection(ray_session):
+    """CropBorders strips exactly the planted letterbox and nothing else
+    — pixel-level equality with the pre-pad image."""
+    from mycelium_ray.imaging import decode_image, encode_image
+    from mycelium_ray.stages.media import CropBorders
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (24, 31, 3), dtype=np.uint8)
+    pad = np.full((5, 31, 3), 128, dtype=np.uint8)
+    side = np.full((34, 4, 3), 128, dtype=np.uint8)
+    boxed = np.concatenate([pad, px, pad], axis=0)
+    boxed = np.concatenate([side, boxed, side], axis=1)
+    out = CropBorders()(
+        __import__("pyarrow").table({"content": [encode_image(boxed, "png"),
+                                                 encode_image(px, "png")]}))
+    a, _ = decode_image(out["content"][0].as_py())
+    np.testing.assert_array_equal(a, px)
+    assert out["had_border"].to_pylist() == [True, False]
+    b, _ = decode_image(out["content"][1].as_py())
+    np.testing.assert_array_equal(b, px)
