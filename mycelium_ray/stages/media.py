@@ -167,12 +167,13 @@ class AudioProbe:
 
 class AudioFeatures:
     """audio:binary → per-clip features (duration, rms, peak,
-    zero-crossing rate). WAV/PCM decode is REAL (stdlib ``wave`` +
-    numpy DSP) and so is FLAC (from-scratch RFC 9639 decoder,
-    mycelium_ray/flac.py — the compressed-audio path no longer stubs);
-    mp3/ogg remain the stub boundary and raise NotImplementedError
-    internally (no libsndfile/ffmpeg in this container), surfacing as
-    audio_ok=False rows.
+    zero-crossing rate). WAV decode is REAL for every sample format
+    (from-scratch wavcodec.py: 8/16/24/32-bit PCM, float32/64, G.711
+    A-law/µ-law, IMA ADPCM, WAVE_FORMAT_EXTENSIBLE) and so is FLAC
+    (from-scratch RFC 9639 decoder, mycelium_ray/flac.py) and Ogg FLAC;
+    mp3/ogg-vorbis/opus remain the stub boundary and raise
+    NotImplementedError internally (no libsndfile/ffmpeg in this
+    container), surfacing as audio_ok=False rows.
     """
 
     def __call__(self, batch: pa.Table) -> pa.Table:
