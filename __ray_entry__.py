@@ -198,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_metadata": audio.audio_metadata,
         "video_frame_sample": videoops.video_frame_sample,
         "video_dup_groups": videoops.video_dup_groups,
+        "video_scene_cuts": videoops.video_scene_cuts,
         "video_metadata": videoops.video_metadata,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
         "video_dup_groups": videoops.VIDEO_DUP_GROUPS_SQL,
+        "video_scene_cuts": videoops.VIDEO_SCENE_CUTS_SQL,
         "video_metadata": videoops.VIDEO_METADATA_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,

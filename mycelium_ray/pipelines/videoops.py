@@ -429,3 +429,144 @@ SELECT 'http://vid.test/m/' || CAST(doc_id AS VARCHAR) AS video_id,
        doc_id
 FROM p
 """
+
+
+# --------------------------------------------------------------------------
+# video_scene_cuts: shot-boundary detection — the first real analysis a
+# video pipeline runs after demux (split clips into shots before
+# dedup/sampling). Consecutive decoded frames are compared by mean
+# absolute pixel difference; a boundary is a jump above CUT_THRESH.
+# Clips derive with smooth gradient motion (diff ~3/frame incl. codec
+# noise) and, on doc_id % 3 != 0 rows, ONE planted hard cut (frames
+# invert from a derived index on: boundary diff ~100+), so the
+# threshold sits in a 10x margin and the oracle pins the exact cut
+# index arithmetically while the demux + frame decode work is real.
+# --------------------------------------------------------------------------
+CUT_THRESH = 60.0
+
+
+def _cut_params(doc_id: int) -> tuple[int, int, int, int]:
+    """(n_frames, w, h, cut_index) — cut_index -1 when no cut."""
+    n, w, h = _clip_params(doc_id)
+    if doc_id % 3 == 0:
+        return n, w, h, -1
+    k = (doc_id * _KNUTH) % (1 << 32)
+    return n, w, h, 1 + k % (n - 1)
+
+
+def synth_cut_clip(doc_id: int) -> bytes:
+    """Gradient clip, doc_id%4 → AVI / Y4M / MP4 / MKV (the four
+    gradient-content containers; GIF's palette pattern changes every
+    pixel every frame, which IS a cut, so it stays out of this corpus)."""
+    from ..jpeg import encode_jpeg
+    from ..video import (encode_y4m, mux_avi_mjpeg, mux_mkv_mjpeg,
+                         mux_mp4_mjpeg)
+    n, w, h, cut = _cut_params(doc_id)
+    frames = []
+    for i in range(n):
+        px = _frame_px(doc_id, i, w, h)
+        if cut >= 0 and i >= cut:
+            px = (255 - px.astype(np.int32)).astype(np.uint8)
+        frames.append(px)
+    kind = doc_id % 4
+    if kind == 1:
+        return encode_y4m(frames, colorspace="C420jpeg")
+    jpegs = [encode_jpeg(f) for f in frames]
+    if kind == 0:
+        return mux_avi_mjpeg(jpegs, w, h)
+    if kind == 2:
+        return mux_mp4_mjpeg(jpegs, w, h)
+    return mux_mkv_mjpeg(jpegs, w, h)
+
+
+class SceneCuts:
+    """video:binary → (n_cuts, cut_frame, scan_ok): decode every frame
+    (clips here are short; a long clip would stride), diff consecutive
+    frames, report boundaries above the threshold."""
+
+    def __init__(self, thresh: float = CUT_THRESH):
+        self.thresh = thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..video import open_video
+        vids = batch["video_id"].to_pylist()
+        out = {"video_id": [], "n_cuts": [], "cut_frame": [], "scan_ok": []}
+        for vid, data in zip(vids, batch["video"].to_pylist()):
+            try:
+                clip = open_video(data)
+                prev = None
+                n_cuts, first = 0, -1
+                for i in range(clip.n_frames):
+                    px = clip.frame_rgb(i).astype(np.float64)
+                    if prev is not None:
+                        d = float(np.abs(px - prev).mean())
+                        if d > self.thresh:
+                            n_cuts += 1
+                            if first < 0:
+                                first = i
+                    prev = px
+                out["video_id"].append(vid)
+                out["n_cuts"].append(n_cuts)
+                out["cut_frame"].append(first)
+                out["scan_ok"].append(True)
+            except Exception:
+                out["video_id"].append(vid)
+                out["n_cuts"].append(-1)
+                out["cut_frame"].append(-1)
+                out["scan_ok"].append(False)
+        return pa.table({
+            "video_id": pa.array(out["video_id"], pa.string()),
+            "n_cuts": pa.array(out["n_cuts"], pa.int64()),
+            "cut_frame": pa.array(out["cut_frame"], pa.int64()),
+            "scan_ok": pa.array(out["scan_ok"], pa.bool_()),
+        })
+
+
+def video_scene_cuts(sf_dir: str):
+    """(video_id, doc_id, n_cuts, cut_frame, scan_ok), oracle-exact."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "video_id": pa.array([f"http://vid.test/c/{d}" for d in ids],
+                                 pa.string()),
+            "video": pa.array([synth_cut_clip(d) for d in ids],
+                              pa.binary()),
+        })
+
+    scanned = ds.map_batches(derive, batch_format="pyarrow",
+                             batch_size=128) \
+        .map_batches(SceneCuts(), batch_format="pyarrow", batch_size=64,
+                     concurrency=4)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = [int(s.rsplit("/", 1)[1]) for s in
+               t["video_id"].to_pylist()]
+        return pa.table({
+            "video_id": t["video_id"],
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_cuts": t["n_cuts"],
+            "cut_frame": t["cut_frame"],
+            "scan_ok": t["scan_ok"],
+        })
+
+    return scanned.map_batches(attach, batch_format="pyarrow")
+
+
+VIDEO_SCENE_CUTS_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k FROM documents
+), p AS (
+  SELECT doc_id, k, 2 + (k // 16) % 7 AS n_frames FROM d
+)
+SELECT 'http://vid.test/c/' || CAST(doc_id AS VARCHAR) AS video_id,
+       doc_id,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+         AS n_cuts,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN -1
+                 ELSE 1 + k % (n_frames - 1) END AS BIGINT) AS cut_frame,
+       TRUE AS scan_ok
+FROM p
+"""
