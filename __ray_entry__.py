@@ -196,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                  # probe==decode pinned in pytest)
         "audio_features": audio.audio_features_pipeline,
         "audio_metadata": audio.audio_metadata,
+        "audio_silence_trim": audio.audio_silence_trim,
         "video_frame_sample": videoops.video_frame_sample,
         "video_dup_groups": videoops.video_dup_groups,
         "video_scene_cuts": videoops.video_scene_cuts,
@@ -337,6 +338,7 @@ def oracle_sql() -> dict[str, str]:
         "image_curation_pipeline": imageann.IMAGE_CURATION_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
+        "audio_silence_trim": audio.AUDIO_SILENCE_TRIM_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
         "video_dup_groups": videoops.VIDEO_DUP_GROUPS_SQL,
         "video_scene_cuts": videoops.VIDEO_SCENE_CUTS_SQL,

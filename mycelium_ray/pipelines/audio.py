@@ -233,3 +233,147 @@ SELECT 'http://aud.test/m/' || CAST(doc_id AS VARCHAR) AS audio_id,
        TRUE AS meta_ok
 FROM p
 """
+
+
+# --------------------------------------------------------------------------
+# audio_silence_trim: VAD-lite clip trimming — strip leading/trailing
+# silence runs before feature extraction (the audio dual of the image
+# letterbox crop). Clips derive LOUD everywhere (12000 + 4000*cos, so a
+# codec's zero-adjacent quantization can never fake silence at the
+# edges) with planted zero padding on doc_id % 5 ∈ {2, 3} rows; codecs
+# rotate over the six exact-zero-preserving paths (FLAC / WAV-16 /
+# Ogg FLAC / WAV-24 / µ-law / A-law — A-law's zero decodes to ±8, which
+# sets the silence threshold). The oracle pins the exact pad lengths.
+# --------------------------------------------------------------------------
+SILENCE_ABS = 8  # A-law has no true zero: its silence decodes to ±8
+
+
+def _trim_params(doc_id: int) -> tuple[int, int, int]:
+    """(n_samples, lead_pad, tail_pad) — integer arithmetic only."""
+    k = (doc_id * _KNUTH) % (1 << 32)
+    n_samples = SR // 2 + k % (SR // 2)
+    if doc_id % 5 in (2, 3):
+        return n_samples, 50 + k % 200, 30 + k % 100
+    return n_samples, 0, 0
+
+
+def synth_trim_row(doc_id: int) -> bytes:
+    k = (doc_id * _KNUTH) % (1 << 32)
+    n, lead, tail = _trim_params(doc_id)
+    freq = 100 + (k >> 16) % 400
+    t = np.arange(n, dtype=np.float64)
+    loud = np.rint(12000 + 4000 * np.cos(2 * np.pi * freq * t / SR)) \
+        .astype(np.int16)
+    x = np.concatenate([np.zeros(lead, np.int16), loud,
+                        np.zeros(tail, np.int16)])
+    kind = doc_id % 6
+    if kind == 0:
+        from ..flac import encode_flac
+        return encode_flac(x, SR)
+    if kind == 1:
+        from ..stages.media import encode_wav
+        return encode_wav(x, SR)
+    if kind == 2:
+        from ..audiometa import encode_ogg_flac
+        return encode_ogg_flac(x, SR)
+    from ..wavcodec import encode_wav_any
+    return encode_wav_any(x, SR, {3: "pcm24", 4: "ulaw", 5: "alaw"}[kind])
+
+
+class TrimSilence:
+    """audio:binary → (lead_trimmed, tail_trimmed, kept_ms, trim_ok):
+    REAL decode (any supported codec), strip the maximal |x| <= thresh
+    runs at both ends."""
+
+    def __init__(self, thresh: int = SILENCE_ABS):
+        self.thresh = thresh
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..stages.media import AudioFeatures
+        out = {"audio_id": [], "lead_trimmed": [], "tail_trimmed": [],
+               "kept_ms": [], "trim_ok": []}
+        for aid, data in zip(batch["audio_id"].to_pylist(),
+                             batch["audio"].to_pylist()):
+            try:
+                sr, x = AudioFeatures._decode(data)
+                loud = np.abs(x.astype(np.int32)) > self.thresh
+                idx = np.nonzero(loud)[0]
+                if len(idx):
+                    lo, hi = int(idx[0]), int(idx[-1]) + 1
+                else:
+                    lo, hi = 0, 0
+                out["audio_id"].append(aid)
+                out["lead_trimmed"].append(lo)
+                out["tail_trimmed"].append(len(x) - hi)
+                out["kept_ms"].append((hi - lo) * 1000 // sr)
+                out["trim_ok"].append(True)
+            except Exception:
+                out["audio_id"].append(aid)
+                out["lead_trimmed"].append(-1)
+                out["tail_trimmed"].append(-1)
+                out["kept_ms"].append(-1)
+                out["trim_ok"].append(False)
+        return pa.table({
+            "audio_id": pa.array(out["audio_id"], pa.string()),
+            "lead_trimmed": pa.array(out["lead_trimmed"], pa.int64()),
+            "tail_trimmed": pa.array(out["tail_trimmed"], pa.int64()),
+            "kept_ms": pa.array(out["kept_ms"], pa.int64()),
+            "trim_ok": pa.array(out["trim_ok"], pa.bool_()),
+        })
+
+
+def audio_silence_trim(sf_dir: str):
+    """(audio_id, doc_id, lead_trimmed, tail_trimmed, kept_ms, trim_ok),
+    oracle-exact per row."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def derive(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        return pa.table({
+            "audio_id": pa.array([f"http://aud.test/t/{d}" for d in ids],
+                                 pa.string()),
+            "audio": pa.array([synth_trim_row(d) for d in ids],
+                              pa.binary()),
+        })
+
+    trimmed = ds.map_batches(derive, batch_format="pyarrow",
+                             batch_size=256) \
+        .map_batches(TrimSilence(), batch_format="pyarrow",
+                     batch_size=128, concurrency=4)
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = [int(s.rsplit("/", 1)[1]) for s in
+               t["audio_id"].to_pylist()]
+        return pa.table({
+            "audio_id": t["audio_id"],
+            "doc_id": pa.array(ids, pa.int64()),
+            "lead_trimmed": t["lead_trimmed"],
+            "tail_trimmed": t["tail_trimmed"],
+            "kept_ms": t["kept_ms"],
+            "trim_ok": t["trim_ok"],
+        })
+
+    return trimmed.map_batches(attach, batch_format="pyarrow")
+
+
+AUDIO_SILENCE_TRIM_SQL = f"""
+WITH d AS (
+  SELECT doc_id, (doc_id * {_KNUTH}) % {1 << 32} AS k FROM documents
+), p AS (
+  SELECT doc_id,
+         {SR // 2} + k % {SR // 2} AS n_samples,
+         CASE WHEN doc_id % 5 IN (2, 3) THEN 50 + k % 200 ELSE 0 END
+           AS lead,
+         CASE WHEN doc_id % 5 IN (2, 3) THEN 30 + k % 100 ELSE 0 END
+           AS tail
+  FROM d
+)
+SELECT 'http://aud.test/t/' || CAST(doc_id AS VARCHAR) AS audio_id,
+       doc_id,
+       CAST(lead AS BIGINT) AS lead_trimmed,
+       CAST(tail AS BIGINT) AS tail_trimmed,
+       CAST(n_samples * 1000 // {SR} AS BIGINT) AS kept_ms,
+       TRUE AS trim_ok
+FROM p
+"""
