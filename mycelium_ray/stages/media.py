@@ -416,17 +416,26 @@ class AugmentImages:
 def pixelate_region(px: np.ndarray, x0: int, y0: int, bw: int, bh: int,
                     cell: int = 4) -> np.ndarray:
     """Replace the (x0, y0, bw, bh) box with cellxcell-superpixel means —
-    the standard face/PII mosaic. Pure numpy, vectorized per cell row."""
+    the standard face/PII mosaic. Fully vectorized: zero-pad the box to
+    cell multiples, one reshape-sum per axis pair, divide by true pixel
+    counts so partial edge cells average only their own pixels."""
     out = px.copy()
     box = out[y0:y0 + bh, x0:x0 + bw].astype(np.float64)
-    h, w = box.shape[:2]
-    for cy in range(0, h, cell):
-        row = box[cy:cy + cell]
-        for cx in range(0, w, cell):
-            blk = row[:, cx:cx + cell]
-            blk[:] = blk.reshape(-1, px.shape[2]).mean(axis=0)
+    h, w, c = box.shape
+    ph = -(-h // cell) * cell
+    pw = -(-w // cell) * cell
+    padded = np.zeros((ph, pw, c), dtype=np.float64)
+    padded[:h, :w] = box
+    ones = np.zeros((ph, pw, 1), dtype=np.float64)
+    ones[:h, :w] = 1.0
+    sums = padded.reshape(ph // cell, cell, pw // cell, cell, c) \
+        .sum(axis=(1, 3))
+    cnts = ones.reshape(ph // cell, cell, pw // cell, cell, 1) \
+        .sum(axis=(1, 3))
+    means = sums / np.maximum(cnts, 1.0)
+    full = np.repeat(np.repeat(means, cell, axis=0), cell, axis=1)[:h, :w]
     out[y0:y0 + bh, x0:x0 + bw] = np.clip(
-        np.rint(box), 0, 255).astype(np.uint8)
+        np.rint(full), 0, 255).astype(np.uint8)
     return out
 
 
