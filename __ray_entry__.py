@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recrawl_schedule": urlops.recrawl_schedule,
         "redirect_resolve": urlops.redirect_resolve,
         "crawl_budget": urlops.crawl_budget,
+        "robots_sitemap_discovery": urlops.robots_sitemap_discovery,
         "mirror_hosts": urlops.mirror_hosts,
         "crawl_delta": urlops.crawl_delta,
     }
@@ -352,6 +353,7 @@ def oracle_sql() -> dict[str, str]:
         "recrawl_schedule": urlops.RECRAWL_SCHEDULE_SQL,
         "redirect_resolve": urlops.REDIRECT_RESOLVE_SQL,
         "crawl_budget": urlops.CRAWL_BUDGET_SQL,
+        "robots_sitemap_discovery": urlops.ROBOTS_SITEMAP_DISCOVERY_SQL,
         "mirror_hosts": urlops.MIRROR_HOSTS_SQL,
         "crawl_delta": urlops.CRAWL_DELTA_SQL,
     }

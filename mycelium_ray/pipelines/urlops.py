@@ -881,3 +881,61 @@ FROM documents
 GROUP BY source
 ORDER BY host
 """
+
+
+# --------------------------------------------------------------------------
+# robots_sitemap_discovery: the robots→sitemap handshake — a crawler
+# learns sitemap locations FROM robots.txt (sitemaps.org: Sitemap lines
+# are group-independent). Per-host robots bodies derive from the same
+# k%3 policy as robots_filter, plus a Sitemap directive on even-k hosts
+# (and a second one on k%4==0 hosts, so multi-sitemap files are
+# exercised); the REAL parser extracts them; the oracle mirrors the
+# derivation arithmetically. One map task per host (hosts are the
+# partition dimension, same as sitemap_ingest).
+# --------------------------------------------------------------------------
+def robots_sitemap_discovery(sf_dir: str):
+    """(host, n_sitemaps, first_sitemap) parsed by the real robots
+    parser from derived per-host robots.txt bodies."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["source"])
+
+    def hosts_partial(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"source": df["source"].unique()})
+
+    def discover(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for src in sorted(df["source"].unique()):
+            k = int(src[3:])
+            host = f"src{k}.example.com"
+            body = _ROBOTS_BODIES.get(k % 3, "User-agent: *\n")
+            if k % 2 == 0:
+                body += f"Sitemap: http://{host}/sitemap.xml\n"
+            if k % 4 == 0:
+                body += f"sitemap: http://{host}/sitemap-imgs.xml\n"
+            r = Robots(body)
+            rows.append((host, len(r.sitemaps),
+                         r.sitemaps[0] if r.sitemaps else ""))
+        return pd.DataFrame({
+            "host": [r[0] for r in rows],
+            "n_sitemaps": pd.Series([r[1] for r in rows], dtype="int64"),
+            "first_sitemap": [r[2] for r in rows],
+        })
+
+    return ds.map_batches(hosts_partial, batch_format="pandas") \
+        .repartition(1).map_batches(discover, batch_format="pandas")
+
+
+ROBOTS_SITEMAP_DISCOVERY_SQL = """
+WITH h AS (SELECT DISTINCT CAST(substr(source, 4) AS BIGINT) AS k
+           FROM documents)
+SELECT 'src' || CAST(k AS VARCHAR) || '.example.com' AS host,
+       CAST(CASE WHEN k % 4 = 0 THEN 2
+                 WHEN k % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+         AS n_sitemaps,
+       CASE WHEN k % 2 = 0
+            THEN 'http://src' || CAST(k AS VARCHAR)
+                 || '.example.com/sitemap.xml'
+            ELSE '' END AS first_sitemap
+FROM h
+ORDER BY host
+"""

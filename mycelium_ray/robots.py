@@ -53,6 +53,11 @@ _UA_RE = re.compile(r"user-agent:[ \t]*([^#\r\n]+)([ \t]*#.*)?", re.IGNORECASE)
 _ALLOW_RE = re.compile(r"allow:[ \t]*([^#\r\n]*)([ \t]*#.*)?", re.IGNORECASE)
 _DISALLOW_RE = re.compile(r"disallow:[ \t]*([^#\r\n]*)([ \t]*#.*)?", re.IGNORECASE)
 _DELAY_RE = re.compile(r"crawl-delay:[ \t]*([^#\r\n]*)([ \t]*#.*)?", re.IGNORECASE)
+# sitemaps.org: Sitemap lines are GROUP-INDEPENDENT (may appear anywhere
+# in the file and apply to all agents), so parsing one must not disturb
+# the UA-group state machine
+_SITEMAP_RE = re.compile(r"sitemap:[ \t]*([^#\r\n]*)([ \t]*#.*)?",
+                         re.IGNORECASE)
 _COMMENT_RE = re.compile(r"[ \t]*#.*")
 _BLANK_RE = re.compile(r"[ \t]*")
 # chars for which canon_rule_path is the identity (in the path class, no
@@ -91,6 +96,7 @@ class Robots:
         self.valid = False
         self.errors: list[str] = []
         self.groups: list[UasRules] = []
+        self.sitemaps: list[str] = []
         self._state = _START
         self._current = UasRules()
         if text is not None:
@@ -99,6 +105,7 @@ class Robots:
     def clear(self) -> None:
         self.valid = False
         self.groups = []
+        self.sitemaps: list[str] = []
         self._current = UasRules()
         self._state = _START
 
@@ -149,6 +156,12 @@ class Robots:
                 self._rules()
                 self._current.rules.append((CRAWL_DELAY, m.group(1).split('#')[0].strip()))
                 continue
+            m = _SITEMAP_RE.fullmatch(raw.rstrip())
+            if m:
+                url = m.group(1).split('#')[0].strip()
+                if url:
+                    self.sitemaps.append(url)
+                continue  # group-independent: state untouched
             # unmatched line
             self.errors.append(f"unmatched: |{raw}|")
             if self._state == _START and _SGML_TAG.search(raw):

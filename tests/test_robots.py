@@ -151,3 +151,20 @@ def test_path_allowed_many_matches_scalar():
     r2 = Robots("User-agent: onlybot\nDisallow: /\n")
     assert r2.path_allowed_many("*", paths).all() == all(
         r2.path_allowed("*", p) for p in paths)
+
+
+def test_sitemap_directive_group_independent():
+    from mycelium_ray.robots import Robots
+    r = Robots("User-agent: *\nDisallow: /a\n"
+               "Sitemap: http://h/s1.xml\n"
+               "SITEMAP: http://h/s2.xml  # comment\n"
+               "User-agent: bot\nDisallow: /b\n")
+    assert r.sitemaps == ["http://h/s1.xml", "http://h/s2.xml"]
+    # the mid-file Sitemap lines must not have split the UA groups:
+    # both groups present with their own rules, '*' still enforced
+    assert not r.path_allowed("*", "/a/x")
+    assert [g.ua for g in r.groups] == [["*"], ["bot"]]
+    assert [len(g.rules) for g in r.groups] == [1, 1]
+    # empty Sitemap value ignored, state preserved
+    r2 = Robots("Sitemap:\nUser-agent: *\nDisallow: /c\n")
+    assert r2.sitemaps == [] and not r2.path_allowed("*", "/c")
