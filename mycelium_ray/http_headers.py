@@ -41,6 +41,11 @@ class ContentType(IntEnum):
     # had no video path), while the sniffer still types the bytes
     VIDEO_AVI = 11
     VIDEO_Y4M = 12
+    # tiff/bmp likewise sit past EMPTY: the sniffer types the bytes, but
+    # the fetch gate keeps the reference's accepted set unchanged (the
+    # crawl corpus carries png/jpeg/webp/gif only)
+    IMAGE_TIFF = 13
+    IMAGE_BMP = 14
 
 
 def acceptable(ctype: ContentType) -> bool:
@@ -131,6 +136,9 @@ _MAGIC = [
     (b"GIF89a", "gif"),
     (b"%PDF-", "pdf"),
     (b"YUV4MPEG2", "y4m"),
+    (b"II*\x00", "tiff"),     # little-endian TIFF (tiff.py)
+    (b"MM\x00*", "tiff"),     # big-endian TIFF
+    (b"BM", "bmp"),
     (b"FAKEJPG1", "jpeg"),    # deterministic stub codec (imaging.py)
     (b"FAKEWEBP", "webp"),
 ]
@@ -146,6 +154,15 @@ def sniff_format(data: bytes) -> str:
                 # RIFF is a container family: bytes 8:12 name the kind
                 if len(data) < 12 or data[8:12] != _RIFF_KIND[fmt]:
                     continue
+            if magic == b"BM":
+                # "BM" alone is two printable bytes — require a plausible
+                # DIB header size word so text never sniffs as bmp
+                if (len(data) < 54 or data[14:18] not in
+                        (b"\x0c\x00\x00\x00", b"\x28\x00\x00\x00",
+                         b"\x34\x00\x00\x00", b"\x38\x00\x00\x00",
+                         b"\x40\x00\x00\x00", b"\x6c\x00\x00\x00",
+                         b"\x7c\x00\x00\x00")):
+                    continue
             return fmt
     return "unknown"
 
@@ -157,6 +174,8 @@ FMT_TO_CTYPE = {
     "pdf": ContentType.APPLICATION_PDF,
     "avi": ContentType.VIDEO_AVI,
     "y4m": ContentType.VIDEO_Y4M,
+    "tiff": ContentType.IMAGE_TIFF,
+    "bmp": ContentType.IMAGE_BMP,
     "unknown": ContentType.UNRECOGNIZED,
 }
 

@@ -142,10 +142,18 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "gif":
         from .gif import encode_gif
         return encode_gif(pixels)
+    if fmt in ("tiff", "tiff_packbits", "tiff_none"):
+        from .tiff import encode_tiff
+        comp = {"tiff": "lzw", "tiff_packbits": "packbits",
+                "tiff_none": "none"}[fmt]
+        return encode_tiff(pixels, compression=comp)
+    if fmt == "bmp":
+        from .bmp import encode_bmp
+        return encode_bmp(pixels)
     raise NotImplementedError(
-        f"format {fmt!r}: png/jpeg (baseline + progressive)/webp(VP8L)/gif "
-        "are real codecs here; other formats need native libraries absent "
-        "in this container")
+        f"format {fmt!r}: png/jpeg (baseline + progressive)/webp(VP8L)/gif/"
+        "tiff (none+LZW+PackBits)/bmp are real codecs here; other formats "
+        "need native libraries absent in this container")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
@@ -170,6 +178,21 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             return decode_gif(data), "gif"
         except GifError as e:
             raise ImageDecodeError(str(e)) from e
+    if data[:4] in (b"II*\0", b"MM\0*"):
+        from .tiff import TiffError, decode_tiff
+        try:
+            px = decode_tiff(data)
+        except TiffError as e:
+            raise ImageDecodeError(str(e)) from e
+        if px.ndim == 2:  # grayscale → RGB for the uniform pixel contract
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px, "tiff"
+    if data[:2] == b"BM":
+        from .bmp import BmpError, decode_bmp
+        try:
+            return decode_bmp(data), "bmp"
+        except BmpError as e:
+            raise ImageDecodeError(str(e)) from e
     if data.startswith(FAKE_JPEG_MAGIC):  # round-1 stub blobs still decode
         return decode_fake_lossy(data, FAKE_JPEG_MAGIC), "jpeg"
     if data.startswith(FAKE_WEBP_MAGIC):
@@ -179,8 +202,8 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
 
 # webp here is VP8L (lossless mode); gif is exact for ≤256-color content
 # (the only content its encoder accepts — palette formats have no other
-# lossless story)
-LOSSLESS_FMTS = {"png", "webp", "gif"}
+# lossless story); tiff/bmp are uncompressed or losslessly-compressed RGB
+LOSSLESS_FMTS = {"png", "webp", "gif", "tiff", "bmp"}
 
 
 # --------------------------------------------------------------------------
@@ -279,6 +302,20 @@ def probe_image_meta(data: bytes) -> tuple[str, int, int]:
             raise ImageDecodeError("truncated GIF header")
         w, h = struct.unpack("<HH", data[6:10])
         return "gif", int(w), int(h)
+    if data[:4] in (b"II*\0", b"MM\0*"):
+        from .tiff import TiffError, probe_tiff_meta
+        try:
+            w, h = probe_tiff_meta(data)
+        except TiffError as e:
+            raise ImageDecodeError(str(e)) from e
+        return "tiff", w, h
+    if data[:2] == b"BM" and len(data) >= 26:
+        from .bmp import BmpError, probe_bmp_meta
+        try:
+            w, h = probe_bmp_meta(data)
+        except BmpError as e:
+            raise ImageDecodeError(str(e)) from e
+        return "bmp", w, h
     if data.startswith(FAKE_JPEG_MAGIC) or data.startswith(FAKE_WEBP_MAGIC):
         if len(data) < 16:
             raise ImageDecodeError("truncated fake-codec header")

@@ -645,3 +645,69 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS crop_ok
 FROM documents
 """
+
+
+# formats added in round 4 (tiff.py, bmp.py) — all lossless, so the
+# transcode contract below is EXACT pixel equality, not a PSNR bound
+_TRANSCODE_FMTS = ["tiff", "tiff_packbits", "tiff_none", "bmp"]
+
+
+def image_transcode_matrix(sf_dir: str):
+    """(image_id, fmt_out, transcode_ok, dims_match) — end-to-end format
+    conversion through the round-4 codecs: derive + decode each image
+    (flagship corpus: png/jpeg/webp wire bytes), re-encode the pixels as
+    baseline TIFF (LZW+predictor / PackBits / uncompressed) and BMP, then
+    decode the transcoded bytes back and require EXACT pixel equality
+    (every target is lossless) plus header-probe dims agreement. One row
+    per (doc, target format); the oracle pins the full matrix TRUE — any
+    codec regression (strip assembly, LZW early change, predictor,
+    BGR/row-order handling) breaks the value hash."""
+    from ..imaging import decode_image, encode_image, probe_image_meta
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def transcode(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        ws = t["w_true"].to_pylist()
+        hs = t["h_true"].to_pylist()
+        out_id, out_fmt, out_ok, out_dims = [], [], [], []
+        for iid, data, w, h in zip(ids, blobs, ws, hs):
+            px, _ = decode_image(data)
+            for fmt in _TRANSCODE_FMTS:
+                enc = encode_image(px, fmt)
+                base = fmt.split("_")[0]
+                try:
+                    rt, got_fmt = decode_image(enc)
+                    ok = bool(got_fmt == base and np.array_equal(rt, px))
+                    pf, pw, ph = probe_image_meta(enc)
+                    dims = bool(pf == base and pw == w and ph == h)
+                except Exception:
+                    ok = dims = False
+                out_id.append(iid)
+                out_fmt.append(fmt)
+                out_ok.append(ok)
+                out_dims.append(dims)
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "fmt_out": pa.array(out_fmt, pa.string()),
+            "transcode_ok": pa.array(out_ok, pa.bool_()),
+            "dims_match": pa.array(out_dims, pa.bool_()),
+        })
+
+    return ds.map_batches(transcode, batch_format="pyarrow",
+                          batch_size=128)
+
+
+IMAGE_TRANSCODE_SQL = f"""
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       f.fmt_out,
+       TRUE AS transcode_ok,
+       TRUE AS dims_match
+FROM documents
+CROSS JOIN (VALUES {", ".join(f"('{f}')" for f in _TRANSCODE_FMTS)})
+           AS f(fmt_out)
+"""
