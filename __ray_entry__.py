@@ -38,6 +38,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_border_crop as _image_border_crop,
         image_redact as _image_redact,
         image_transcode_matrix as _image_transcode_matrix,
+        image_exif as _image_exif,
+        image_autorotate as _image_autorotate,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
         multimodal_filter as _multimodal_filter,
@@ -184,6 +186,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_redact": _image_redact,
         "image_border_crop": _image_border_crop,
         "image_transcode_matrix": _image_transcode_matrix,
+        "image_exif": _image_exif,
+        "image_autorotate": _image_autorotate,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
         "image_shard_pack": _image_shard_pack,
@@ -333,6 +337,8 @@ def oracle_sql() -> dict[str, str]:
         "image_redact": flagship.IMAGE_REDACT_SQL,
         "image_border_crop": flagship.IMAGE_BORDER_CROP_SQL,
         "image_transcode_matrix": flagship.IMAGE_TRANSCODE_SQL,
+        "image_exif": flagship.IMAGE_EXIF_SQL,
+        "image_autorotate": flagship.IMAGE_AUTOROTATE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,

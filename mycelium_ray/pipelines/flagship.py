@@ -711,3 +711,143 @@ FROM documents
 CROSS JOIN (VALUES {", ".join(f"('{f}')" for f in _TRANSCODE_FMTS)})
            AS f(fmt_out)
 """
+
+
+def _exif_fields(doc_id: int) -> tuple[str, str, int, str]:
+    """Deterministic Exif fields for a doc row — mirrored in the SQL
+    oracles exactly (make/model/orientation/datetime are pure functions
+    of doc_id)."""
+    day = 1 + doc_id % 28
+    return (f"Cam{doc_id % 5}", f"M{doc_id % 3}", 1 + doc_id % 8,
+            f"2026:01:{day:02d} 00:00:00")
+
+
+def image_exif(sf_dir: str):
+    """(image_id, make, model, orientation, datetime, dims_ok,
+    roundtrip_ok, strip_ok) — the Exif lifecycle end-to-end: decode each
+    derived image, re-encode as baseline JPEG, embed a built Exif APP1
+    (fields a pure function of doc_id), then EXTRACT the fields back with
+    the real parser, verify tagged bytes still decode to identical
+    pixels, and verify strip_exif_jpeg restores the untagged bytes
+    byte-identically. The oracle pins every extracted field and all
+    three booleans — any APP1 layout/parse/strip regression breaks the
+    value hash."""
+    from ..exif import (build_exif, extract_exif_jpeg, insert_exif_jpeg,
+                        strip_exif_jpeg)
+    from ..imaging import decode_image, encode_image
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def lifecycle(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        dids = t["doc_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        ws = t["w_true"].to_pylist()
+        hs = t["h_true"].to_pylist()
+        cols = {k: [] for k in ("image_id", "make", "model", "orientation",
+                                "datetime", "dims_ok", "roundtrip_ok",
+                                "strip_ok")}
+        for iid, d, data, w, h in zip(ids, dids, blobs, ws, hs):
+            px, _ = decode_image(data)
+            jp = encode_image(px, "jpeg")
+            make, model, orient, dt = _exif_fields(d)
+            tagged = insert_exif_jpeg(jp, build_exif(
+                make=make, model=model, orientation=orient, datetime=dt,
+                pixel_w=w, pixel_h=h))
+            meta = extract_exif_jpeg(tagged) or {}
+            base, _ = decode_image(jp)
+            rt, _ = decode_image(tagged)
+            stripped = strip_exif_jpeg(tagged)
+            cols["image_id"].append(iid)
+            cols["make"].append(meta.get("make", ""))
+            cols["model"].append(meta.get("model", ""))
+            cols["orientation"].append(meta.get("orientation", -1))
+            cols["datetime"].append(meta.get("datetime", ""))
+            cols["dims_ok"].append(meta.get("pixel_w") == w
+                                   and meta.get("pixel_h") == h)
+            cols["roundtrip_ok"].append(bool(np.array_equal(rt, base)))
+            cols["strip_ok"].append(stripped == jp
+                                    and extract_exif_jpeg(stripped) is None)
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "make": pa.array(cols["make"], pa.string()),
+            "model": pa.array(cols["model"], pa.string()),
+            "orientation": pa.array(cols["orientation"], pa.int64()),
+            "datetime": pa.array(cols["datetime"], pa.string()),
+            "dims_ok": pa.array(cols["dims_ok"], pa.bool_()),
+            "roundtrip_ok": pa.array(cols["roundtrip_ok"], pa.bool_()),
+            "strip_ok": pa.array(cols["strip_ok"], pa.bool_()),
+        })
+
+    return ds.map_batches(lifecycle, batch_format="pyarrow", batch_size=128)
+
+
+IMAGE_EXIF_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+       'M' || CAST(doc_id % 3 AS VARCHAR) AS model,
+       1 + doc_id % 8 AS orientation,
+       '2026:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+                  || ' 00:00:00' AS datetime,
+       TRUE AS dims_ok,
+       TRUE AS roundtrip_ok,
+       TRUE AS strip_ok
+FROM documents
+"""
+
+
+# exif orientations 6 and 8 invert each other; the rest self-invert
+_ORIENT_INVERSE = {1: 1, 2: 2, 3: 3, 4: 4, 5: 5, 6: 8, 7: 7, 8: 6}
+
+
+def image_autorotate(sf_dir: str):
+    """(image_id, orientation, dims_ok, pixel_roundtrip_ok) — the
+    viewer-side upright transform: tag each derived image with a
+    doc_id-derived orientation, apply apply_orientation, check the
+    output geometry (w/h swap exactly for orientations 5-8) and that the
+    inverse transform restores the original pixels bit-exactly."""
+    from ..exif import apply_orientation
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def rotate(t: pa.Table) -> pa.Table:
+        from ..imaging import decode_image
+        ids = t["image_id"].to_pylist()
+        dids = t["doc_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        ws = t["w_true"].to_pylist()
+        hs = t["h_true"].to_pylist()
+        oid, oor, odims, opix = [], [], [], []
+        for iid, d, data, w, h in zip(ids, dids, blobs, ws, hs):
+            px, _ = decode_image(data)
+            orient = 1 + d % 8
+            up = apply_orientation(px, orient)
+            want = (w, h) if orient < 5 else (h, w)
+            back = apply_orientation(up, _ORIENT_INVERSE[orient])
+            oid.append(iid)
+            oor.append(orient)
+            odims.append((up.shape[1], up.shape[0]) == want)
+            opix.append(bool(np.array_equal(back, px)))
+        return pa.table({
+            "image_id": pa.array(oid, pa.string()),
+            "orientation": pa.array(oor, pa.int64()),
+            "dims_ok": pa.array(odims, pa.bool_()),
+            "pixel_roundtrip_ok": pa.array(opix, pa.bool_()),
+        })
+
+    return ds.map_batches(rotate, batch_format="pyarrow", batch_size=128)
+
+
+IMAGE_AUTOROTATE_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       1 + doc_id % 8 AS orientation,
+       TRUE AS dims_ok,
+       TRUE AS pixel_roundtrip_ok
+FROM documents
+"""

@@ -219,8 +219,11 @@ def packbits_encode(data: bytes) -> bytes:
 # --------------------------------------------------------------------------
 # decode
 # --------------------------------------------------------------------------
-def _read_ifd(data: bytes, eb: str):
-    (off,) = struct.unpack(eb + "I", data[4:8])
+def _read_ifd(data: bytes, eb: str, off: int | None = None):
+    """Parse one IFD into {tag: [values]}. ``off`` names an explicit IFD
+    offset (Exif sub-IFDs — exif.py); None reads it from the TIFF header."""
+    if off is None:
+        (off,) = struct.unpack(eb + "I", data[4:8])
     if off + 2 > len(data):
         raise TiffError("IFD offset out of range")
     (n,) = struct.unpack(eb + "H", data[off:off + 2])
