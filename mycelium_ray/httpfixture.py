@@ -47,6 +47,14 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # quiet
         pass
 
+    def setup(self):
+        # TLS listener defers the handshake off the accept loop (see
+        # FixtureHTTPServer); run it here, in this connection's thread
+        import ssl
+        if isinstance(self.request, ssl.SSLSocket):
+            self.request.do_handshake()
+        super().setup()
+
     # ---- routing ----
     def _host(self) -> str:
         h = self.headers.get("Host") or ""
@@ -70,7 +78,8 @@ class _Handler(BaseHTTPRequestHandler):
     def _serve(self, head_only: bool) -> None:
         site = self.server.site  # type: ignore[attr-defined]
         host = self._host()
-        url = f"http://{host}{self.path}"
+        scheme = getattr(self.server, "scheme", "http")
+        url = f"{scheme}://{host}{self.path}"
         url = url.split("#", 1)[0]
 
         # robots.txt: the crawler's robots probe (X-Robots-Fetch) is
@@ -189,11 +198,16 @@ class _Handler(BaseHTTPRequestHandler):
 
 class _Server(ThreadingHTTPServer):
     def handle_error(self, request, client_address):
+        import ssl
         import sys
         et, _, _ = sys.exc_info()
         if et is not None and issubclass(et, (ConnectionResetError,
-                                              BrokenPipeError)):
-            return  # client hung up mid-request (content-cap abort) — fine
+                                              BrokenPipeError,
+                                              ssl.SSLError)):
+            # client hung up mid-request (content-cap abort) or failed
+            # its TLS handshake (untrusting client) — that connection's
+            # problem, not the listener's
+            return
         super().handle_error(request, client_address)
 
 
@@ -204,8 +218,22 @@ class FixtureHTTPServer:
     SocketTransport (locally or into fetch actors — any process on the
     box can fetch from it)."""
 
-    def __init__(self, site: SiteGraph):
+    def __init__(self, site: SiteGraph, tls_context=None):
+        """``tls_context``: an ssl.SSLContext (tlscert.make_server_context)
+        turns the listener into a real HTTPS endpoint — every request then
+        rides an actual TLS handshake + record layer on loopback."""
         self._srv = _Server(("127.0.0.1", 0), _Handler)
+        self._srv.scheme = "http"  # type: ignore[attr-defined]
+        if tls_context is not None:
+            # handshake deferred off the accept loop: with the default
+            # do_handshake_on_connect, a single slow or failing client
+            # would serialize (or kill) serve_forever; deferring runs the
+            # handshake lazily on first read IN THE HANDLER THREAD, where
+            # a failure is that connection's problem only
+            self._srv.socket = tls_context.wrap_socket(
+                self._srv.socket, server_side=True,
+                do_handshake_on_connect=False)
+            self._srv.scheme = "https"  # type: ignore[attr-defined]
         self._srv.site = site  # type: ignore[attr-defined]
         self._srv.daemon_threads = True
         self._thread = threading.Thread(target=self._srv.serve_forever,

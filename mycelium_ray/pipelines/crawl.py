@@ -123,7 +123,8 @@ class FetcherActor:
         for idx, kind, url, etag, ims in reqs:
             if kind == 1:  # ROBOTS
                 host = url.split("/")[2]
-                fr = self.transport.fetch_robots(host)
+                fr = self.transport.fetch_robots(
+                    host, scheme=url.split(":", 1)[0])
             elif kind == 3:  # HEAD
                 fr = self.transport.request(url, method="HEAD")
             else:  # CONTENT

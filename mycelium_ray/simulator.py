@@ -77,8 +77,10 @@ class CrawlResult:
         return {url_hash64(u) for u in self.url_seen}
 
 
-def ingest_filter(lines: list[str]):
-    """process_input_buff semantics: returns (accepted: list[Url], rejected)."""
+def ingest_filter(lines: list[str], schemes: tuple = ("http",)):
+    """process_input_buff semantics: returns (accepted: list[Url],
+    rejected). The reference gate is http-only (crawler.cc:1297) — the
+    default; pass ``("http", "https")`` for a TLS-enabled crawl."""
     accepted, rejected = [], []
     for line in lines:
         line = line.strip()
@@ -89,7 +91,7 @@ def ingest_filter(lines: list[str]):
         except UrlParseError:
             rejected.append(line)
             continue
-        if u.absolute and u.scheme == "http":
+        if u.absolute and u.scheme in schemes:
             accepted.append(u)
         else:
             rejected.append(line)
@@ -122,7 +124,7 @@ class ReferenceSimulator:
                  seen_shards: int = 4, follow_links: bool = False,
                  honor_crawl_delay: bool = False,
                  refresh_from: dict | None = None,
-                 transport=None):
+                 transport=None, schemes: tuple = ("http",)):
         # transport is pluggable (same 2-method interface): the in-process
         # FixtureTransport by default, or SocketTransport for real-TCP
         # fetching — the planner is transport-agnostic by construction
@@ -137,6 +139,10 @@ class ReferenceSimulator:
         self.follow_links = follow_links
         self.honor_crawl_delay = honor_crawl_delay
         self.refresh_from = refresh_from or {}
+        # accepted URL schemes (seed ingest + outlink gate); the
+        # reference accepts http only — https is the TLS-transport
+        # extension (opt-in, so reference parity holds on defaults)
+        self.schemes = tuple(schemes)
         if follow_links and dedup != "cuckoo":
             raise ValueError("follow_links requires dedup='cuckoo' "
                              "(the reference has no working dedup)")
@@ -163,7 +169,7 @@ class ReferenceSimulator:
 
     # ---- ingest ----
     def feed(self, seed_lines: list[str]) -> None:
-        accepted, rejected = ingest_filter(seed_lines)
+        accepted, rejected = ingest_filter(seed_lines, self.schemes)
         self.result.rejected_seeds.extend(rejected)
         # pre-warm the normalize memo from the ALREADY-PARSED Url objects:
         # _norm would otherwise re-parse every queued string from scratch
@@ -204,14 +210,14 @@ class ReferenceSimulator:
             except (UrlParseError, Exception):
                 continue
             if r.absolute:
-                if r.scheme == "http":
+                if r.scheme in self.schemes:
                     candidates.append(r)
                 continue
             try:
                 if base is None:
                     base = Url(base_canon)
                 merged = base.copy().merge_ref(r)
-                if merged.scheme == "http":
+                if merged.scheme in self.schemes:
                     candidates.append(merged)
             except (UrlParseError, Exception):
                 continue
@@ -300,7 +306,10 @@ class ReferenceSimulator:
         if h.state in (IDLE, ROBOTS):
             h.state = ROBOTS
             h.robots_host = uhost
-            self._start(h, ROBOTS, f"http://{uhost}/robots.txt")
+            # robots rides the page's scheme (an https crawl probes
+            # robots over https, like curl would)
+            rscheme = canon.split(":", 1)[0] if "://" in canon else "http"
+            self._start(h, ROBOTS, f"{rscheme}://{uhost}/robots.txt")
         elif h.state == HEAD:
             self._start(h, HEAD, h.cur_url)
         elif h.state == CONTENT:
@@ -389,7 +398,8 @@ class ReferenceSimulator:
         h.inflight = None
         if kind == ROBOTS:
             self.metrics["n_robots"] += 1
-            fr = self.transport.fetch_robots(url.split("/")[2])
+            fr = self.transport.fetch_robots(url.split("/")[2],
+                                             scheme=url.split(":", 1)[0])
         elif kind == HEAD:
             self.metrics["n_head"] += 1
             fr = self.transport.request(url, method="HEAD")

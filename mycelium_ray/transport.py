@@ -26,6 +26,7 @@ no outbound network).
 
 from __future__ import annotations
 
+import ssl as ssl_mod
 from dataclasses import dataclass
 
 from .corpus import CONTENT_SIZE_LIMIT, MAXREDIRS, SiteGraph
@@ -34,7 +35,9 @@ from .corpus import CONTENT_SIZE_LIMIT, MAXREDIRS, SiteGraph
 CURLE_OK = 0
 CURLE_COULDNT_RESOLVE_HOST = 6
 CURLE_WRITE_ERROR = 23
+CURLE_SSL_CONNECT_ERROR = 35     # TLS handshake/protocol failure
 CURLE_TOO_MANY_REDIRECTS = 47
+CURLE_PEER_FAILED_VERIFICATION = 60  # cert chain/hostname verify failed
 CURLE_BAD_CONTENT_ENCODING = 61  # unrecognized/corrupt Content-Encoding
 
 
@@ -115,9 +118,9 @@ class FixtureTransport:
             return FetchResult(CURLE_OK, resp.status, cur_nofrag, headers,
                                content, outlinks=resp.outlinks)
 
-    def fetch_robots(self, host: str) -> FetchResult:
+    def fetch_robots(self, host: str, scheme: str = "http") -> FetchResult:
         body = self.site.robots.get(host)
-        url = f"http://{host}/robots.txt"
+        url = f"{scheme}://{host}/robots.txt"
         if body is None:
             if host not in self.site.hosts and not self._host_known(url):
                 return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, url, "", b"",
@@ -127,6 +130,16 @@ class FixtureTransport:
         return FetchResult(CURLE_OK, 200, url,
                            "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n",
                            body.encode())
+
+
+class TransportTlsError(Exception):
+    """TLS failure at the transport boundary; ``verify`` marks cert/
+    hostname verification failures (curl 60) vs handshake/protocol
+    errors (curl 35)."""
+
+    def __init__(self, msg: str, verify: bool = False):
+        super().__init__(msg)
+        self.verify = verify
 
 
 class SocketTransport:
@@ -139,37 +152,54 @@ class SocketTransport:
     _SKIP_HDRS = frozenset(["x-outlinks", "x-fixture-synthetic-404",
                             "x-fixture-resolve-fail", "x-curl-fail"])
 
-    def __init__(self, addr: tuple[str, int]):
+    def __init__(self, addr: tuple[str, int], ssl_context=None):
+        """``ssl_context`` (tlscert.make_client_context) enables the
+        https scheme: URLs with scheme https connect through a REAL,
+        fully-verified TLS session to ``addr`` (the CURLOPT_CAINFO
+        analog — verification is never disabled). http URLs keep using
+        plain TCP on the same transport instance."""
         self.addr = tuple(addr)
-        self._conn = None
+        self.ssl_context = ssl_context
+        self._conns: dict[str, object] = {}  # scheme -> live connection
 
     # -- internals --
-    def _connection(self):
+    def _connection(self, scheme: str):
         import http.client
         import socket as _socket
-        if self._conn is None:
-            self._conn = http.client.HTTPConnection(self.addr[0],
-                                                    self.addr[1], timeout=30)
+        conn = self._conns.get(scheme)
+        if conn is None:
+            if scheme == "https":
+                if self.ssl_context is None:
+                    raise TransportTlsError(
+                        "https URL on a transport with no ssl_context")
+                conn = http.client.HTTPSConnection(
+                    self.addr[0], self.addr[1], timeout=30,
+                    context=self.ssl_context)
+            else:
+                conn = http.client.HTTPConnection(self.addr[0],
+                                                  self.addr[1], timeout=30)
             # disable Nagle: a request is one small write and the server's
             # reply is two (headers, body) — with Nagle on, the second
             # write of each pair stalls on the peer's delayed ACK, ~28 ms
             # per request measured on loopback (139 req/s); NODELAY on
             # both ends removes the interaction entirely
-            self._conn.connect()
-            self._conn.sock.setsockopt(_socket.IPPROTO_TCP,
-                                       _socket.TCP_NODELAY, 1)
-        return self._conn
+            conn.connect()
+            conn.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
+            self._conns[scheme] = conn
+        return conn
 
     def _do(self, method: str, url: str, extra: dict[str, str]):
         """One request over the wire; returns (status, header_pairs,
         headermap, body). Retries once on a dropped keep-alive."""
         import http.client
         host_path = url.split("/", 3)
+        scheme = url.split(":", 1)[0].lower() if "://" in url else "http"
         host = host_path[2]
         path = "/" + (host_path[3] if len(host_path) > 3 else "")
         for attempt in (0, 1):
-            conn = self._connection()
+            conn = None
             try:
+                conn = self._connection(scheme)
                 conn.putrequest(method, path, skip_host=True,
                                 skip_accept_encoding=True)
                 conn.putheader("Host", host)
@@ -192,12 +222,25 @@ class SocketTransport:
                     body = r.read(CONTENT_SIZE_LIMIT + 1)
                     if len(body) > CONTENT_SIZE_LIMIT:
                         conn.close()
-                        self._conn = None
+                        self._conns.pop(scheme, None)
                 r.read()  # drain (no-op when fully read/closed)
                 return r.status, pairs, {k.lower(): v for k, v in pairs}, body
+            except ssl_mod.SSLCertVerificationError as e:
+                self._conns.pop(scheme, None)
+                if conn is not None:
+                    conn.close()
+                raise TransportTlsError(str(e), verify=True) from e
+            except ssl_mod.SSLError as e:
+                # handshake/protocol failures are not keep-alive drops —
+                # never retried, surfaced as the curl TLS error family
+                self._conns.pop(scheme, None)
+                if conn is not None:
+                    conn.close()
+                raise TransportTlsError(str(e)) from e
             except (http.client.HTTPException, ConnectionError, OSError):
-                self._conn = None
-                conn.close()
+                self._conns.pop(scheme, None)
+                if conn is not None:
+                    conn.close()
                 if attempt:
                     raise
 
@@ -251,7 +294,15 @@ class SocketTransport:
         if if_modified_since:
             extra["If-Modified-Since"] = if_modified_since
         while True:
-            status, pairs, hmap, body = self._do(method, cur, extra)
+            try:
+                status, pairs, hmap, body = self._do(method, cur, extra)
+            except TransportTlsError as e:
+                if e.verify:
+                    return FetchResult(
+                        CURLE_PEER_FAILED_VERIFICATION, 0, cur, "", b"",
+                        f"SSL certificate problem: {e}")
+                return FetchResult(CURLE_SSL_CONNECT_ERROR, 0, cur, "", b"",
+                                   f"SSL connect error: {e}")
             if "x-fixture-resolve-fail" in hmap:
                 return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, cur, "", b"",
                                    "Couldn't resolve host name")
@@ -309,15 +360,20 @@ class SocketTransport:
             return FetchResult(CURLE_OK, status, cur, headers, body,
                                outlinks=outlinks)
 
-    def fetch_robots(self, host: str) -> FetchResult:
+    def fetch_robots(self, host: str, scheme: str = "http") -> FetchResult:
         # X-Robots-Fetch marks this as the crawler's robots probe so the
         # fixture server answers from site.robots (matching
         # FixtureTransport.fetch_robots, which never consults
         # site.responses) even when an explicit /robots.txt Response
         # exists for a plain request() of the same URL
-        url = f"http://{host}/robots.txt"
-        status, pairs, hmap, body = self._do("GET", url,
-                                             {"X-Robots-Fetch": "1"})
+        url = f"{scheme}://{host}/robots.txt"
+        try:
+            status, pairs, hmap, body = self._do("GET", url,
+                                                 {"X-Robots-Fetch": "1"})
+        except TransportTlsError as e:
+            code = (CURLE_PEER_FAILED_VERIFICATION if e.verify
+                    else CURLE_SSL_CONNECT_ERROR)
+            return FetchResult(code, 0, url, "", b"", f"SSL error: {e}")
         if "x-fixture-resolve-fail" in hmap:
             return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, url, "", b"",
                                "Couldn't resolve host name")
