@@ -39,6 +39,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_redact as _image_redact,
         image_transcode_matrix as _image_transcode_matrix,
         image_exif as _image_exif,
+        image_png_text as _image_png_text,
         image_autorotate as _image_autorotate,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
@@ -187,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_border_crop": _image_border_crop,
         "image_transcode_matrix": _image_transcode_matrix,
         "image_exif": _image_exif,
+        "image_png_text": _image_png_text,
         "image_autorotate": _image_autorotate,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
@@ -338,6 +340,7 @@ def oracle_sql() -> dict[str, str]:
         "image_border_crop": flagship.IMAGE_BORDER_CROP_SQL,
         "image_transcode_matrix": flagship.IMAGE_TRANSCODE_SQL,
         "image_exif": flagship.IMAGE_EXIF_SQL,
+        "image_png_text": flagship.IMAGE_PNG_TEXT_SQL,
         "image_autorotate": flagship.IMAGE_AUTOROTATE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

@@ -323,3 +323,96 @@ def probe_image_meta(data: bytes) -> tuple[str, int, int]:
         fmt = "jpeg" if data.startswith(FAKE_JPEG_MAGIC) else "webp"
         return fmt, int(w), int(h)
     raise ImageDecodeError("unrecognized image container")
+
+
+# --------------------------------------------------------------------------
+# PNG textual metadata (tEXt / zTXt / iTXt, PNG spec §11.3.4) — the PNG
+# counterpart of the JPEG Exif lifecycle (exif.py): embed, extract, strip.
+# Ancillary chunks, so every decoder (ours included) ignores them.
+# --------------------------------------------------------------------------
+def png_text_chunks(data: bytes) -> dict[str, str]:
+    """{keyword: text} from every tEXt/zTXt/iTXt chunk (latin-1 for
+    tEXt/zTXt, utf-8 for iTXt; a malformed chunk raises)."""
+    if not data.startswith(PNG_SIG):
+        raise ImageDecodeError("not a PNG")
+    out: dict[str, str] = {}
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ImageDecodeError("truncated chunk")
+        if ctype == b"tEXt":
+            kw, _, txt = body.partition(b"\x00")
+            out[kw.decode("latin-1")] = txt.decode("latin-1")
+        elif ctype == b"zTXt":
+            kw, _, rest = body.partition(b"\x00")
+            if not rest or rest[0] != 0:
+                raise ImageDecodeError("zTXt: unknown compression method")
+            out[kw.decode("latin-1")] = zlib.decompress(rest[1:]) \
+                .decode("latin-1")
+        elif ctype == b"iTXt":
+            kw, _, rest = body.partition(b"\x00")
+            if len(rest) < 2:
+                raise ImageDecodeError("iTXt: truncated header")
+            compressed, method = rest[0], rest[1]
+            rest = rest[2:]
+            _lang, _, rest = rest.partition(b"\x00")
+            _trkw, _, txt = rest.partition(b"\x00")
+            if compressed:
+                if method != 0:
+                    raise ImageDecodeError("iTXt: unknown compression method")
+                txt = zlib.decompress(txt)
+            out[kw.decode("latin-1")] = txt.decode("utf-8")
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    return out
+
+
+def insert_png_text(data: bytes, kv: dict[str, str],
+                    kind: str = "tEXt") -> bytes:
+    """Insert one chunk per (keyword, text) pair right after IHDR.
+    ``kind``: "tEXt" (latin-1), "zTXt" (latin-1, deflated), or "iTXt"
+    (utf-8, uncompressed)."""
+    if not data.startswith(PNG_SIG):
+        raise ImageDecodeError("not a PNG")
+    chunks = []
+    for kw, txt in kv.items():
+        kwb = kw.encode("latin-1")
+        if not 1 <= len(kwb) <= 79 or b"\x00" in kwb:
+            raise ValueError(f"bad PNG text keyword {kw!r}")
+        if kind == "tEXt":
+            chunks.append(_chunk(b"tEXt", kwb + b"\x00"
+                                 + txt.encode("latin-1")))
+        elif kind == "zTXt":
+            chunks.append(_chunk(b"zTXt", kwb + b"\x00\x00"
+                                 + zlib.compress(txt.encode("latin-1"), 6)))
+        elif kind == "iTXt":
+            chunks.append(_chunk(b"iTXt", kwb + b"\x00\x00\x00\x00\x00"
+                                 + txt.encode("utf-8")))
+        else:
+            raise ValueError(f"unknown PNG text chunk kind {kind!r}")
+    # IHDR ends at sig + 12 + 13
+    cut = len(PNG_SIG) + 12 + 13
+    return data[:cut] + b"".join(chunks) + data[cut:]
+
+
+def strip_png_text(data: bytes) -> bytes:
+    """Drop every tEXt/zTXt/iTXt chunk (metadata hygiene); pixel chunks
+    untouched, so stripped images decode identically."""
+    if not data.startswith(PNG_SIG):
+        raise ImageDecodeError("not a PNG")
+    out = bytearray(PNG_SIG)
+    pos = len(PNG_SIG)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        end = pos + 12 + length
+        if ctype not in (b"tEXt", b"zTXt", b"iTXt"):
+            out += data[pos:end]
+        if ctype == b"IEND":
+            break
+        pos = end
+    return bytes(out)

@@ -851,3 +851,70 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS pixel_roundtrip_ok
 FROM documents
 """
+
+
+def image_png_text(sf_dir: str):
+    """(image_id, title, author, comment, note, roundtrip_ok, strip_ok)
+    — the PNG textual-metadata lifecycle (the tEXt/zTXt/iTXt counterpart
+    of image_exif): re-encode each derived image as PNG, embed doc_id-
+    derived values through all three chunk kinds (tEXt latin-1, zTXt
+    deflated, iTXt utf-8), extract them back, verify tagged bytes decode
+    pixel-identically, and verify strip_png_text restores the untagged
+    bytes byte-identically. Oracle pins every extracted value."""
+    from ..imaging import (decode_image, encode_png, insert_png_text,
+                           png_text_chunks, strip_png_text)
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def lifecycle(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        dids = t["doc_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        cols = {k: [] for k in ("image_id", "title", "author", "comment",
+                                "note", "roundtrip_ok", "strip_ok")}
+        for iid, d, data in zip(ids, dids, blobs):
+            px, _ = decode_image(data)
+            png = encode_png(px)
+            tagged = insert_png_text(png, {
+                "Title": f"T{d % 100}", "Author": f"A{d % 7}"}, "tEXt")
+            tagged = insert_png_text(tagged,
+                                     {"Comment": "c" * (1 + d % 40)}, "zTXt")
+            tagged = insert_png_text(tagged,
+                                     {"Note": f"n☃{d % 13}"}, "iTXt")
+            meta = png_text_chunks(tagged)
+            rt, _ = decode_image(tagged)
+            stripped = strip_png_text(tagged)
+            cols["image_id"].append(iid)
+            cols["title"].append(meta.get("Title", ""))
+            cols["author"].append(meta.get("Author", ""))
+            cols["comment"].append(meta.get("Comment", ""))
+            cols["note"].append(meta.get("Note", ""))
+            cols["roundtrip_ok"].append(bool(np.array_equal(rt, px)))
+            cols["strip_ok"].append(stripped == png
+                                    and png_text_chunks(stripped) == {})
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+            "author": pa.array(cols["author"], pa.string()),
+            "comment": pa.array(cols["comment"], pa.string()),
+            "note": pa.array(cols["note"], pa.string()),
+            "roundtrip_ok": pa.array(cols["roundtrip_ok"], pa.bool_()),
+            "strip_ok": pa.array(cols["strip_ok"], pa.bool_()),
+        })
+
+    return ds.map_batches(lifecycle, batch_format="pyarrow", batch_size=128)
+
+
+IMAGE_PNG_TEXT_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       'T' || CAST(doc_id % 100 AS VARCHAR) AS title,
+       'A' || CAST(doc_id % 7 AS VARCHAR) AS author,
+       repeat('c', CAST(1 + doc_id % 40 AS INTEGER)) AS comment,
+       'n' || chr(9731) || CAST(doc_id % 13 AS VARCHAR) AS note,
+       TRUE AS roundtrip_ok,
+       TRUE AS strip_ok
+FROM documents
+"""
