@@ -113,7 +113,8 @@ def noise_probe() -> dict:
             "disk_read_mbs": round(16 / t_r, 1)}
 
 
-def socket_crawl_leg(site, seeds, host_stride: int = 8) -> dict:
+def socket_crawl_leg(site, seeds, host_stride: int = 8,
+                     tls: bool = False) -> dict:
     """Crawl one shard's host slice over REAL sockets.
 
     A `FixtureHTTPServer` virtual-hosts the corpus on one TCP listener;
@@ -133,6 +134,18 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8) -> dict:
     from mycelium_ray.pipelines.crawl_sharded import host_key
     from mycelium_ray.simulator import ReferenceSimulator
 
+    schemes = ("http",)
+    server_ctx = ca_pem = None
+    if tls:
+        # TLS leg: same slice, https-rewritten corpus, real handshakes +
+        # record layer (tlscert root, full verification in every fetcher)
+        from mycelium_ray.corpus import to_https
+        from mycelium_ray.tlscert import (make_self_signed_cert,
+                                          make_server_context)
+        site, seeds = to_https(site, seeds)
+        ca_pem, key_pem = make_self_signed_cert()
+        server_ctx = make_server_context(ca_pem, key_pem)
+        schemes = ("https",)
     hosts = sorted({host_key(u) for u in seeds})
     slice_hosts = set(hosts[::host_stride])
     sub_seeds = [u for u in seeds if host_key(u) in slice_hosts]
@@ -144,10 +157,12 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8) -> dict:
                  hashlib.sha1(d.content).hexdigest())
                 for d in res.saved]
 
-    with FixtureHTTPServer(site) as srv:
+    with FixtureHTTPServer(site, tls_context=server_ctx) as srv:
         crawler = RayCrawler(site, parallel=parallel,
                              n_fetchers=n_fetchers,
                              transport_addr=srv.addr,
+                             transport_ca=ca_pem,
+                             schemes=schemes,
                              flush_rows=1 << 30)
         crawler.feed(sub_seeds)
         # spawn + connect the fetcher pool untimed (the long-lived-cluster
@@ -158,7 +173,7 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8) -> dict:
         sec = time.perf_counter() - t0
         socket_metrics = dict(crawler.metrics)
 
-    ref = ReferenceSimulator(site, parallel=parallel)
+    ref = ReferenceSimulator(site, parallel=parallel, schemes=schemes)
     ref.feed(sub_seeds)
     res_fixture = ref.run()
 
@@ -281,6 +296,7 @@ def run_bench() -> dict:
     # lookup (reference boundary crawler.cc:1068-1204). Parity vs the
     # serial fixture-transport engine is asserted on the result set.
     socket_leg = socket_crawl_leg(site, seeds)
+    tls_leg = socket_crawl_leg(site, seeds, tls=True)
 
     # --- operator suite over testdata ---
     def timed(name, fn, consume="count"):
@@ -334,6 +350,7 @@ def run_bench() -> dict:
     }
     out["ray_roundtrip_sec"] = round(ray_roundtrip, 3)
     out["socket_crawl"] = socket_leg
+    out["tls_crawl"] = tls_leg
     ray.shutdown()
     # free the tmpfs scratch so repeated runs can't squeeze page cache
     for d in (out_dir, out_dir + ".raw", out_dir + ".disc_raw"):

@@ -273,3 +273,29 @@ def _make_seeds(site: SiteGraph, pyrng: random.Random) -> list[str]:
 def images_to_parquet(images: pa.Table, path: str) -> None:
     import pyarrow.parquet as pq
     pq.write_table(images, path)
+
+
+def to_https(site: "SiteGraph", seeds: list[str]):
+    """Rewrite an http corpus to https (URL keys, redirect Locations,
+    absolute outlinks, seeds — including the HTTP:// case-quirk seeds).
+    The graph itself is scheme-agnostic; this feeds the TLS fetch path
+    (tlscert + FixtureHTTPServer(tls_context=...) + SocketTransport
+    ssl_context), crawled with schemes=("https",)."""
+    import dataclasses as _dc
+
+    def swap(u):
+        if not isinstance(u, str):
+            return u
+        for p, q in (("http://", "https://"), ("HTTP://", "HTTPS://")):
+            if u.startswith(p):
+                return q + u[len(p):]
+        return u
+
+    out = SiteGraph()
+    out.hosts = list(site.hosts)
+    out.robots = dict(site.robots)
+    for url, r in site.responses.items():
+        out.responses[swap(url)] = _dc.replace(
+            r, location=swap(r.location),
+            outlinks=tuple(swap(o) for o in r.outlinks))
+    return out, [swap(s) for s in seeds]

@@ -108,13 +108,20 @@ class FetcherActor:
         self.transport = FixtureTransport(site)
         return True
 
-    def load_socket(self, addr) -> bool:
+    def load_socket(self, addr, ca_pem: bytes | None = None) -> bool:
         """Real-TCP mode: fetch over sockets (httpfixture server / any
         SocketTransport-convention endpoint). No site object is shipped
         anywhere — the actor holds only a connection, which is exactly
-        the real-internet deployment shape."""
+        the real-internet deployment shape. ``ca_pem`` (a PEM trust
+        root) enables https: each actor builds its own fully-verifying
+        SSLContext locally — contexts hold OS handles and never cross
+        process boundaries, only the PEM bytes do."""
         from ..transport import SocketTransport
-        self.transport = SocketTransport(addr)
+        ctx = None
+        if ca_pem is not None:
+            from ..tlscert import make_client_context
+            ctx = make_client_context(bytes(ca_pem))
+        self.transport = SocketTransport(addr, ssl_context=ctx)
         return True
 
     def fetch_batch(self, reqs: list[tuple]) -> list[tuple]:
@@ -156,16 +163,19 @@ class RayCrawler(ReferenceSimulator):
                  follow_links: bool = False,
                  honor_crawl_delay: bool = False,
                  refresh_from: dict | None = None,
-                 transport_addr: tuple | None = None):
+                 transport_addr: tuple | None = None,
+                 transport_ca: bytes | None = None,
+                 schemes: tuple = ("http",)):
         super().__init__(site, parallel=parallel, user_agent=user_agent,
                          dedup=dedup, seen_shards=seen_shards,
                          follow_links=follow_links,
                          honor_crawl_delay=honor_crawl_delay,
-                         refresh_from=refresh_from)
+                         refresh_from=refresh_from, schemes=schemes)
         # real-TCP fetch pool: fetchers connect to this address instead of
         # receiving the site fixture (the production shape — see
         # FetcherActor.load_socket)
         self.transport_addr = transport_addr
+        self.transport_ca = transport_ca
         self.site = site
         self.n_fetchers = n_fetchers
         self.store = store
@@ -183,7 +193,8 @@ class RayCrawler(ReferenceSimulator):
             self._fetchers = [FetcherActor.remote()
                               for _ in range(self.n_fetchers)]
             if self.transport_addr is not None:
-                ray.get([f.load_socket.remote(self.transport_addr)
+                ray.get([f.load_socket.remote(self.transport_addr,
+                                              self.transport_ca)
                          for f in self._fetchers])
             else:
                 import pickle

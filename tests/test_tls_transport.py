@@ -10,7 +10,8 @@ import dataclasses
 
 import pytest
 
-from mycelium_ray.corpus import Response, SiteGraph, generate_corpus
+from mycelium_ray.corpus import (Response, SiteGraph, generate_corpus,
+                                 to_https as _to_https)
 from mycelium_ray.httpfixture import FixtureHTTPServer
 from mycelium_ray.simulator import ReferenceSimulator
 from mycelium_ray.tlscert import (make_client_context, make_self_signed_cert,
@@ -26,27 +27,6 @@ def tls_material():
     return (make_server_context(cert_pem, key_pem),
             make_client_context(cert_pem),
             cert_pem)
-
-
-def _to_https(site: SiteGraph, seeds):
-    """Rewrite a generated http corpus to https (URL keys, redirect
-    Locations, absolute outlinks) — the graph itself is scheme-agnostic."""
-    def swap(u):
-        if not isinstance(u, str):
-            return u
-        for p, q in (("http://", "https://"), ("HTTP://", "HTTPS://")):
-            if u.startswith(p):
-                return q + u[len(p):]
-        return u
-
-    out = SiteGraph()
-    out.hosts = list(site.hosts)
-    out.robots = dict(site.robots)
-    for url, r in site.responses.items():
-        out.responses[swap(url)] = dataclasses.replace(
-            r, location=swap(r.location),
-            outlinks=tuple(swap(o) for o in r.outlinks))
-    return out, [swap(s) for s in seeds]
 
 
 @pytest.fixture(scope="module")
@@ -157,3 +137,25 @@ def test_http_and_https_coexist_on_one_transport(tls_material):
         conn = t._conns["https"]
         assert t.request("https://s.test/x").content == b"ok"
         assert t._conns["https"] is conn
+
+
+def test_ray_fetch_pool_over_tls(ray_session, tls_material, https_corpus):
+    """Distributed fetch actors doing real TLS handshakes (only PEM bytes
+    cross the process boundary; each actor builds its own verifying
+    context) reproduce the serial reference crawl exactly."""
+    from mycelium_ray.pipelines.crawl import RayCrawler
+    server_ctx, _, cert_pem = tls_material
+    site, seeds = https_corpus
+    ref = ReferenceSimulator(site, parallel=6, schemes=("https",))
+    ref.feed(seeds)
+    ref_res = ref.run()
+    with FixtureHTTPServer(site, tls_context=server_ctx) as srv:
+        crawler = RayCrawler(site, parallel=6, n_fetchers=3,
+                             transport_addr=srv.addr,
+                             transport_ca=cert_pem,
+                             schemes=("https",))
+        crawler.feed(seeds)
+        res = crawler.run()
+    assert res.url_seen == ref_res.url_seen
+    assert [(d.url, d.http_code, d.content) for d in res.saved] == \
+        [(d.url, d.http_code, d.content) for d in ref_res.saved]
