@@ -119,13 +119,27 @@ def cmd_crawl(args) -> int:
             # real-TCP path: serve the corpus and fetch over http.client
             from .httpfixture import FixtureHTTPServer
             from .pipelines import crawl as crawl_mod
-            server = FixtureHTTPServer(site).__enter__()
+            server_ctx = ca_pem = None
+            schemes = ("http",)
+            if args.tls:
+                # real-TLS path: https corpus, self-signed loopback root,
+                # full verification in every fetcher actor
+                from .corpus import to_https
+                from .tlscert import (make_self_signed_cert,
+                                      make_server_context)
+                site, seeds = to_https(site, seeds)
+                ca_pem, key_pem = make_self_signed_cert()
+                server_ctx = make_server_context(ca_pem, key_pem)
+                schemes = ("https",)
+            server = FixtureHTTPServer(site,
+                                       tls_context=server_ctx).__enter__()
             crawler = crawl_mod.RayCrawler(
                 site, parallel=args.parallel,
                 n_fetchers=max(2, args.shards), dedup=args.dedup,
                 checkpoint_every=args.checkpoint_every,
                 follow_links=args.follow_links,
-                transport_addr=server.addr)
+                transport_addr=server.addr,
+                transport_ca=ca_pem, schemes=schemes)
             crawler.feed(seeds)
             result = crawler.run()
             ds = crawler.fetched_dataset()
@@ -136,7 +150,8 @@ def cmd_crawl(args) -> int:
                 ds.write_parquet(args.out)
             else:
                 ds.count()
-            stats = {"mode": "socket", "addr": list(server.addr),
+            stats = {"mode": "tls" if args.tls else "socket",
+                     "addr": list(server.addr),
                      "n_seen": len(result.url_seen),
                      "n_saved": len(result.saved),
                      "n_rounds": None}
@@ -334,6 +349,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ALSO accept seed lines over TCP on this port "
                         "(0 = OS-assigned; reference S1 ingest)")
     c.add_argument("--listen-seconds", type=float, default=5.0)
+    c.add_argument("--tls", action="store_true",
+                   help="with --serve: https corpus over a real-TLS "
+                        "listener (self-signed loopback root, fully "
+                        "verified in every fetcher)")
     c.add_argument("--serve", action="store_true",
                    help="serve the corpus over real TCP and fetch via "
                         "http.client (production transport shape)")

@@ -131,3 +131,22 @@ def test_cli_sweep_no_duplicate_rows_after_partial_failure(
              capsys.readouterr().out.strip().splitlines()]
     statuses = {l["query"]: l["status"] for l in lines if "query" in l}
     assert statuses == {"token_count": "done"}
+
+
+def test_cli_crawl_tls(ray_session, tmp_path, capsys):
+    """--serve --tls: the https corpus over a real-TLS listener, decoded
+    rows written out; seen-count matches the https-gate expectation (the
+    http count plus the secure.test seed the https gate now admits as a
+    resolve-fail row)."""
+    out = str(tmp_path / "rows")
+    rc = main(["crawl", "--corpus", "sf0.001", "--serve", "--tls",
+               "--out", out, "--parallel", "16"])
+    assert rc == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["mode"] == "tls"
+    assert stats["n_seen"] == 1298
+    tbl = pq.read_table(out)
+    assert tbl.num_rows == 1298
+    assert {"url", "content", "decode_ok"} <= set(tbl.schema.names)
+    urls = tbl.column("url").to_pylist()
+    assert urls and all(u.startswith("https://") for u in urls)
