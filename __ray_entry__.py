@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_transcode_matrix as _image_transcode_matrix,
         image_exif as _image_exif,
         image_png_text as _image_png_text,
+        image_ssim as _image_ssim,
         image_autorotate as _image_autorotate,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
@@ -189,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_transcode_matrix": _image_transcode_matrix,
         "image_exif": _image_exif,
         "image_png_text": _image_png_text,
+        "image_ssim": _image_ssim,
         "image_autorotate": _image_autorotate,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
@@ -341,6 +343,7 @@ def oracle_sql() -> dict[str, str]:
         "image_transcode_matrix": flagship.IMAGE_TRANSCODE_SQL,
         "image_exif": flagship.IMAGE_EXIF_SQL,
         "image_png_text": flagship.IMAGE_PNG_TEXT_SQL,
+        "image_ssim": flagship.IMAGE_SSIM_SQL,
         "image_autorotate": flagship.IMAGE_AUTOROTATE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

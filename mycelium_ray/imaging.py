@@ -416,3 +416,41 @@ def strip_png_text(data: bytes) -> bytes:
             break
         pos = end
     return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# SSIM (Wang et al. 2004) — uniform 8x8 sliding window via integral sums
+# --------------------------------------------------------------------------
+def ssim(a: np.ndarray, b: np.ndarray, win: int = 8) -> float:
+    """Mean structural similarity between two RGB8/gray8 images of equal
+    shape. Uniform win×win window (the original paper's 8×8 variant),
+    K1=0.01 / K2=0.03, L=255; RGB is scored on the luma plane. Computed
+    over every fully-inside window via cumulative sums — O(pixels),
+    vectorized. Returns exactly 1.0 for identical inputs."""
+    if a.shape != b.shape:
+        raise ValueError("shape mismatch")
+    x = a.astype(np.float64)
+    y = b.astype(np.float64)
+    if x.ndim == 3:
+        x = 0.299 * x[..., 0] + 0.587 * x[..., 1] + 0.114 * x[..., 2]
+        y = 0.299 * y[..., 0] + 0.587 * y[..., 1] + 0.114 * y[..., 2]
+    h, w = x.shape
+    win = min(win, h, w)
+
+    def winsum(img):
+        c = np.cumsum(np.cumsum(img, 0), 1)
+        c = np.pad(c, ((1, 0), (1, 0)))
+        return (c[win:, win:] - c[:-win, win:]
+                - c[win:, :-win] + c[:-win, :-win])
+
+    n = win * win
+    mx = winsum(x) / n
+    my = winsum(y) / n
+    sxx = winsum(x * x) / n - mx * mx
+    syy = winsum(y * y) / n - my * my
+    sxy = winsum(x * y) / n - mx * my
+    c1 = (0.01 * 255) ** 2
+    c2 = (0.03 * 255) ** 2
+    num = (2 * mx * my + c1) * (2 * sxy + c2)
+    den = (mx * mx + my * my + c1) * (sxx + syy + c2)
+    return float(np.mean(num / den))

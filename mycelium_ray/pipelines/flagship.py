@@ -918,3 +918,66 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS strip_ok
 FROM documents
 """
+
+
+SSIM_DEGRADE_MOD = 6
+SSIM_DEGRADE_RES = 2
+
+
+def image_ssim(sf_dir: str):
+    """(image_id, verdict, exact_one_ok, jpeg_band_ok) — SSIM quality
+    gate (Wang 2004, uniform 8×8 window): for each derived image, score
+    (a) the lossless PNG round trip — must be EXACTLY 1.0, (b) the real
+    baseline-JPEG round trip — must sit in the transform-coding band
+    (0.99, 1.0), and (c) classify a candidate copy as clean/degraded at
+    the 0.95 threshold, where doc_id-planted rows (% 6 == 2) are 3×3
+    box-blurred (SSIM collapses to ~0.15 on noise content) and the rest
+    are lossless copies. The oracle pins the planted class exactly."""
+    from ..imaging import decode_image, encode_image, encode_png, ssim
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def _boxblur3(px: np.ndarray) -> np.ndarray:
+        from numpy.lib.stride_tricks import sliding_window_view
+        pad = np.pad(px, ((1, 1), (1, 1), (0, 0)),
+                     mode="edge").astype(np.float64)
+        return sliding_window_view(pad, (3, 3), axis=(0, 1)) \
+            .mean(axis=(-1, -2)).astype(np.uint8)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        dids = t["doc_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        oid, over, oone, ojpeg = [], [], [], []
+        for iid, d, data in zip(ids, dids, blobs):
+            px, _ = decode_image(data)
+            s_self = ssim(px, decode_image(encode_png(px))[0])
+            s_jpeg = ssim(px, decode_image(encode_image(px, "jpeg"))[0])
+            cand = _boxblur3(px) if d % SSIM_DEGRADE_MOD == SSIM_DEGRADE_RES \
+                else px
+            verdict = "degraded" if ssim(px, cand) < 0.95 else "clean"
+            oid.append(iid)
+            over.append(verdict)
+            oone.append(s_self == 1.0)
+            ojpeg.append(0.99 < s_jpeg <= 1.0)
+        return pa.table({
+            "image_id": pa.array(oid, pa.string()),
+            "verdict": pa.array(over, pa.string()),
+            "exact_one_ok": pa.array(oone, pa.bool_()),
+            "jpeg_band_ok": pa.array(ojpeg, pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=128)
+
+
+IMAGE_SSIM_SQL = f"""
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       CASE WHEN doc_id % {SSIM_DEGRADE_MOD} = {SSIM_DEGRADE_RES}
+            THEN 'degraded' ELSE 'clean' END AS verdict,
+       TRUE AS exact_one_ok,
+       TRUE AS jpeg_band_ok
+FROM documents
+"""

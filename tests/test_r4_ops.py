@@ -461,3 +461,25 @@ def test_crop_borders_detection(ray_session):
     assert out["had_border"].to_pylist() == [True, False]
     b, _ = decode_image(out["content"][1].as_py())
     np.testing.assert_array_equal(b, px)
+
+
+def test_ssim_metric_properties():
+    """SSIM invariants independent of the corpus: identity == 1.0 exactly,
+    symmetry, monotone degradation (stronger quantization scores lower),
+    blur collapse on noise content, gray/RGB agreement on gray content."""
+    import numpy as np
+
+    from mycelium_ray.imaging import ssim
+
+    rng = np.random.default_rng(17)
+    px = rng.integers(0, 256, (24, 30, 3), dtype=np.uint8)
+    assert ssim(px, px) == 1.0
+    q8 = (px // 8 * 8).astype(np.uint8)
+    q64 = (px // 64 * 64).astype(np.uint8)
+    assert abs(ssim(px, q8) - ssim(q8, px)) < 1e-12
+    assert 1.0 > ssim(px, q8) > ssim(px, q64)
+    g = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    assert abs(ssim(g, (g // 16 * 16).astype(np.uint8))
+               - ssim(rgb, np.repeat((g // 16 * 16).astype(np.uint8)
+                                     [:, :, None], 3, axis=2))) < 1e-9
