@@ -261,3 +261,29 @@ def test_unknown_content_encoding_maps_to_curl_61():
         assert r.content == b""
     finally:
         srv.close()
+
+
+def test_fetch_pool_threads_parity(ray_session, corpus):
+    """pool>1 (concurrent per-wave fetching over per-thread keep-alive
+    connections — the high-RTT deployment shape) must be bit-identical
+    to the serial default."""
+    import ray as _ray
+
+    from mycelium_ray.pipelines.crawl import RayCrawler
+    site, seeds = corpus
+
+    def run(pool):
+        with FixtureHTTPServer(site) as srv:
+            crawler = RayCrawler(site, parallel=6, n_fetchers=2,
+                                 transport_addr=srv.addr)
+            crawler.feed(seeds)
+            crawler._ensure_fetchers()
+            _ray.get([f.load_socket.remote(srv.addr, None, pool)
+                      for f in crawler._fetchers])
+            res = crawler.run()
+            return [(d.url, d.http_code, d.curl_code, d.content)
+                    for d in res.saved], res.url_seen, dict(crawler.metrics)
+
+    s1, seen1, m1 = run(1)
+    s4, seen4, m4 = run(4)
+    assert s1 == s4 and seen1 == seen4 and m1 == m4
