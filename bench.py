@@ -157,11 +157,14 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8,
                  hashlib.sha1(d.content).hexdigest())
                 for d in res.saved]
 
-    with FixtureHTTPServer(site, tls_context=server_ctx) as srv:
+    from mycelium_ray.dnsfixture import FixtureDNSServer, zone_from_site
+    with FixtureHTTPServer(site, tls_context=server_ctx) as srv, \
+            FixtureDNSServer(zone_from_site(site)) as dns_srv:
         crawler = RayCrawler(site, parallel=parallel,
                              n_fetchers=n_fetchers,
                              transport_addr=srv.addr,
                              transport_ca=ca_pem,
+                             transport_dns=dns_srv.addr,
                              schemes=schemes,
                              flush_rows=1 << 30)
         crawler.feed(sub_seeds)
@@ -172,6 +175,7 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8,
         res_socket = crawler.run()
         sec = time.perf_counter() - t0
         socket_metrics = dict(crawler.metrics)
+        n_dns = dns_srv.n_queries
 
     ref = ReferenceSimulator(site, parallel=parallel, schemes=schemes)
     ref.feed(sub_seeds)
@@ -192,6 +196,7 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8,
             "urls_per_sec": round(n_urls / sec, 1),
             "http_requests_per_sec": round(n_requests / sec, 1),
             "n_fetchers": n_fetchers,
+            "n_dns_queries": n_dns,
             "parity_vs_fixture": "ok" if parity else "MISMATCH"}
 
 

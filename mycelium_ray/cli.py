@@ -133,13 +133,20 @@ def cmd_crawl(args) -> int:
                 schemes = ("https",)
             server = FixtureHTTPServer(site,
                                        tls_context=server_ctx).__enter__()
+            dns_addr = None
+            if args.dns:
+                from .dnsfixture import FixtureDNSServer, zone_from_site
+                dns_server = FixtureDNSServer(
+                    zone_from_site(site)).__enter__()
+                dns_addr = dns_server.addr
             crawler = crawl_mod.RayCrawler(
                 site, parallel=args.parallel,
                 n_fetchers=max(2, args.shards), dedup=args.dedup,
                 checkpoint_every=args.checkpoint_every,
                 follow_links=args.follow_links,
                 transport_addr=server.addr,
-                transport_ca=ca_pem, schemes=schemes)
+                transport_ca=ca_pem, transport_dns=dns_addr,
+                schemes=schemes)
             crawler.feed(seeds)
             result = crawler.run()
             ds = crawler.fetched_dataset()
@@ -349,6 +356,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ALSO accept seed lines over TCP on this port "
                         "(0 = OS-assigned; reference S1 ingest)")
     c.add_argument("--listen-seconds", type=float, default=5.0)
+    c.add_argument("--dns", action="store_true",
+                   help="with --serve: resolve every host over a real "
+                        "RFC 1035 UDP exchange against a fixture DNS "
+                        "server (per-actor resolver caches)")
     c.add_argument("--tls", action="store_true",
                    help="with --serve: https corpus over a real-TLS "
                         "listener (self-signed loopback root, fully "

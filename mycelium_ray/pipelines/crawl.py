@@ -109,7 +109,7 @@ class FetcherActor:
         return True
 
     def load_socket(self, addr, ca_pem: bytes | None = None,
-                    pool: int = 1) -> bool:
+                    pool: int = 1, dns_addr: tuple | None = None) -> bool:
         """Real-TCP mode: fetch over sockets (httpfixture server / any
         SocketTransport-convention endpoint). No site object is shipped
         anywhere — the actor holds only connections, which is exactly
@@ -138,14 +138,22 @@ class FetcherActor:
         if ca_pem is not None:
             from ..tlscert import make_client_context
             ctx = make_client_context(bytes(ca_pem))
-        self.transport = SocketTransport(addr, ssl_context=ctx)
+        resolver = None
+        if dns_addr is not None:
+            # one resolver (= one DNS cache) per actor, shared across the
+            # pool threads — DnsResolver is lock-guarded by design
+            from ..dnsfixture import DnsResolver
+            resolver = DnsResolver(tuple(dns_addr))
+        self.transport = SocketTransport(addr, ssl_context=ctx,
+                                         dns_resolver=resolver)
 
         _local = threading.local()
 
         def _thread_transport():
             t = getattr(_local, "transport", None)
             if t is None:
-                t = SocketTransport(addr, ssl_context=ctx)
+                t = SocketTransport(addr, ssl_context=ctx,
+                                    dns_resolver=resolver)
                 _local.transport = t
             return t
 
@@ -201,6 +209,7 @@ class RayCrawler(ReferenceSimulator):
                  refresh_from: dict | None = None,
                  transport_addr: tuple | None = None,
                  transport_ca: bytes | None = None,
+                 transport_dns: tuple | None = None,
                  schemes: tuple = ("http",)):
         super().__init__(site, parallel=parallel, user_agent=user_agent,
                          dedup=dedup, seen_shards=seen_shards,
@@ -212,6 +221,7 @@ class RayCrawler(ReferenceSimulator):
         # FetcherActor.load_socket)
         self.transport_addr = transport_addr
         self.transport_ca = transport_ca
+        self.transport_dns = transport_dns
         self.site = site
         self.n_fetchers = n_fetchers
         self.store = store
@@ -230,7 +240,8 @@ class RayCrawler(ReferenceSimulator):
                               for _ in range(self.n_fetchers)]
             if self.transport_addr is not None:
                 ray.get([f.load_socket.remote(self.transport_addr,
-                                              self.transport_ca)
+                                              self.transport_ca,
+                                              dns_addr=self.transport_dns)
                          for f in self._fetchers])
             else:
                 import pickle

@@ -132,6 +132,11 @@ class FixtureTransport:
                            body.encode())
 
 
+class TransportDnsError(Exception):
+    """Host resolution failed at the transport boundary (NXDOMAIN or a
+    resolver failure) — maps to CURLE_COULDNT_RESOLVE_HOST."""
+
+
 class TransportTlsError(Exception):
     """TLS failure at the transport boundary; ``verify`` marks cert/
     hostname verification failures (curl 60) vs handshake/protocol
@@ -152,32 +157,68 @@ class SocketTransport:
     _SKIP_HDRS = frozenset(["x-outlinks", "x-fixture-synthetic-404",
                             "x-fixture-resolve-fail", "x-curl-fail"])
 
-    def __init__(self, addr: tuple[str, int], ssl_context=None):
+    def __init__(self, addr: tuple[str, int], ssl_context=None,
+                 dns_resolver=None):
         """``ssl_context`` (tlscert.make_client_context) enables the
         https scheme: URLs with scheme https connect through a REAL,
-        fully-verified TLS session to ``addr`` (the CURLOPT_CAINFO
-        analog — verification is never disabled). http URLs keep using
-        plain TCP on the same transport instance."""
+        fully-verified TLS session — the CURLOPT_CAINFO analog
+        (verification is never disabled). http URLs keep using plain TCP
+        on the same transport instance.
+
+        ``dns_resolver`` (dnsfixture.DnsResolver) routes every NEW
+        connection through a real RFC 1035 A-record lookup first: the
+        URL's host resolves over actual UDP (cached per host, positive
+        and negative), NXDOMAIN surfaces as curl error 6 from a genuine
+        wire exchange, and the connection targets the RESOLVED address
+        at ``addr``'s port. Without it, connections go straight to
+        ``addr`` (the forward-proxy shape) and unknown hosts are flagged
+        by the HTTP fixture's X- header convention instead."""
         self.addr = tuple(addr)
         self.ssl_context = ssl_context
-        self._conns: dict[str, object] = {}  # scheme -> live connection
+        self.dns_resolver = dns_resolver
+        self._conns: dict[tuple, object] = {}  # (scheme, ip) -> connection
 
     # -- internals --
-    def _connection(self, scheme: str):
+    def _resolve(self, host: str) -> str:
+        """Connection target for a URL host: DNS when configured (IP
+        literals bypass, like every resolver), else the fixed addr."""
+        if self.dns_resolver is None or host.startswith("["):
+            return self.addr[0]
+        hostname = host.rsplit(":", 1)[0] if host.count(":") == 1 else host
+        try:
+            import ipaddress
+            ipaddress.ip_address(hostname)
+            # IP literal: no resolution (like every resolver). The
+            # connect target stays the fixture address — the fixture
+            # serves every site host on one IPv4 listener (a real
+            # deployment would dial the literal itself)
+            return self.addr[0]
+        except ValueError:
+            pass
+        from .dnsfixture import DnsError, DnsNxdomain
+        try:
+            return self.dns_resolver.resolve(hostname)
+        except DnsNxdomain as e:
+            raise TransportDnsError(str(e)) from e
+        except DnsError as e:
+            raise TransportDnsError(f"dns failure: {e}") from e
+
+    def _connection(self, scheme: str, ip: str):
         import http.client
         import socket as _socket
-        conn = self._conns.get(scheme)
+        key = (scheme, ip)
+        conn = self._conns.get(key)
         if conn is None:
             if scheme == "https":
                 if self.ssl_context is None:
                     raise TransportTlsError(
                         "https URL on a transport with no ssl_context")
                 conn = http.client.HTTPSConnection(
-                    self.addr[0], self.addr[1], timeout=30,
+                    ip, self.addr[1], timeout=30,
                     context=self.ssl_context)
             else:
-                conn = http.client.HTTPConnection(self.addr[0],
-                                                  self.addr[1], timeout=30)
+                conn = http.client.HTTPConnection(ip, self.addr[1],
+                                                  timeout=30)
             # disable Nagle: a request is one small write and the server's
             # reply is two (headers, body) — with Nagle on, the second
             # write of each pair stalls on the peer's delayed ACK, ~28 ms
@@ -185,7 +226,7 @@ class SocketTransport:
             # both ends removes the interaction entirely
             conn.connect()
             conn.sock.setsockopt(_socket.IPPROTO_TCP, _socket.TCP_NODELAY, 1)
-            self._conns[scheme] = conn
+            self._conns[key] = conn
         return conn
 
     def _do(self, method: str, url: str, extra: dict[str, str]):
@@ -196,10 +237,11 @@ class SocketTransport:
         scheme = url.split(":", 1)[0].lower() if "://" in url else "http"
         host = host_path[2]
         path = "/" + (host_path[3] if len(host_path) > 3 else "")
+        ip = self._resolve(host)
         for attempt in (0, 1):
             conn = None
             try:
-                conn = self._connection(scheme)
+                conn = self._connection(scheme, ip)
                 conn.putrequest(method, path, skip_host=True,
                                 skip_accept_encoding=True)
                 conn.putheader("Host", host)
@@ -222,23 +264,23 @@ class SocketTransport:
                     body = r.read(CONTENT_SIZE_LIMIT + 1)
                     if len(body) > CONTENT_SIZE_LIMIT:
                         conn.close()
-                        self._conns.pop(scheme, None)
+                        self._conns.pop((scheme, ip), None)
                 r.read()  # drain (no-op when fully read/closed)
                 return r.status, pairs, {k.lower(): v for k, v in pairs}, body
             except ssl_mod.SSLCertVerificationError as e:
-                self._conns.pop(scheme, None)
+                self._conns.pop((scheme, ip), None)
                 if conn is not None:
                     conn.close()
                 raise TransportTlsError(str(e), verify=True) from e
             except ssl_mod.SSLError as e:
                 # handshake/protocol failures are not keep-alive drops —
                 # never retried, surfaced as the curl TLS error family
-                self._conns.pop(scheme, None)
+                self._conns.pop((scheme, ip), None)
                 if conn is not None:
                     conn.close()
                 raise TransportTlsError(str(e)) from e
             except (http.client.HTTPException, ConnectionError, OSError):
-                self._conns.pop(scheme, None)
+                self._conns.pop((scheme, ip), None)
                 if conn is not None:
                     conn.close()
                 if attempt:
@@ -296,6 +338,9 @@ class SocketTransport:
         while True:
             try:
                 status, pairs, hmap, body = self._do(method, cur, extra)
+            except TransportDnsError:
+                return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, cur,
+                                   "", b"", "Couldn't resolve host name")
             except TransportTlsError as e:
                 if e.verify:
                     return FetchResult(
@@ -370,6 +415,9 @@ class SocketTransport:
         try:
             status, pairs, hmap, body = self._do("GET", url,
                                                  {"X-Robots-Fetch": "1"})
+        except TransportDnsError:
+            return FetchResult(CURLE_COULDNT_RESOLVE_HOST, 0, url, "", b"",
+                               "Couldn't resolve host name")
         except TransportTlsError as e:
             code = (CURLE_PEER_FAILED_VERIFICATION if e.verify
                     else CURLE_SSL_CONNECT_ERROR)

@@ -132,11 +132,13 @@ def test_http_and_https_coexist_on_one_transport(tls_material):
     with FixtureHTTPServer(site, tls_context=server_ctx) as srv:
         t = SocketTransport(srv.addr, ssl_context=client_ctx)
         assert t.request("https://s.test/x").content == b"ok"
-        assert "https" in t._conns and "http" not in t._conns
+        key = ("https", srv.addr[0])
+        assert key in t._conns
+        assert not any(k[0] == "http" for k in t._conns)
         # keep-alive: a second request reuses the TLS session's conn
-        conn = t._conns["https"]
+        conn = t._conns[key]
         assert t.request("https://s.test/x").content == b"ok"
-        assert t._conns["https"] is conn
+        assert t._conns[key] is conn
 
 
 def test_ray_fetch_pool_over_tls(ray_session, tls_material, https_corpus):
