@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                                  # probe==decode pinned in pytest)
         "audio_features": audio.audio_features_pipeline,
         "audio_metadata": audio.audio_metadata,
+        "audio_tags": audio.audio_tags,
         "audio_silence_trim": audio.audio_silence_trim,
         "video_frame_sample": videoops.video_frame_sample,
         "video_dup_groups": videoops.video_dup_groups,
@@ -354,6 +355,7 @@ def oracle_sql() -> dict[str, str]:
         "image_curation_pipeline": imageann.IMAGE_CURATION_SQL,
         "audio_features": audio.AUDIO_FEATURES_SQL,
         "audio_metadata": audio.AUDIO_METADATA_SQL,
+        "audio_tags": audio.AUDIO_TAGS_SQL,
         "audio_silence_trim": audio.AUDIO_SILENCE_TRIM_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
         "video_dup_groups": videoops.VIDEO_DUP_GROUPS_SQL,

@@ -377,3 +377,98 @@ SELECT 'http://aud.test/t/' || CAST(doc_id AS VARCHAR) AS audio_id,
        TRUE AS trim_ok
 FROM p
 """
+
+
+# --- audio tag metadata lifecycle (audiotags.py) --------------------------
+# FLAC rows carry a real VORBIS_COMMENT block inside a real encoded
+# stream; MP3 rows carry an ID3v2.4 tag ahead of real frame headers.
+# Tag values are pure functions of doc_id, mirrored exactly in SQL.
+
+
+def audio_tags(sf_dir: str):
+    """(audio_id, container, title, artist, track, roundtrip_ok,
+    strip_ok) — the audio metadata lifecycle: derive a clip (doc_id%2 →
+    FLAC sine clip / MP3 frame skeleton), SET doc_id-derived tags
+    (VORBIS_COMMENT / ID3v2.4), READ them back with the real parsers,
+    verify tagging is decode/probe-neutral, and verify stripping
+    restores the original bytes byte-identically."""
+    import ray.data as rd
+
+    from ..audiometa import probe_audio, write_mp3_skeleton
+    from ..audiotags import (flac_get_tags, flac_set_tags, flac_strip_tags,
+                             mp3_get_tags, mp3_set_tags, mp3_strip_tags)
+    from ..flac import decode_flac, encode_flac
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def lifecycle(t: pa.Table) -> pa.Table:
+        cols = {k: [] for k in ("audio_id", "container", "title", "artist",
+                                "track", "roundtrip_ok", "strip_ok")}
+        for d in t["doc_id"].to_pylist():
+            k = (d * _KNUTH) % (1 << 32)
+            title = f"Track {d % 97}"
+            artist = f"Artist {d % 11}"
+            track = str(1 + d % 12)
+            if d % 2 == 0:
+                n = SR // 4 + k % (SR // 8)
+                x = np.rint(np.sin(2 * np.pi * (100 + k % 300)
+                                   * np.arange(n) / SR) * 12000) \
+                    .astype(np.int16)
+                base = encode_flac(x, SR)
+                tagged = flac_set_tags(base, {"TITLE": title,
+                                              "ARTIST": artist,
+                                              "TRACKNUMBER": track})
+                got = flac_get_tags(tagged)
+                ok = (got == {"TITLE": title, "ARTIST": artist,
+                              "TRACKNUMBER": track}
+                      and np.array_equal(decode_flac(tagged)[2],
+                                         decode_flac(base)[2])
+                      and probe_audio(tagged).sample_rate == SR)
+                strip_ok = (flac_strip_tags(tagged) == base
+                            and flac_get_tags(base) == {})
+                container = "flac"
+            else:
+                base = write_mp3_skeleton(44100, 128, 8 + d % 8)
+                tagged = mp3_set_tags(base, {"TIT2": title, "TPE1": artist,
+                                             "TRCK": track})
+                got = {"TITLE": mp3_get_tags(tagged).get("TIT2", ""),
+                       "ARTIST": mp3_get_tags(tagged).get("TPE1", ""),
+                       "TRACKNUMBER": mp3_get_tags(tagged).get("TRCK", "")}
+                ok = (got == {"TITLE": title, "ARTIST": artist,
+                              "TRACKNUMBER": track}
+                      and probe_audio(tagged).sample_rate == 44100)
+                strip_ok = (mp3_strip_tags(tagged) == base
+                            and mp3_get_tags(base) == {})
+                container = "mp3"
+            cols["audio_id"].append(f"http://audio.test/d/{d}")
+            cols["container"].append(container)
+            cols["title"].append(got.get("TITLE", ""))
+            cols["artist"].append(got.get("ARTIST", ""))
+            cols["track"].append(got.get("TRACKNUMBER", ""))
+            cols["roundtrip_ok"].append(bool(ok))
+            cols["strip_ok"].append(bool(strip_ok))
+        return pa.table({
+            "audio_id": pa.array(cols["audio_id"], pa.string()),
+            "container": pa.array(cols["container"], pa.string()),
+            "title": pa.array(cols["title"], pa.string()),
+            "artist": pa.array(cols["artist"], pa.string()),
+            "track": pa.array(cols["track"], pa.string()),
+            "roundtrip_ok": pa.array(cols["roundtrip_ok"], pa.bool_()),
+            "strip_ok": pa.array(cols["strip_ok"], pa.bool_()),
+        })
+
+    return ds.map_batches(lifecycle, batch_format="pyarrow",
+                          batch_size=128)
+
+
+AUDIO_TAGS_SQL = """
+SELECT 'http://audio.test/d/' || CAST(doc_id AS VARCHAR) AS audio_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'mp3' END AS container,
+       'Track ' || CAST(doc_id % 97 AS VARCHAR) AS title,
+       'Artist ' || CAST(doc_id % 11 AS VARCHAR) AS artist,
+       CAST(1 + doc_id % 12 AS VARCHAR) AS track,
+       TRUE AS roundtrip_ok,
+       TRUE AS strip_ok
+FROM documents
+"""
