@@ -214,6 +214,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_metadata": videoops.video_metadata,
         # --- crawl operators over derived URLs ---
         "url_canonicalize": urlops.url_canonicalize,
+        "url_features": urlops.url_features,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
         "robots_filter": urlops.robots_filter,
         "anchor_text_agg": urlops.anchor_text_agg,
@@ -362,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "video_scene_cuts": videoops.VIDEO_SCENE_CUTS_SQL,
         "video_metadata": videoops.VIDEO_METADATA_SQL,
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
+        "url_features": urlops.URL_FEATURES_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
         "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
         "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,

@@ -939,3 +939,60 @@ SELECT 'src' || CAST(k AS VARCHAR) || '.example.com' AS host,
 FROM h
 ORDER BY host
 """
+
+
+def url_features(sf_dir: str):
+    """(doc_id, host, depth, path_len, n_params, n_digits) — frontier
+    prioritization features computed by the REAL URL parser (urlcanon
+    Url: host, path segmentation, query split) over derived URLs with
+    doc-varying shape (depth = 1 + doc_id%4 segments, 0-2 query params).
+    The oracle recomputes every feature arithmetically from doc_id, so
+    a parser regression in path/query handling breaks the value hash —
+    the SEO/spam-feature leg a crawl scheduler ranks on."""
+    from ..urlcanon import Url
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "source"])
+
+    def run(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        k = df["source"].str.slice(3)
+        d = df["doc_id"]
+        seg = (d % 4).map(lambda n: "s/" * int(n))
+        q = (d % 3).map({0: "", 1: "?a=1", 2: "?a=1&b=2"})
+        urls = ("http://src" + k + ".example.com/" + seg
+                + "p" + d.astype(str) + q)
+        hosts, depths, plens, nparams, ndigits = [], [], [], [], []
+        for u in urls:
+            parsed = Url(u).normalize()
+            path = parsed.path.get()
+            segs = [s for s in path.split("/") if s]
+            query = parsed.query
+            hosts.append(parsed.host)
+            depths.append(len(segs))
+            plens.append(len(path))
+            nparams.append(len([p for p in query.split("&") if p])
+                           if query else 0)
+            ndigits.append(sum(c.isdigit() for c in segs[-1])
+                           if segs else 0)
+        return pa.table({
+            "doc_id": pa.array(df["doc_id"], pa.int64()),
+            "host": pa.array(hosts, pa.string()),
+            "depth": pa.array(depths, pa.int64()),
+            "path_len": pa.array(plens, pa.int64()),
+            "n_params": pa.array(nparams, pa.int64()),
+            "n_digits": pa.array(ndigits, pa.int64()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+URL_FEATURES_SQL = """
+SELECT doc_id,
+       'src' || substr(source, 4) || '.example.com' AS host,
+       1 + doc_id % 4 AS depth,
+       2 + 2 * (doc_id % 4) + length(CAST(doc_id AS VARCHAR)) AS path_len,
+       doc_id % 3 AS n_params,
+       length(CAST(doc_id AS VARCHAR)) AS n_digits
+FROM documents
+"""
