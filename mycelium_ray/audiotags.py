@@ -142,6 +142,8 @@ def _syncsafe(n: int) -> bytes:
 
 
 def _unsyncsafe(b: bytes) -> int:
+    if len(b) < 4:
+        raise AudioTagError("truncated syncsafe size")
     return (b[0] & 0x7F) << 21 | (b[1] & 0x7F) << 14 \
         | (b[2] & 0x7F) << 7 | (b[3] & 0x7F)
 
@@ -168,6 +170,8 @@ def id3_parse(data: bytes) -> dict[str, str]:
     end = 10 + size
     pos = 10
     if data[5] & 0x40:  # extended header present: skip it
+        if len(data) < 14:
+            raise AudioTagError("truncated extended header")
         if ver == 4:
             pos += _unsyncsafe(data[10:14])
         else:
@@ -177,6 +181,9 @@ def id3_parse(data: bytes) -> dict[str, str]:
         fid = data[pos:pos + 4]
         if fid == b"\x00\x00\x00\x00":
             break  # padding
+        if not all(0x30 <= c <= 0x5A and (c <= 0x39 or c >= 0x41)
+                   for c in fid):
+            raise AudioTagError(f"bad frame id bytes {fid!r}")
         raw_sz = data[pos + 4:pos + 8]
         sz = _unsyncsafe(raw_sz) if ver == 4 \
             else struct.unpack(">I", raw_sz)[0]

@@ -173,29 +173,33 @@ def parse_exif_block(tiffdata: bytes) -> dict:
         eb = ">"
     else:
         raise ExifError("bad Exif TIFF header")
+    # a fuzzed/corrupt block can put ANY type behind any tag (an ASCII
+    # string where a LONG belongs, a rational where a SHORT belongs) —
+    # every coercion failure is a malformed block, not a crash
     try:
         ifd0 = _read_ifd(tiffdata, eb)
         sub = {}
         if _EXIF_IFD in ifd0:
             sub = _read_ifd(tiffdata, eb, int(ifd0[_EXIF_IFD][0]))
-    except TiffError as e:
-        raise ExifError(str(e)) from e
-    out = {}
-    if _MAKE in ifd0:
-        out["make"] = ifd0[_MAKE][0]
-    if _MODEL in ifd0:
-        out["model"] = ifd0[_MODEL][0]
-    if _ORIENT in ifd0:
-        out["orientation"] = int(ifd0[_ORIENT][0])
-    if _DATETIME in ifd0:
-        out["datetime"] = ifd0[_DATETIME][0]
-    if _DT_ORIGINAL in sub:
-        out["datetime_original"] = sub[_DT_ORIGINAL][0]
-    if _PIX_X in sub:
-        out["pixel_w"] = int(sub[_PIX_X][0])
-    if _PIX_Y in sub:
-        out["pixel_h"] = int(sub[_PIX_Y][0])
-    return out
+        out = {}
+        if _MAKE in ifd0:
+            out["make"] = str(ifd0[_MAKE][0])
+        if _MODEL in ifd0:
+            out["model"] = str(ifd0[_MODEL][0])
+        if _ORIENT in ifd0:
+            out["orientation"] = int(ifd0[_ORIENT][0])
+        if _DATETIME in ifd0:
+            out["datetime"] = str(ifd0[_DATETIME][0])
+        if _DT_ORIGINAL in sub:
+            out["datetime_original"] = str(sub[_DT_ORIGINAL][0])
+        if _PIX_X in sub:
+            out["pixel_w"] = int(sub[_PIX_X][0])
+        if _PIX_Y in sub:
+            out["pixel_h"] = int(sub[_PIX_Y][0])
+        return out
+    except (TiffError, ValueError, TypeError, IndexError,
+            struct.error) as e:
+        raise ExifError(f"malformed Exif block: {e}") from e
 
 
 def strip_exif_jpeg(jpeg: bytes) -> bytes:

@@ -350,8 +350,11 @@ def png_text_chunks(data: bytes) -> dict[str, str]:
             kw, _, rest = body.partition(b"\x00")
             if not rest or rest[0] != 0:
                 raise ImageDecodeError("zTXt: unknown compression method")
-            out[kw.decode("latin-1")] = zlib.decompress(rest[1:]) \
-                .decode("latin-1")
+            try:
+                txt = zlib.decompress(rest[1:])
+            except zlib.error as e:
+                raise ImageDecodeError(f"zTXt: corrupt deflate: {e}") from e
+            out[kw.decode("latin-1")] = txt.decode("latin-1")
         elif ctype == b"iTXt":
             kw, _, rest = body.partition(b"\x00")
             if len(rest) < 2:
@@ -363,8 +366,15 @@ def png_text_chunks(data: bytes) -> dict[str, str]:
             if compressed:
                 if method != 0:
                     raise ImageDecodeError("iTXt: unknown compression method")
-                txt = zlib.decompress(txt)
-            out[kw.decode("latin-1")] = txt.decode("utf-8")
+                try:
+                    txt = zlib.decompress(txt)
+                except zlib.error as e:
+                    raise ImageDecodeError(
+                        f"iTXt: corrupt deflate: {e}") from e
+            try:
+                out[kw.decode("latin-1")] = txt.decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise ImageDecodeError(f"iTXt: bad utf-8: {e}") from e
         elif ctype == b"IEND":
             break
         pos += 12 + length

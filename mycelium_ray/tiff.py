@@ -223,6 +223,8 @@ def _read_ifd(data: bytes, eb: str, off: int | None = None):
     """Parse one IFD into {tag: [values]}. ``off`` names an explicit IFD
     offset (Exif sub-IFDs — exif.py); None reads it from the TIFF header."""
     if off is None:
+        if len(data) < 8:
+            raise TiffError("truncated TIFF header")
         (off,) = struct.unpack(eb + "I", data[4:8])
     if off + 2 > len(data):
         raise TiffError("IFD offset out of range")
@@ -230,8 +232,10 @@ def _read_ifd(data: bytes, eb: str, off: int | None = None):
     tags: dict[int, list] = {}
     for k in range(n):
         e = off + 2 + 12 * k
+        if e + 12 > len(data):
+            raise TiffError("IFD entry overruns file")
         tag, typ, cnt = struct.unpack(eb + "HHI", data[e:e + 8])
-        if typ not in _TYPE_SIZE:
+        if typ not in _TYPE_SIZE or cnt == 0:
             continue
         size = _TYPE_SIZE[typ] * cnt
         if size <= 4:
@@ -266,19 +270,25 @@ def decode_tiff(data: bytes) -> np.ndarray:
         raise TiffError("not a TIFF (bad byte-order header)")
     tags = _read_ifd(data, eb)
     try:
-        w = tags[_W][0]
-        h = tags[_H][0]
-        offs = tags[_STRIP_OFF]
-        cnts = tags[_STRIP_CNT]
+        # int() coercions: a corrupt IFD can put an ASCII or RATIONAL
+        # value behind any tag — that's a malformed file, not a crash
+        w = int(tags[_W][0])
+        h = int(tags[_H][0])
+        offs = [int(v) for v in tags[_STRIP_OFF]]
+        cnts = [int(v) for v in tags[_STRIP_CNT]]
+        spp = int(tags.get(_SPP, [1])[0])
+        bits = [int(v) for v in tags.get(_BITS, [8] * max(spp, 1))]
+        comp = int(tags.get(_COMP, [1])[0])
+        photo = int(tags.get(_PHOTO, [1])[0])
+        pred = int(tags.get(_PREDICTOR, [1])[0])
+        planar = int(tags.get(_PLANAR, [1])[0])
+        rps = int(tags.get(_ROWS_PER_STRIP, [h])[0])
     except KeyError as e:
         raise TiffError(f"missing required tag {e}") from e
-    spp = tags.get(_SPP, [1])[0]
-    bits = tags.get(_BITS, [8] * spp)
-    comp = tags.get(_COMP, [1])[0]
-    photo = tags.get(_PHOTO, [1])[0]
-    pred = tags.get(_PREDICTOR, [1])[0]
-    planar = tags.get(_PLANAR, [1])[0]
-    rps = tags.get(_ROWS_PER_STRIP, [h])[0]
+    except (ValueError, TypeError) as e:
+        raise TiffError(f"malformed tag value: {e}") from e
+    if w <= 0 or h <= 0 or rps <= 0:
+        raise TiffError("non-positive dimensions")
     if planar != 1:
         raise TiffError("planar configuration 2 unsupported")
     if any(b != 8 for b in bits):
@@ -319,6 +329,8 @@ def decode_tiff(data: bytes) -> np.ndarray:
         elif pred != 1:
             raise TiffError(f"predictor {pred} unsupported")
         raw += arr.tobytes()
+    if len(raw) != h * row_bytes:
+        raise TiffError("strip data does not cover the image")
     px = np.frombuffer(bytes(raw), np.uint8)
     if spp == 3:
         return px.reshape(h, w, 3).copy()
@@ -427,5 +439,5 @@ def probe_tiff_meta(data: bytes) -> tuple[int, int]:
     tags = _read_ifd(data, eb)
     try:
         return int(tags[_W][0]), int(tags[_H][0])
-    except KeyError as e:
-        raise TiffError("TIFF missing dimension tags") from e
+    except (KeyError, ValueError, TypeError) as e:
+        raise TiffError("TIFF missing/malformed dimension tags") from e

@@ -1,0 +1,109 @@
+"""Seeded mutation fuzz over every round-4 parser: corrupt bytes in a
+crawl must surface as the module's typed error (becoming a decode_ok /
+error row in the pipeline), NEVER as a raw struct.error / IndexError /
+UnicodeDecodeError / zlib.error that would kill a map task. The same
+harness at 15-30k mutations ran leak-free during development; this
+seeded slice pins the fixes (IFD bounds, tag type coercions, syncsafe
+guards, deflate wrapping)."""
+
+import random
+
+import numpy as np
+import pytest
+
+from mycelium_ray.audiotags import (AudioTagError, flac_get_tags,
+                                    flac_set_tags, id3_build, id3_parse)
+from mycelium_ray.bmp import BmpError, decode_bmp, encode_bmp
+from mycelium_ray.dnsfixture import (DnsError, encode_response, parse_query,
+                                     parse_response)
+from mycelium_ray.exif import (ExifError, build_exif, extract_exif_jpeg,
+                               insert_exif_jpeg, parse_exif_block)
+from mycelium_ray.flac import encode_flac
+from mycelium_ray.imaging import (ImageDecodeError, encode_image, encode_png,
+                                  insert_png_text, png_text_chunks)
+from mycelium_ray.tiff import TiffError, decode_tiff, encode_tiff, \
+    probe_tiff_meta
+
+PX = np.random.default_rng(0).integers(0, 256, (12, 15, 3), dtype=np.uint8)
+N = 1500
+
+
+def _mutations(base: bytes, seed: int):
+    rng = random.Random(seed)
+    for _ in range(N):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            op = rng.random()
+            if op < 0.5 and len(b) > 1:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.8 and len(b) > 4:
+                lo = rng.randrange(len(b) - 2)
+                del b[lo:rng.randrange(lo, len(b) - 1) + 1]
+            else:
+                b[rng.randrange(len(b)):][:0] = bytes([rng.randrange(256)])
+        yield bytes(b)
+
+
+def _assert_typed(fn, base, errtypes, seed):
+    for blob in _mutations(base, seed):
+        try:
+            fn(blob)
+        except errtypes:
+            pass
+        # anything else propagates and fails the test with the real error
+
+
+def test_tiff_decode_fuzz():
+    _assert_typed(decode_tiff, encode_tiff(PX), (TiffError,), 11)
+
+
+def test_tiff_probe_fuzz():
+    _assert_typed(probe_tiff_meta, encode_tiff(PX), (TiffError,), 12)
+
+
+def test_bmp_fuzz():
+    _assert_typed(decode_bmp, encode_bmp(PX), (BmpError,), 13)
+
+
+def test_exif_block_fuzz():
+    base = build_exif(make="M", model="X", orientation=6,
+                      datetime="2026:01:01 00:00:00",
+                      pixel_w=3, pixel_h=4)[6:]
+    _assert_typed(parse_exif_block, base, (ExifError,), 14)
+
+
+def test_exif_jpeg_fuzz():
+    base = insert_exif_jpeg(encode_image(PX, "jpeg"),
+                            build_exif(orientation=3))
+    _assert_typed(extract_exif_jpeg, base, (ExifError,), 15)
+
+
+def test_flac_tags_fuzz():
+    base = flac_set_tags(encode_flac(np.zeros(500, np.int16), 8000),
+                         {"TITLE": "x"})
+    _assert_typed(flac_get_tags, base, (AudioTagError,), 16)
+
+
+def test_id3_fuzz():
+    _assert_typed(id3_parse, id3_build({"TIT2": "abc", "TPE1": "def"}),
+                  (AudioTagError,), 17)
+
+
+def test_dns_response_fuzz():
+    base = encode_response(7, "a.test", 1, ["1.2.3.4"])
+    _assert_typed(lambda b: parse_response(b, 7, "a.test"), base,
+                  (DnsError,), 18)
+
+
+def test_dns_query_fuzz():
+    base = (b"\x00\x07\x01\x00\x00\x01\x00\x00\x00\x00\x00\x00"
+            b"\x01a\x04test\x00\x00\x01\x00\x01")
+    _assert_typed(parse_query, base, (DnsError,), 19)
+
+
+@pytest.mark.parametrize("kind", ["tEXt", "zTXt", "iTXt"])
+def test_png_text_fuzz(kind):
+    base = insert_png_text(encode_png(PX),
+                           {"K": "value☃" if kind == "iTXt" else "value"},
+                           kind)
+    _assert_typed(png_text_chunks, base, (ImageDecodeError,), 20)
