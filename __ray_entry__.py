@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frontier_order": urlops.frontier_order,       # rows-only (stateful)
         "warc_roundtrip": warcops.warc_roundtrip,
         "warc_cdx": warcops.warc_cdx,
+        "warc_revisit": warcops.warc_revisit,
         "sitemap_ingest": urlops.sitemap_ingest,
         "recrawl_schedule": urlops.recrawl_schedule,
         "redirect_resolve": urlops.redirect_resolve,
@@ -368,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
         "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,
         "warc_cdx": warcops.WARC_CDX_SQL,
+        "warc_revisit": warcops.WARC_REVISIT_SQL,
         "sitemap_ingest": urlops.SITEMAP_INGEST_SQL,
         "recrawl_schedule": urlops.RECRAWL_SCHEDULE_SQL,
         "redirect_resolve": urlops.REDIRECT_RESOLVE_SQL,

@@ -28,7 +28,8 @@ import pyarrow as pa
 
 import ray.data as rd
 
-from ..warc import (build_record, gzip_member, read_warc_gz, warc_date)
+from ..warc import (build_record, gzip_member, payload_digest, read_warc_gz,
+                    record_id, warc_date)
 
 N_WARC_SHARDS = 16
 
@@ -273,3 +274,170 @@ WITH u AS (
 SELECT surt, rec_type, doc_id
 FROM u, (VALUES ('resource'), ('metadata')) AS t(rec_type)
 """
+
+
+# --------------------------------------------------------------------------
+# WARC revisit dedup (ISO 28500 / WARC 1.1 revisit records,
+# identical-payload-digest profile) — archive-level dedup: the first
+# occurrence of each payload digest is stored as a full ``resource``
+# record; every later occurrence becomes a payload-less ``revisit``
+# record pointing at it (WARC-Refers-To* headers). At 100 TB this is the
+# storage story for a recrawl archive: duplicates cost ~300 bytes, not
+# an image.
+# --------------------------------------------------------------------------
+_REVISIT_PROFILE = "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest"
+
+
+def _derive_dedup_rows(batch: pa.Table) -> pa.Table:
+    t = _derive_warc_rows(batch)
+    digests = [payload_digest(v.as_py()) for v in t["image"]]
+    return t.append_column("digest", pa.array(digests, pa.string()))
+
+
+def write_warc_dedup(sf_dir: str, out_dir: str) -> None:
+    """Pack with dedup: groupby payload DIGEST (true content identity,
+    one dedup-shaped shuffle — the dedup_exact pattern) attaches each
+    row's original (min doc_id of its digest group, plus that row's
+    url/date for the Refers-To headers); then groupby shard packs
+    members, originals full, duplicates as revisit records."""
+    os.makedirs(out_dir, exist_ok=True)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(_derive_dedup_rows, batch_format="pyarrow",
+                        batch_size=256)
+
+    def attach_orig(g):
+        i = g["doc_id"].idxmin()
+        g = g.assign(orig_doc=int(g["doc_id"].min()),
+                     orig_url=g["canon_url"][i],
+                     orig_date=g["date"][i])
+        return g
+
+    ds = ds.groupby("digest").map_groups(attach_orig, batch_format="pandas")
+
+    def pack_and_publish(g) -> pa.Table:
+        s = int(g["shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{s:05d}.warc.gz")
+        if not os.path.exists(path):
+            g = g.sort_values("doc_id")
+            out = [gzip_member(build_record(
+                "warcinfo",
+                (f"software: mycelium-ray\r\nformat: WARC File Format "
+                 f"1.1\r\nn-documents: {len(g)}\r\n").encode(),
+                date=warc_date(_DATE_BASE),
+                content_type="application/warc-fields"))]
+            for r in g.itertuples(index=False):
+                if r.doc_id == r.orig_doc:
+                    img_rec = build_record(
+                        "resource", bytes(r.image), target_uri=r.canon_url,
+                        date=r.date, content_type=f"image/{r.fmt}")
+                else:
+                    orig_rid = record_id("resource", r.orig_url, r.digest)
+                    img_rec = build_record(
+                        "revisit", b"", target_uri=r.canon_url,
+                        date=r.date, digest=r.digest,
+                        content_type="application/octet-stream",
+                        extra=[("WARC-Profile", _REVISIT_PROFILE),
+                               ("WARC-Refers-To", f"<{orig_rid}>"),
+                               ("WARC-Refers-To-Target-URI", r.orig_url),
+                               ("WARC-Refers-To-Date", r.orig_date)])
+                cap_rec = build_record(
+                    "metadata", (r.caption or "").encode("utf-8"),
+                    target_uri=r.canon_url, date=r.date,
+                    content_type="text/plain; charset=utf-8")
+                out.append(gzip_member(img_rec))
+                out.append(gzip_member(cap_rec))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(b"".join(out))
+            os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    ds.groupby("shard").map_groups(pack_and_publish,
+                                   batch_format="pandas").materialize()
+
+
+def _warc_dedup_dir(sf_dir: str) -> str:
+    return ("/tmp/mycelium_warc_dedup_"
+            + os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _ensure_dedup_written(sf_dir: str) -> str:
+    out_dir = _warc_dedup_dir(sf_dir)
+    done = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(done):
+        write_warc_dedup(sf_dir, out_dir)
+        with open(done, "w") as f:
+            f.write("ok\n")
+    return out_dir
+
+
+def warc_revisit(sf_dir: str):
+    """(doc_id, rec_type, refers_to_doc, digest_ok, stored_bytes_zero) —
+    pack the corpus with revisit dedup, read the shards BACK through the
+    verifying parser, and check the dedup graph end-to-end: every
+    duplicate row is a revisit record whose Refers-To-Target-URI names
+    the group's first document; a digest join original↔revisit (payload
+    digests only, no image bytes) verifies the identical-payload-digest
+    contract. The oracle recomputes rec_type and refers_to_doc from the
+    corpus's content-identity rule (planted dup groups + exact-text
+    duplicates — the same rule every phash/dedup oracle uses)."""
+    out_dir = _ensure_dedup_written(sf_dir)
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        ids, types, refs, digs, zeros = [], [], [], [], []
+        for blob in batch["bytes"].to_pylist():
+            for _o, _l, headers, payload in read_warc_gz(bytes(blob)):
+                t = headers["WARC-Type"]
+                if t not in ("resource", "revisit"):
+                    continue
+                d = _doc_id_of(headers["WARC-Target-URI"])
+                ids.append(d)
+                types.append(t)
+                refs.append(_doc_id_of(headers["WARC-Refers-To-Target-URI"])
+                            if t == "revisit" else d)
+                digs.append(headers["WARC-Payload-Digest"])
+                zeros.append(len(payload) == 0 if t == "revisit" else True)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "rec_type": pa.array(types, pa.string()),
+            "refers_to_doc": pa.array(refs, pa.int64()),
+            "digest": pa.array(digs, pa.string()),
+            "stored_bytes_zero": pa.array(zeros, pa.bool_()),
+        })
+
+    parsed = _read_raw_shards(out_dir).map_batches(
+        parse_shard, batch_format="pyarrow", batch_size=1)
+
+    def check_group(g):
+        orig = g[g["doc_id"] == g["refers_to_doc"]]
+        odig = orig["digest"].iloc[0] if len(orig) else None
+        return g.assign(digest_ok=(g["digest"] == odig)
+                        if odig is not None else False)
+
+    out = parsed.groupby("refers_to_doc").map_groups(
+        check_group, batch_format="pandas")
+    return out.drop_columns(["digest"])
+
+
+def _warc_revisit_sql() -> str:
+    from .flagship import DUP_EVERY, DUP_GROUPS
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DUP_EVERY} = 0
+              THEN 'dup:' || CAST(doc_id % {DUP_GROUPS} AS VARCHAR)
+              ELSE 'txt:' || coalesce(text, '') END AS ckey
+  FROM documents),
+m AS (SELECT ckey, min(doc_id) AS orig FROM g GROUP BY ckey)
+SELECT g.doc_id,
+       CASE WHEN g.doc_id = m.orig THEN 'resource'
+            ELSE 'revisit' END AS rec_type,
+       m.orig AS refers_to_doc,
+       TRUE AS digest_ok,
+       TRUE AS stored_bytes_zero
+FROM g JOIN m USING (ckey)
+"""
+
+
+WARC_REVISIT_SQL = _warc_revisit_sql()

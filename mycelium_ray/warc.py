@@ -64,10 +64,15 @@ def build_record(rec_type: str, payload: bytes, *,
                  target_uri: str | None = None,
                  date: str,
                  content_type: str,
-                 extra: list[tuple[str, str]] | None = None) -> bytes:
+                 extra: list[tuple[str, str]] | None = None,
+                 digest: str | None = None) -> bytes:
     """Serialize ONE uncompressed WARC/1.1 record (header block +
-    payload + the spec's two trailing CRLFs)."""
-    digest = payload_digest(payload)
+    payload + the spec's two trailing CRLFs). ``digest`` overrides the
+    computed WARC-Payload-Digest — a ``revisit`` record stores NO
+    payload but still declares the digest of the deduplicated one
+    (identical-payload-digest profile)."""
+    if digest is None:
+        digest = payload_digest(payload)
     rid = record_id(rec_type, target_uri or "", digest)
     headers: list[tuple[str, str]] = [
         ("WARC-Type", rec_type),
@@ -114,7 +119,11 @@ def parse_record(raw: bytes) -> tuple[dict[str, str], bytes]:
     if raw[sep + 4 + n:sep + 4 + n + 4] != CRLF + CRLF:
         raise ValueError("warc: missing record trailer")
     want = headers.get("WARC-Payload-Digest")
-    if want and payload_digest(payload) != want:
+    # a revisit record declares the digest of the payload it does NOT
+    # store (identical-payload-digest profile) — nothing to verify here;
+    # the dedup reader checks it against the referred-to record instead
+    if want and headers.get("WARC-Type") != "revisit" \
+            and payload_digest(payload) != want:
         raise ValueError("warc: payload digest mismatch")
     return headers, payload
 

@@ -151,3 +151,52 @@ def test_warc_resume_skips_finished_shards(warc_dir):
     warcops._ensure_written(SF)
     with open(p, "rb") as f:
         assert f.read() == bytes_before
+
+
+def test_revisit_dedup_pack(ray_session, tmp_path):
+    """Revisit-dedup archive semantics beyond the oracle: duplicate
+    payloads are stored ONCE — revisit members carry zero payload bytes
+    but declare the original's digest, Refers-To names a real stored
+    record, and the deduped shard set is strictly smaller than the full
+    pack of the same corpus."""
+    import os
+
+    from mycelium_ray.pipelines import warcops
+    from mycelium_ray.warc import read_warc_gz, record_id
+
+    sf = "/root/testdata/sf0.001"
+    full_dir = warcops._ensure_written(sf)
+    dd_dir = str(tmp_path / "dedup")
+    warcops.write_warc_dedup(sf, dd_dir)
+
+    def total(d):
+        return sum(os.path.getsize(os.path.join(d, f))
+                   for f in os.listdir(d) if f.endswith(".warc.gz"))
+
+    assert total(dd_dir) < total(full_dir)
+
+    # collect all records across shards
+    stored = {}    # digest -> (rid, uri)
+    revisits = []
+    for f in sorted(os.listdir(dd_dir)):
+        if not f.endswith(".warc.gz"):
+            continue
+        with open(os.path.join(dd_dir, f), "rb") as fh:
+            for _o, _l, h, payload in read_warc_gz(fh.read()):
+                if h["WARC-Type"] == "resource":
+                    stored[h["WARC-Payload-Digest"]] = (
+                        h["WARC-Record-ID"], h["WARC-Target-URI"])
+                elif h["WARC-Type"] == "revisit":
+                    assert payload == b""
+                    assert "identical-payload-digest" in h["WARC-Profile"]
+                    revisits.append(h)
+    assert revisits, "corpus must contain planted duplicates"
+    for h in revisits:
+        dig = h["WARC-Payload-Digest"]
+        assert dig in stored, "revisit points at an unstored digest"
+        rid, uri = stored[dig]
+        assert h["WARC-Refers-To"] == rid
+        assert h["WARC-Refers-To-Target-URI"] == uri
+        # Refers-To id is recomputable from (uri, digest) — the
+        # deterministic-record-id contract
+        assert rid == f'<{record_id("resource", uri, dig)}>'
