@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_exif as _image_exif,
         image_png_text as _image_png_text,
         image_ssim as _image_ssim,
+        image_rot_invariant as _image_rot_invariant,
         image_autorotate as _image_autorotate,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
@@ -191,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_exif": _image_exif,
         "image_png_text": _image_png_text,
         "image_ssim": _image_ssim,
+        "image_rot_invariant": _image_rot_invariant,
         "image_autorotate": _image_autorotate,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
@@ -347,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
         "image_exif": flagship.IMAGE_EXIF_SQL,
         "image_png_text": flagship.IMAGE_PNG_TEXT_SQL,
         "image_ssim": flagship.IMAGE_SSIM_SQL,
+        "image_rot_invariant": flagship.IMAGE_ROT_INVARIANT_SQL,
         "image_autorotate": flagship.IMAGE_AUTOROTATE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

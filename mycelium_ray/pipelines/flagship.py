@@ -981,3 +981,72 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS jpeg_band_ok
 FROM documents
 """
+
+
+ROT_MOD = 30
+ROT_RES = 11
+
+
+def rot_canonical_phash(px: np.ndarray) -> int:
+    """Rotation-canonical perceptual hash: min of phash64 over the four
+    90-degree orientations — rotated duplicates collide, which plain
+    phash cannot do (a 90-degree rotation permutes the 8x8 mean grid)."""
+    from ..imaging import phash64
+    return min(phash64(np.rot90(px, k)) for k in range(4))
+
+
+def image_rot_invariant(sf_dir: str):
+    """(image_id, planted, canon_invariant_ok, plain_phash_changed) —
+    rotated-duplicate robustness end-to-end: doc_id % 30 == 11 rows are
+    re-encoded as a 90/180/270-degree rotation of their own pixels (real
+    codec bytes both ways); the rotation-canonical hash must be
+    IDENTICAL across the rotation while the plain phash must differ
+    (random-noise content: P[rot-invariant bit pattern] ~ 2^-48). The
+    oracle pins the planted class and both invariants per row."""
+    from ..imaging import decode_image, encode_image, phash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        dids = t["doc_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        oid, opl, oinv, ochg = [], [], [], []
+        for iid, d, data in zip(ids, dids, blobs):
+            px, fmt = decode_image(data)
+            planted = d % ROT_MOD == ROT_RES
+            if planted:
+                rot = np.rot90(px, 1 + d % 3)
+                # lossless wire round trip for the rotated variant so
+                # both hashes see real codec bytes
+                rot, _ = decode_image(encode_image(
+                    np.ascontiguousarray(rot), "png"))
+                oinv.append(rot_canonical_phash(rot)
+                            == rot_canonical_phash(px))
+                ochg.append(phash64(rot) != phash64(px))
+            else:
+                oinv.append(rot_canonical_phash(px)
+                            == rot_canonical_phash(px.copy()))
+                ochg.append(True)
+            oid.append(iid)
+            opl.append(planted)
+        return pa.table({
+            "image_id": pa.array(oid, pa.string()),
+            "planted": pa.array(opl, pa.bool_()),
+            "canon_invariant_ok": pa.array(oinv, pa.bool_()),
+            "plain_phash_changed": pa.array(ochg, pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=128)
+
+
+IMAGE_ROT_INVARIANT_SQL = f"""
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       doc_id % {ROT_MOD} = {ROT_RES} AS planted,
+       TRUE AS canon_invariant_ok,
+       TRUE AS plain_phash_changed
+FROM documents
+"""

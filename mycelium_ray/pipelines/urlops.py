@@ -313,7 +313,7 @@ def sitemap_ingest(sf_dir: str):
     """
     import datetime
 
-    from ..sitemap import build_urlset, parse_sitemap
+    from ..sitemap import build_urlset, build_urlset_gz, parse_sitemap_auto
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source"])
@@ -327,9 +327,12 @@ def sitemap_ingest(sf_dir: str):
             raw = (f"HTTP://Src{k}.Example.COM/docs/../d/{d}/%61sset.png")
             lastmod = (base + datetime.timedelta(days=d % 365)).isoformat()
             entries.append((raw, lastmod, (d % 10 + 1) / 10))
-        xml = build_urlset(entries)
-
-        kind, recs = parse_sitemap(xml)
+        # half the hosts publish sitemap.xml.gz (sniffed by magic on
+        # the parse side) — same parsed records, so the oracle is
+        # wire-format-independent, as it should be
+        wire = (build_urlset_gz(entries) if len(k) % 2 == 0 or k[-1] in
+                "02468" else build_urlset(entries))
+        kind, recs = parse_sitemap_auto(wire)
         assert kind == "urlset"
         locs = pa.table({"url": pa.array([r["loc"] for r in recs],
                                          pa.string())})

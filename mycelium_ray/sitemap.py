@@ -86,3 +86,34 @@ def parse_sitemap(xml: bytes) -> tuple[str, list[dict]]:
             rec = {"loc": rec["loc"]}
         entries.append(rec)
     return kind, entries
+
+
+_GZ_MAGIC = b"\x1f\x8b"
+# sitemaps.org caps an uncompressed sitemap at 50 MB; use it as the
+# decompression-bomb guard on the gz path
+_MAX_SITEMAP_BYTES = 50 * 1024 * 1024
+
+
+def build_urlset_gz(entries) -> bytes:
+    """Gzipped urlset (the ``sitemap.xml.gz`` convention; deterministic:
+    mtime=0)."""
+    import gzip
+    return gzip.compress(build_urlset(entries), compresslevel=6, mtime=0)
+
+
+def parse_sitemap_auto(data: bytes) -> tuple[str, list[dict]]:
+    """parse_sitemap over either plain XML or a gzipped sitemap
+    (``.xml.gz`` — sniffed by magic, not filename, like a crawler must).
+    Bounded inflate: a member claiming more than the spec's 50 MB
+    uncompressed cap is rejected, not inflated."""
+    if data[:2] == _GZ_MAGIC:
+        import zlib
+        d = zlib.decompressobj(wbits=31)
+        try:
+            xml = d.decompress(data, _MAX_SITEMAP_BYTES + 1)
+        except zlib.error as e:
+            raise ValueError(f"sitemap: corrupt gzip: {e}") from e
+        if len(xml) > _MAX_SITEMAP_BYTES or d.unconsumed_tail:
+            raise ValueError("sitemap: exceeds the 50 MB uncompressed cap")
+        data = xml
+    return parse_sitemap(data)

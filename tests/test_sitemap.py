@@ -73,3 +73,29 @@ def test_sitemap_ingest_pipeline(ray_session):
     assert (got["canon_url"] ==
             "http://src3.example.com/d/" + got["doc_id"].astype(str)
             + "/asset.png").all()
+
+
+def test_gzip_sitemap_parse_auto():
+    from mycelium_ray.sitemap import (build_urlset, build_urlset_gz,
+                                      parse_sitemap_auto)
+    e = [("http://a.test/x", "2020-01-01", 0.5),
+         ("http://a.test/y?a=1&b=2", None, None)]
+    plain = parse_sitemap_auto(build_urlset(e))
+    gz = parse_sitemap_auto(build_urlset_gz(e))
+    assert plain == gz and plain[0] == "urlset" and len(plain[1]) == 2
+
+
+def test_gzip_sitemap_corrupt_and_bomb_rejected():
+    import gzip
+
+    import pytest
+
+    from mycelium_ray.sitemap import build_urlset_gz, parse_sitemap_auto
+    blob = build_urlset_gz([("http://a.test/x", None, None)])
+    with pytest.raises(ValueError, match="corrupt gzip"):
+        parse_sitemap_auto(blob[:10] + b"\x00\x00" + blob[12:])
+    # a 60 MB-of-zeros member must be rejected by the 50 MB cap,
+    # without inflating past it
+    bomb = gzip.compress(b"\x00" * (60 * 1024 * 1024), 9, mtime=0)
+    with pytest.raises(ValueError, match="50 MB"):
+        parse_sitemap_auto(bomb)
