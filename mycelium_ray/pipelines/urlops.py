@@ -999,3 +999,56 @@ SELECT doc_id,
        length(CAST(doc_id AS VARCHAR)) AS n_digits
 FROM documents
 """
+
+
+_RFC9309_ROBOTS = """User-agent: *
+Disallow: /*.tmp$
+Disallow: /d/1*
+Allow: /d/1*0.png
+"""
+
+
+def robots_rfc9309(sf_dir: str):
+    """(doc_id, path, rfc_allowed, ref_allowed) — RFC 9309 wildcard
+    matching (longest rule wins, Allow wins ties, ``*``/``$``) over the
+    real parser, per-doc paths against a wildcard ruleset. The oracle
+    recomputes the RFC verdict arithmetically (odd docs are *.tmp →
+    denied by the anchored wildcard; docs starting with '1' are denied
+    by /d/1* unless the longer /d/1*0.png allow wins). ref_allowed is
+    the reference prefix matcher's verdict on the SAME rules — always
+    TRUE, because prefix semantics can never match a wildcard rule
+    text: exactly the modern-web behavior gap the opt-in closes."""
+    from ..robots import Robots
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        r = Robots(_RFC9309_ROBOTS)
+        ids = t["doc_id"].to_pylist()
+        paths = [f"/d/{d}" + (".png" if d % 2 == 0 else ".tmp")
+                 for d in ids]
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "path": pa.array(paths, pa.string()),
+            "rfc_allowed": pa.array(
+                [r.path_allowed_rfc9309("mycelium", p) for p in paths],
+                pa.bool_()),
+            "ref_allowed": pa.array(
+                [r.path_allowed("mycelium", p) for p in paths],
+                pa.bool_()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+ROBOTS_RFC9309_SQL = """
+SELECT doc_id,
+       '/d/' || CAST(doc_id AS VARCHAR)
+             || CASE WHEN doc_id % 2 = 0 THEN '.png' ELSE '.tmp' END AS path,
+       doc_id % 2 = 0
+         AND (NOT starts_with(CAST(doc_id AS VARCHAR), '1')
+              OR doc_id % 10 = 0) AS rfc_allowed,
+       TRUE AS ref_allowed
+FROM documents
+"""

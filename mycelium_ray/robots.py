@@ -286,3 +286,52 @@ class RobotsEntry(Robots):
         if e.groups:
             e.valid = True
         return e
+
+
+# --------------------------------------------------------------------------
+# RFC 9309 matching (opt-in, beside the reference-parity prefix matcher)
+# --------------------------------------------------------------------------
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
+def _rfc9309_rule_re(rtext: str):
+    """Rule pattern → compiled regex per RFC 9309 §2.2.3: ``*`` matches
+    any octet sequence, a TRAILING ``$`` anchors the end; everything
+    else is literal. Prefix semantics otherwise (match from the path
+    start, no implicit end anchor)."""
+    anchored = rtext.endswith("$")
+    body = rtext[:-1] if anchored else rtext
+    pattern = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile(pattern + ("$" if anchored else ""))
+
+
+class Rfc9309Mixin:
+    """``path_allowed_rfc9309`` for Robots: modern REP semantics —
+    most-specific UA group set (exact product token beats ``*``, all
+    matching groups MERGE per §2.2.1), longest-matching rule wins,
+    Allow wins ties (§2.2.2). The reference's matcher (first group,
+    first prefix rule) stays the parity default; this is the opt-in the
+    wider web needs (wildcard rules are ubiquitous in real robots.txt)."""
+
+    def path_allowed_rfc9309(self, user_agent: str, path: str) -> bool:
+        cpath = canon_rule_path(path)
+        exact = [g for g in self.groups
+                 if any(ua == user_agent for ua in g.ua)]
+        groups = exact or [g for g in self.groups
+                           if any(ua == "*" for ua in g.ua)]
+        best: tuple[int, bool] | None = None
+        for g in groups:
+            for rtype, rtext in g.rules:
+                if rtype == CRAWL_DELAY or not rtext:
+                    continue
+                if _rfc9309_rule_re(rtext).match(cpath):
+                    key = (len(rtext), rtype == ALLOW)
+                    if best is None or key > best:
+                        best = key
+        return True if best is None else best[1]
+
+
+# graft the mixin onto the parsed-robots classes (parse layer shared;
+# only the matching discipline differs)
+Robots.path_allowed_rfc9309 = Rfc9309Mixin.path_allowed_rfc9309

@@ -168,3 +168,40 @@ def test_sitemap_directive_group_independent():
     # empty Sitemap value ignored, state preserved
     r2 = Robots("Sitemap:\nUser-agent: *\nDisallow: /c\n")
     assert r2.sitemaps == [] and not r2.path_allowed("*", "/c")
+
+
+class TestRfc9309:
+    """Opt-in RFC 9309 matcher beside the reference prefix matcher."""
+
+    def test_wildcard_and_anchor(self):
+        from mycelium_ray.robots import Robots
+        r = Robots("User-agent: *\nDisallow: /*.tmp$\nDisallow: /d/1*\n"
+                   "Allow: /d/1*0.png\n")
+        f = r.path_allowed_rfc9309
+        assert f("b", "/ok.png")
+        assert not f("b", "/x/file.tmp")
+        assert f("b", "/x/file.tmpx")        # $ anchors the END
+        assert not f("b", "/d/19.png")       # /d/1* disallow
+        assert f("b", "/d/10.png")           # longer allow wins
+        assert f("b", "/d/2.png")
+
+    def test_longest_match_wins_and_allow_breaks_ties(self):
+        from mycelium_ray.robots import Robots
+        r = Robots("User-agent: *\nAllow: /p/\nDisallow: /p/\n")
+        assert r.path_allowed_rfc9309("b", "/p/x")   # tie → Allow
+        r2 = Robots("User-agent: *\nAllow: /p/\nDisallow: /p/deep/\n")
+        assert not r2.path_allowed_rfc9309("b", "/p/deep/x")
+
+    def test_specific_ua_beats_star(self):
+        from mycelium_ray.robots import Robots
+        r = Robots("User-agent: special\nDisallow: /x\n\n"
+                   "User-agent: *\nAllow: /x\n")
+        assert not r.path_allowed_rfc9309("special", "/x/1")
+        assert r.path_allowed_rfc9309("other", "/x/1")
+
+    def test_reference_matcher_unchanged(self):
+        from mycelium_ray.robots import Robots
+        r = Robots("User-agent: *\nDisallow: /*.tmp$\n")
+        # prefix semantics can never match a wildcard rule text
+        assert r.path_allowed("b", "/x/file.tmp")
+        assert not r.path_allowed_rfc9309("b", "/x/file.tmp")
