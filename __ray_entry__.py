@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count": textops.token_count,
         "train_val_split": textops.train_val_split,
         "charset_decode": textops.charset_decode,
+        "unicode_nfc": textops.unicode_nfc,
         "events_window_join": analytics.events_window_join,
         "quality_score": textops.quality_score,
         "lang_id": textops.lang_id,
@@ -248,6 +249,7 @@ def oracle_sql() -> dict[str, str]:
         "token_count": textops.TOKEN_COUNT_SQL,
         "train_val_split": textops.TRAIN_VAL_SPLIT_SQL,
         "charset_decode": textops.CHARSET_DECODE_SQL,
+        "unicode_nfc": textops.UNICODE_NFC_SQL,
         "events_window_join": analytics.EVENTS_WINDOW_JOIN_SQL,
         "quality_score": textops.QUALITY_SCORE_SQL,
         "lang_id": textops.LANG_ID_SQL,

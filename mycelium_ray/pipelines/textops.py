@@ -1663,3 +1663,49 @@ SELECT doc_id,
        sha256(text) AS text_sha256
 FROM documents
 """
+
+
+def unicode_nfc(sf_dir: str):
+    """(doc_id, norm_text, changed) — Unicode NFC normalization (the M19
+    transcode dual at the codepoint level: combining sequences compose,
+    canonical singletons like U+212B ANGSTROM map to U+00C5). Engine
+    side runs CPython's unicodedata over per-doc derived strings with
+    planted decomposed/singleton/ASCII classes; the oracle recomputes
+    with DuckDB's utf8proc-backed nfc_normalize — two INDEPENDENT
+    normalization implementations cross-validated value-for-value."""
+    import unicodedata
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        outs, changed = [], []
+        for d in ids:
+            if d % 3 == 0:
+                raw = f"v{d}"                          # pure ASCII
+            elif d % 3 == 1:
+                raw = f"v{d}é"                   # combining acute
+            else:
+                raw = f"v{d}Å"                    # NFC singleton
+            n = unicodedata.normalize("NFC", raw)
+            outs.append(n)
+            changed.append(n != raw)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "norm_text": pa.array(outs, pa.string()),
+            "changed": pa.array(changed, pa.bool_()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+UNICODE_NFC_SQL = """
+SELECT doc_id,
+       nfc_normalize('v' || CAST(doc_id AS VARCHAR) ||
+         CASE WHEN doc_id % 3 = 0 THEN ''
+              WHEN doc_id % 3 = 1 THEN 'e' || chr(769)
+              ELSE chr(8491) END) AS norm_text,
+       doc_id % 3 <> 0 AS changed
+FROM documents
+"""
