@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": textops.tfidf_top_terms,
         "inverted_index": textops.inverted_index,
         "substring_dedup": dedup.substring_dedup,
+        "cdc_image_dedup": dedup.cdc_image_dedup,
         "minhash_lsh_dedup": dedup.minhash_lsh_dedup,  # rows-only (probabilistic)
         "simhash": dedup.simhash,                      # rows-only (bit tricks)
         "simhash_neardup": dedup.simhash_neardup,      # rows-only
@@ -260,6 +261,7 @@ def oracle_sql() -> dict[str, str]:
         "editdist_pairs": dedup.EDITDIST_PAIRS_SQL,
         "dedup_clusters": dedup.DEDUP_CLUSTERS_SQL,
         "substring_dedup": dedup.SUBSTRING_DEDUP_SQL,
+        "cdc_image_dedup": dedup.CDC_IMAGE_DEDUP_SQL,
         "corpus_filter": textops.CORPUS_FILTER_SQL,
         "tfidf_top_terms": textops.TFIDF_SQL,
         "inverted_index": textops.INVERTED_INDEX_SQL,

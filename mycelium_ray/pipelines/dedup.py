@@ -1183,3 +1183,74 @@ SELECT a.p_name AS name_a, b.p_name AS name_b
 FROM names a JOIN names b ON a.p_name < b.p_name
 WHERE levenshtein(a.p_name, b.p_name) <= 1
 """
+
+
+def cdc_image_dedup(sf_dir: str):
+    """(image_id, has_chunks, all_chunks_shared) — content-defined
+    chunking dedup over the derived image BYTES (gear rolling hash,
+    FastCDC cut discipline, functions/cdc.py): every payload is chunked,
+    chunk hashes are exploded to (doc, chunk) rows, one chunk-hash
+    groupby marks chunks present in ≥2 distinct docs, and a doc-side
+    groupby folds that to all_chunks_shared. Byte-identical payloads
+    share ALL their chunks, so the oracle predicts all_chunks_shared
+    exactly from the corpus content-identity rule (group size ≥ 2);
+    unique payloads are compressed pixel streams, which cannot share a
+    ≥256-byte run with a different image. Offset-robustness (the reason
+    CDC beats fixed blocking) is pinned in tests/test_cdc.py."""
+    from ..functions.cdc import chunk_hashes
+    from .flagship import derive_images_batch
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def explode(t: pa.Table) -> pa.Table:
+        dids, chunks = [], []
+        for d, blob in zip(t["doc_id"].to_pylist(),
+                           t["content"].to_pylist()):
+            hs = chunk_hashes(bytes(blob))
+            dids.extend([d] * len(hs))
+            chunks.extend(hs)
+        return pa.table({"doc_id": pa.array(dids, pa.int64()),
+                         "chunk": pa.array(chunks, pa.int64())})
+
+    pairs = ds.map_batches(explode, batch_format="pyarrow",
+                           batch_size=128)
+
+    def mark_shared(g):
+        return g.assign(shared=g["doc_id"].nunique() >= 2)
+
+    marked = pairs.groupby("chunk").map_groups(mark_shared,
+                                               batch_format="pandas")
+
+    def fold_doc(g):
+        import pandas as pd
+        return pd.DataFrame({
+            "image_id": [f"http://img.test/d/{int(g['doc_id'].iloc[0])}"],
+            "has_chunks": [len(g) > 0],
+            "all_chunks_shared": [bool(g["shared"].all())],
+        })
+
+    return marked.groupby("doc_id").map_groups(fold_doc,
+                                               batch_format="pandas")
+
+
+def _cdc_image_dedup_sql() -> str:
+    from .flagship import DUP_EVERY, DUP_GROUPS
+    return f"""
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {DUP_EVERY} = 0
+              THEN 'dup:' || CAST(doc_id % {DUP_GROUPS} AS VARCHAR)
+              ELSE 'txt:' || coalesce(text, '') END AS ckey
+  FROM documents),
+m AS (SELECT ckey, count(*) AS n FROM g GROUP BY ckey)
+SELECT 'http://img.test/d/' || CAST(g.doc_id AS VARCHAR) AS image_id,
+       TRUE AS has_chunks,
+       m.n >= 2 AS all_chunks_shared
+FROM g JOIN m USING (ckey)
+"""
+
+
+CDC_IMAGE_DEDUP_SQL = _cdc_image_dedup_sql()
