@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_png_text as _image_png_text,
         image_ssim as _image_ssim,
         image_rot_invariant as _image_rot_invariant,
+        image_exif_thumbnail as _image_exif_thumbnail,
         image_autorotate as _image_autorotate,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
@@ -195,6 +196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_png_text": _image_png_text,
         "image_ssim": _image_ssim,
         "image_rot_invariant": _image_rot_invariant,
+        "image_exif_thumbnail": _image_exif_thumbnail,
         "image_autorotate": _image_autorotate,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
@@ -355,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
         "image_png_text": flagship.IMAGE_PNG_TEXT_SQL,
         "image_ssim": flagship.IMAGE_SSIM_SQL,
         "image_rot_invariant": flagship.IMAGE_ROT_INVARIANT_SQL,
+        "image_exif_thumbnail": flagship.IMAGE_EXIF_THUMBNAIL_SQL,
         "image_autorotate": flagship.IMAGE_AUTOROTATE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

@@ -31,6 +31,7 @@ from .tiff import TiffError, _read_ifd
 
 _MAKE, _MODEL, _ORIENT, _DATETIME = 271, 272, 274, 306
 _EXIF_IFD = 34665
+_JPEG_IF, _JPEG_IF_LEN = 513, 514
 _DT_ORIGINAL, _PIX_X, _PIX_Y = 36867, 40962, 40963
 
 _EXIF_HDR = b"Exif\x00\x00"
@@ -45,8 +46,14 @@ class ExifError(ValueError):
 # --------------------------------------------------------------------------
 def build_exif(make: str = "", model: str = "", orientation: int = 1,
                datetime: str = "", pixel_w: int | None = None,
-               pixel_h: int | None = None) -> bytes:
-    """APP1 payload bytes (``Exif\\0\\0`` + little-endian TIFF block)."""
+               pixel_h: int | None = None,
+               thumbnail: bytes | None = None) -> bytes:
+    """APP1 payload bytes (``Exif\\0\\0`` + little-endian TIFF block).
+
+    ``thumbnail``: JPEG bytes embedded the camera way — IFD1 (linked
+    from IFD0's next-IFD pointer) with Compression=6 and the
+    JPEGInterchangeFormat/Length pair pointing at the appended stream
+    (Exif 2.3 §4.6.3)."""
     if not 1 <= orientation <= 8:
         raise ValueError("orientation must be 1..8")
 
@@ -113,6 +120,23 @@ def build_exif(make: str = "", model: str = "", orientation: int = 1,
             + pack_entries(sub, sub_off, extra_sub, sub_off + sub_size) \
             + struct.pack("<I", 0)
         out += body_sub + extra_sub
+    if thumbnail is not None:
+        # IFD1: Compression=6 (JPEG thumbnail), JPEGInterchangeFormat /
+        # ...Length point at the stream appended right after the table
+        ifd1_off = len(out)
+        thumb_off = ifd1_off + 2 + 12 * 3 + 4
+        ifd1 = struct.pack("<H", 3)
+        ifd1 += struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 6, 0)
+        ifd1 += struct.pack("<HHI", _JPEG_IF, 4, 1) \
+            + struct.pack("<I", thumb_off)
+        ifd1 += struct.pack("<HHI", _JPEG_IF_LEN, 4, 1) \
+            + struct.pack("<I", len(thumbnail))
+        ifd1 += struct.pack("<I", 0)
+        # IFD0's next-IFD pointer is the last 4 bytes of body0 — located
+        # right before extra0 in the output
+        next_ptr_at = 8 + len(body0) - 4
+        struct.pack_into("<I", out, next_ptr_at, ifd1_off)
+        out += ifd1 + thumbnail
     return _EXIF_HDR + bytes(out)
 
 
@@ -196,6 +220,23 @@ def parse_exif_block(tiffdata: bytes) -> dict:
             out["pixel_w"] = int(sub[_PIX_X][0])
         if _PIX_Y in sub:
             out["pixel_h"] = int(sub[_PIX_Y][0])
+        # IFD1 (thumbnail): follow IFD0's next-IFD pointer
+        (ifd0_off,) = struct.unpack(eb + "I", tiffdata[4:8])
+        (n0,) = struct.unpack(eb + "H",
+                              tiffdata[ifd0_off:ifd0_off + 2])
+        nxt_at = ifd0_off + 2 + 12 * n0
+        if nxt_at + 4 <= len(tiffdata):
+            (ifd1_off,) = struct.unpack(eb + "I",
+                                        tiffdata[nxt_at:nxt_at + 4])
+            if ifd1_off:
+                ifd1 = _read_ifd(tiffdata, eb, ifd1_off)
+                if _JPEG_IF in ifd1 and _JPEG_IF_LEN in ifd1:
+                    o = int(ifd1[_JPEG_IF][0])
+                    ln = int(ifd1[_JPEG_IF_LEN][0])
+                    blob = tiffdata[o:o + ln]
+                    if len(blob) != ln:
+                        raise ExifError("thumbnail overruns block")
+                    out["thumbnail"] = blob
         return out
     except (TiffError, ValueError, TypeError, IndexError,
             struct.error) as e:

@@ -1050,3 +1050,73 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS plain_phash_changed
 FROM documents
 """
+
+
+def image_exif_thumbnail(sf_dir: str):
+    """(image_id, has_thumb, thumb_decodes, thumb_dims_ok, strip_ok) —
+    the camera-thumbnail lifecycle (Exif 2.3 §4.6.3 IFD1): derive each
+    image, re-encode as JPEG, embed a REAL half-resolution JPEG
+    thumbnail (block-mean resize → in-repo encoder) via IFD1's
+    JPEGInterchangeFormat pointer pair, extract it back, decode it with
+    the real decoder and check its geometry; stripping restores the
+    untagged bytes. Every row TRUE in the oracle — any IFD1 layout,
+    pointer, or thumbnail-codec regression breaks the value hash."""
+    from ..exif import (build_exif, extract_exif_jpeg, insert_exif_jpeg,
+                        strip_exif_jpeg)
+    from ..imaging import decode_image, encode_image
+    from ..stages.media import resize_block_mean
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    ds = ds.map_batches(derive_images_batch, batch_format="pyarrow",
+                        batch_size=256)
+
+    def lifecycle(t: pa.Table) -> pa.Table:
+        ids = t["image_id"].to_pylist()
+        blobs = t["content"].to_pylist()
+        ws = t["w_true"].to_pylist()
+        hs = t["h_true"].to_pylist()
+        cols = {k: [] for k in ("image_id", "has_thumb", "thumb_decodes",
+                                "thumb_dims_ok", "strip_ok")}
+        for iid, data, w, h in zip(ids, blobs, ws, hs):
+            px, _ = decode_image(data)
+            tw, th = max(1, w // 2), max(1, h // 2)
+            thumb = encode_image(resize_block_mean(px, tw, th), "jpeg")
+            jp = encode_image(px, "jpeg")
+            tagged = insert_exif_jpeg(jp, build_exif(orientation=1,
+                                                     thumbnail=thumb))
+            meta = extract_exif_jpeg(tagged) or {}
+            got = meta.get("thumbnail")
+            ok_dims = ok_dec = False
+            if got is not None:
+                try:
+                    tp, fmt = decode_image(bytes(got))
+                    ok_dec = fmt == "jpeg"
+                    ok_dims = tp.shape == (th, tw, 3)
+                except Exception:
+                    pass
+            cols["image_id"].append(iid)
+            cols["has_thumb"].append(got == thumb)
+            cols["thumb_decodes"].append(ok_dec)
+            cols["thumb_dims_ok"].append(ok_dims)
+            cols["strip_ok"].append(strip_exif_jpeg(tagged) == jp)
+        return pa.table({
+            "image_id": pa.array(cols["image_id"], pa.string()),
+            "has_thumb": pa.array(cols["has_thumb"], pa.bool_()),
+            "thumb_decodes": pa.array(cols["thumb_decodes"], pa.bool_()),
+            "thumb_dims_ok": pa.array(cols["thumb_dims_ok"], pa.bool_()),
+            "strip_ok": pa.array(cols["strip_ok"], pa.bool_()),
+        })
+
+    return ds.map_batches(lifecycle, batch_format="pyarrow",
+                          batch_size=128)
+
+
+IMAGE_EXIF_THUMBNAIL_SQL = """
+SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
+       TRUE AS has_thumb,
+       TRUE AS thumb_decodes,
+       TRUE AS thumb_dims_ok,
+       TRUE AS strip_ok
+FROM documents
+"""

@@ -105,3 +105,24 @@ def test_exif_survives_in_tagged_stream_after_probe():
     jp = _jpeg(18, 25)
     tagged = insert_exif_jpeg(jp, build_exif(orientation=6))
     assert probe_image_meta(tagged) == ("jpeg", 25, 18)
+
+
+def test_thumbnail_lifecycle():
+    from mycelium_ray.imaging import decode_image, psnr
+    px = RNG.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    th = px.reshape(16, 2, 20, 2, 3).mean(axis=(1, 3)).astype(np.uint8)
+    thumb = encode_image(th, "jpeg")
+    jp = encode_image(px, "jpeg")
+    tagged = insert_exif_jpeg(jp, build_exif(make="C", orientation=1,
+                                             thumbnail=thumb))
+    meta = extract_exif_jpeg(tagged)
+    assert meta["thumbnail"] == thumb
+    tp, fmt = decode_image(meta["thumbnail"])
+    assert fmt == "jpeg" and tp.shape == (16, 20, 3)
+    assert psnr(tp, th) > 35
+    # main image unaffected; strip removes IFD1 with everything else
+    assert np.array_equal(decode_image(tagged)[0], decode_image(jp)[0])
+    assert strip_exif_jpeg(tagged) == jp
+    # blocks without a thumbnail don't grow the key
+    m2 = extract_exif_jpeg(insert_exif_jpeg(jp, build_exif(orientation=2)))
+    assert "thumbnail" not in m2
