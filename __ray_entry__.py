@@ -43,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_ssim as _image_ssim,
         image_rot_invariant as _image_rot_invariant,
         image_exif_thumbnail as _image_exif_thumbnail,
+        image_palette_gif as _image_palette_gif,
         image_autorotate as _image_autorotate,
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
@@ -197,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_ssim": _image_ssim,
         "image_rot_invariant": _image_rot_invariant,
         "image_exif_thumbnail": _image_exif_thumbnail,
+        "image_palette_gif": _image_palette_gif,
         "image_autorotate": _image_autorotate,
         "image_augment": _image_augment,
         "multimodal_filter": _multimodal_filter,
@@ -358,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "image_ssim": flagship.IMAGE_SSIM_SQL,
         "image_rot_invariant": flagship.IMAGE_ROT_INVARIANT_SQL,
         "image_exif_thumbnail": flagship.IMAGE_EXIF_THUMBNAIL_SQL,
+        "image_palette_gif": flagship.IMAGE_PALETTE_GIF_SQL,
         "image_autorotate": flagship.IMAGE_AUTOROTATE_SQL,
         "image_augment": flagship.IMAGE_AUGMENT_SQL,
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,

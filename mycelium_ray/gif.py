@@ -455,3 +455,48 @@ class GifClip:
         px = self.frame_rgb(i)
         from .imaging import encode_png
         return encode_png(px), px
+
+
+def median_cut_palette(px: np.ndarray, n_colors: int = 256) -> np.ndarray:
+    """Adaptive palette via median cut (Heckbert 1982): repeatedly split
+    the color box with the widest channel range at its median until
+    ``n_colors`` boxes exist; each box contributes its mean color.
+    Returns a (k, 3) uint8 palette, k <= n_colors."""
+    flat = np.ascontiguousarray(px, dtype=np.uint8).reshape(-1, 3)
+
+    def _stat(b):
+        # (widest channel range, widest channel) — computed ONCE per box
+        if len(b) <= 1:
+            return -1, 0
+        r = b.max(0).astype(int) - b.min(0).astype(int)
+        ch = int(np.argmax(r))
+        return int(r[ch]), ch
+
+    boxes = [flat]
+    stats = [_stat(flat)]
+    while len(boxes) < n_colors:
+        i = max(range(len(boxes)), key=lambda j: stats[j][0])
+        width, ch = stats[i]
+        if width <= 0:
+            break
+        b = boxes.pop(i)
+        stats.pop(i)
+        order = np.argsort(b[:, ch], kind="stable")
+        mid = len(b) // 2
+        for part in (b[order[:mid]], b[order[mid:]]):
+            boxes.append(part)
+            stats.append(_stat(part))
+    pal = np.array([b.mean(0).round() for b in boxes], dtype=np.uint8)
+    # dedupe (distinct boxes can average to the same color)
+    return np.unique(pal.reshape(-1, 3), axis=0)
+
+
+def quantize_to_palette(px: np.ndarray, pal: np.ndarray) -> np.ndarray:
+    """Map every pixel to its nearest palette color (squared-distance
+    argmin, vectorized (n_pixels, k) matmul expansion)."""
+    flat = px.reshape(-1, 3).astype(np.int32)
+    p = pal.astype(np.int32)
+    # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+    d = (-2 * flat @ p.T) + (p * p).sum(1)[None, :]
+    idx = np.argmin(d, axis=1)
+    return pal[idx].reshape(px.shape)

@@ -211,3 +211,27 @@ def test_sample_frames_over_gif():
     assert set(ok["w"].to_pylist()) == {24}
     bad = out.filter(pa.compute.invert(out["sample_ok"].combine_chunks()))
     assert bad.num_rows == 1
+
+
+def test_median_cut_palette_and_quantize():
+    from mycelium_ray.gif import (median_cut_palette, posterize_216,
+                                  quantize_to_palette)
+    px = RNG.integers(0, 256, (40, 40, 3), dtype=np.uint8)
+    pal = median_cut_palette(px, 216)
+    assert pal.shape[1] == 3 and 1 <= len(pal) <= 216
+    q = quantize_to_palette(px, pal)
+    assert len(np.unique(q.reshape(-1, 3), axis=0)) <= 216
+    # adaptive beats the fixed 6x6x6 cube at the same budget
+    mse = ((q.astype(float) - px) ** 2).mean()
+    mse_ps = ((posterize_216(px).astype(float) - px) ** 2).mean()
+    assert mse <= mse_ps
+    # identity when the image already fits the budget
+    small = _pal_image(32, 20, 20, seed=4)
+    pal2 = median_cut_palette(small, 216)
+    assert np.array_equal(quantize_to_palette(small, pal2), small)
+    # structured content collapses to near-zero error
+    grad = np.repeat(np.linspace(0, 255, 40).astype(np.uint8)[None, :, None],
+                     40, 0)
+    grad = np.concatenate([grad, grad // 2, grad // 3], axis=2)
+    qg = quantize_to_palette(grad, median_cut_palette(grad, 64))
+    assert ((qg.astype(float) - grad) ** 2).mean() < 5
