@@ -779,6 +779,7 @@ def ann_recall(sf_dir: str, k: int = TOPK):
         return float(np.mean(per_q)) if per_q else 0.0
 
     methods = [
+        ("hnsw", lambda: ann_topk_hnsw(sf_dir, k)),
         ("lsh", lambda: ann_topk_lsh(sf_dir, k)),
         ("ivf", lambda: ann_topk_ivf(sf_dir, k)),
         ("ivf_indexed", lambda: ann_topk_indexed(sf_dir, k)),
@@ -790,3 +791,53 @@ def ann_recall(sf_dir: str, k: int = TOPK):
         "recall_at_k": pa.array([r[1] for r in rows], pa.float64()),
         "n_queries": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# HNSW ANN (graph path): one from-scratch HNSW (hnsw.py, Malkov 2016)
+# per hash partition — builds embarrassingly parallel, queries fan out
+# over partitions and merge through the shared partial-top-k path. A
+# bigger corpus is MORE partitions (each graph stays memory-bounded),
+# never a bigger single build.
+# --------------------------------------------------------------------------
+N_HNSW_PARTS = 4
+HNSW_EF_SEARCH = 64
+
+
+def ann_topk_hnsw(sf_dir: str, k: int = TOPK):
+    """(query_id, rank, vec_id) — approximate top-k via per-partition
+    HNSW graphs. Rows-only by design (graph search is approximate);
+    recall vs the exact scan is floored in tests and measured by
+    ann_recall."""
+    from ..hnsw import HNSW
+
+    qids, q = _query_matrix(sf_dir)
+    q_ref = ray.put(q)
+
+    def build_and_score(g: pd.DataFrame) -> pd.DataFrame:
+        qm = ray.get(q_ref)
+        vids = g["vec_id"].to_numpy()
+        mat = np.stack(g["embedding"].to_numpy())
+        order = np.argsort(vids, kind="stable")  # insertion-order stable
+        idx = HNSW(mat.shape[1])
+        for i in order:
+            idx.add(int(vids[i]), mat[i])
+        rows = {"query_id": [], "vec_id": [], "sim": []}
+        for qi in range(qm.shape[0]):
+            for s, vid in idx.search(qm[qi], k, ef=HNSW_EF_SEARCH):
+                rows["query_id"].append(int(qids[qi]))
+                rows["vec_id"].append(int(vid))
+                rows["sim"].append(float(s))
+        return pd.DataFrame(rows)
+
+    ds = _read_emb(sf_dir)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        vids = t["vec_id"].to_numpy(zero_copy_only=False)
+        part = pa.array((vids % N_HNSW_PARTS).astype("int64"))
+        return t.append_column("part", part)
+
+    parts = ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(build_and_score, batch_format="pandas")
+    table, _ = _merge_topk(parts, k, with_stats=False)
+    return table
