@@ -48,7 +48,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         image_resize as _image_resize,
         image_shard_pack as _image_shard_pack,
         multimodal_filter as _multimodal_filter,
-        webdataset_roundtrip as _webdataset_roundtrip)
+        webdataset_roundtrip as _webdataset_roundtrip,
+        zip_roundtrip as _zip_roundtrip)
 
     return {
         # --- text analysis (documents) ---
@@ -205,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_filter": _multimodal_filter,
         "image_shard_pack": _image_shard_pack,
         "webdataset_roundtrip": _webdataset_roundtrip,
+        "zip_roundtrip": _zip_roundtrip,
         "image_embed": imageann.image_embed,        # rows-only (pixel floats)
         "image_similarity_search": imageann.image_similarity_search,
         "caption_align": imageann.caption_align,
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_filter": flagship.MULTIMODAL_FILTER_SQL,
         "image_shard_pack": flagship.IMAGE_SHARD_PACK_SQL,
         "webdataset_roundtrip": flagship.WEBDATASET_ROUNDTRIP_SQL,
+        "zip_roundtrip": flagship.ZIP_ROUNDTRIP_SQL,
         "image_similarity_search": imageann.IMAGE_SIMILARITY_SQL,
         "caption_align": imageann.CAPTION_ALIGN_SQL,
         "image_curation_pipeline": imageann.IMAGE_CURATION_SQL,

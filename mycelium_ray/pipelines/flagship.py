@@ -1173,3 +1173,100 @@ SELECT 'http://img.test/d/' || CAST(doc_id AS VARCHAR) AS image_id,
        TRUE AS beats_fixed_cube
 FROM documents
 """
+
+
+N_ZIP_SHARDS = 16
+
+
+def zip_roundtrip(sf_dir: str):
+    """Full ZIP-archive I/O loop (zipfmt.py, the from-scratch PKWARE
+    container with stdlib-zipfile interop pinned in tests): hash-route
+    derived (image, caption) pairs to zip shards on disk (deterministic
+    bytes, tmp+rename publish, skip-if-present resume), read every shard
+    BACK through the CRC-verifying reader, and emit one row per doc:
+    (doc_id, caption_bytes, fmt_ok, n_members_ok). The oracle pins that
+    every document comes back exactly once with caption intact —
+    transitively checking writer → deflate members → central directory →
+    reader → pairing → probe."""
+    import os
+
+    from ..imaging import ImageDecodeError, probe_image_meta
+    from ..zipfmt import pack_zip, read_zip
+
+    out_dir = ("/tmp/mycelium_zip_"
+               + os.path.basename(os.path.normpath(sf_dir)))
+    os.makedirs(out_dir, exist_ok=True)
+    ds = flagship(sf_dir).select_columns(
+        ["doc_id", "content", "fmt", "caption"])
+
+    def route(t: pa.Table) -> pa.Table:
+        shard = pa.array([int(d) % N_ZIP_SHARDS
+                          for d in t["doc_id"].to_pylist()], pa.int64())
+        return t.append_column("shard", shard)
+
+    def pack_and_publish(g) -> pa.Table:
+        s = int(g["shard"].iloc[0])
+        path = os.path.join(out_dir, f"shard-{s:05d}.zip")
+        if not os.path.exists(path):
+            g = g.sort_values("doc_id")
+            members = []
+            for r in g.itertuples(index=False):
+                key = f"{int(r.doc_id):012d}"
+                members.append((f"{key}.{r.fmt}", bytes(r.content)))
+                members.append((f"{key}.txt",
+                                (r.caption or "").encode("utf-8")))
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(pack_zip(members))
+            os.replace(tmp, path)
+        return pa.table({"path": pa.array([path], pa.string())})
+
+    ds.map_batches(route, batch_format="pyarrow") \
+        .groupby("shard").map_groups(pack_and_publish,
+                                     batch_format="pandas").materialize()
+
+    paths = sorted(os.path.join(out_dir, f) for f in os.listdir(out_dir)
+                   if f.endswith(".zip"))
+
+    def parse_shard(batch: pa.Table) -> pa.Table:
+        ids, capb, fmt_ok, nmem_ok = [], [], [], []
+        for p in batch["path"].to_pylist():
+            with open(p, "rb") as f:
+                members = read_zip(f.read())
+            docs: dict[int, dict] = {}
+            for name, payload in members:
+                key, _, ext = name.partition(".")
+                d = docs.setdefault(int(key), {"n": 0})
+                d["n"] += 1
+                if ext == "txt":
+                    d["cap"] = len(payload)
+                else:
+                    try:
+                        probed, _w, _h = probe_image_meta(payload)
+                        d["fmt_ok"] = probed == ext
+                    except ImageDecodeError:
+                        d["fmt_ok"] = False
+            for did in sorted(docs):
+                ids.append(did)
+                capb.append(docs[did].get("cap", -1))
+                fmt_ok.append(docs[did].get("fmt_ok", False))
+                nmem_ok.append(docs[did]["n"] == 2)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "caption_bytes": pa.array(capb, pa.int64()),
+            "fmt_ok": pa.array(fmt_ok, pa.bool_()),
+            "n_members_ok": pa.array(nmem_ok, pa.bool_()),
+        })
+
+    return rd.from_items(
+        [{"path": p} for p in paths], override_num_blocks=len(paths),
+    ).map_batches(parse_shard, batch_format="pyarrow", batch_size=1)
+
+
+ZIP_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS caption_bytes,
+       TRUE AS fmt_ok,
+       TRUE AS n_members_ok
+FROM documents
+"""
