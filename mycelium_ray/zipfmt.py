@@ -74,8 +74,11 @@ def read_zip(data: bytes) -> list[tuple[str, bytes]]:
     eocd = tail[p:]
     if len(eocd) < 22:
         raise ZipError("truncated EOCD")
-    (_dn, _cdn, n_here, n_total, cd_size, cd_off,
-     _clen) = struct.unpack("<HHHHIIH", eocd[4:22])
+    try:
+        (_dn, _cdn, n_here, n_total, cd_size, cd_off,
+         _clen) = struct.unpack("<HHHHIIH", eocd[4:22])
+    except struct.error as e:
+        raise ZipError(f"malformed EOCD: {e}") from e
     if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
         raise ZipError("ZIP64 archives unsupported")
     pos = cd_off
@@ -83,14 +86,21 @@ def read_zip(data: bytes) -> list[tuple[str, bytes]]:
     for _ in range(n_total):
         if data[pos:pos + 4] != _CENTRAL_SIG:
             raise ZipError("bad central-directory entry signature")
-        (_vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
-         nlen, xlen, clen, _disk, _iattr, _eattr,
-         lho) = struct.unpack("<HHHHHHIIIHHHHHII", data[pos + 4:pos + 46])
-        name = data[pos + 46:pos + 46 + nlen].decode("utf-8")
+        try:
+            (_vmade, _vneed, _flags, method, _t, _d, crc, csize, usize,
+             nlen, xlen, clen, _disk, _iattr, _eattr,
+             lho) = struct.unpack("<HHHHHHIIIHHHHHII",
+                                  data[pos + 4:pos + 46])
+        except struct.error as e:
+            raise ZipError(f"truncated central entry: {e}") from e
+        try:
+            name = data[pos + 46:pos + 46 + nlen].decode("utf-8")
+        except UnicodeDecodeError as e:
+            raise ZipError(f"undecodable member name: {e}") from e
         pos += 46 + nlen + xlen + clen
         # local header: skip to the payload (its own name/extra lengths
         # can differ from the central ones per spec)
-        if data[lho:lho + 4] != _LOCAL_SIG:
+        if data[lho:lho + 4] != _LOCAL_SIG or lho + 30 > len(data):
             raise ZipError(f"bad local header for {name!r}")
         lnlen, lxlen = struct.unpack("<HH", data[lho + 26:lho + 30])
         start = lho + 30 + lnlen + lxlen

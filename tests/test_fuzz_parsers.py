@@ -107,3 +107,9 @@ def test_png_text_fuzz(kind):
                            {"K": "value☃" if kind == "iTXt" else "value"},
                            kind)
     _assert_typed(png_text_chunks, base, (ImageDecodeError,), 20)
+
+
+def test_zip_fuzz():
+    from mycelium_ray.zipfmt import ZipError, pack_zip, read_zip
+    base = pack_zip([("a.png", bytes(range(256)) * 3), ("a.txt", b"hello")])
+    _assert_typed(read_zip, base, (ZipError,), 21)
