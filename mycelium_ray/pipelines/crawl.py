@@ -210,12 +210,14 @@ class RayCrawler(ReferenceSimulator):
                  transport_addr: tuple | None = None,
                  transport_ca: bytes | None = None,
                  transport_dns: tuple | None = None,
-                 schemes: tuple = ("http",)):
+                 schemes: tuple = ("http",),
+                 robots_matcher: str = "reference"):
         super().__init__(site, parallel=parallel, user_agent=user_agent,
                          dedup=dedup, seen_shards=seen_shards,
                          follow_links=follow_links,
                          honor_crawl_delay=honor_crawl_delay,
-                         refresh_from=refresh_from, schemes=schemes)
+                         refresh_from=refresh_from, schemes=schemes,
+                         robots_matcher=robots_matcher)
         # real-TCP fetch pool: fetchers connect to this address instead of
         # receiving the site fixture (the production shape — see
         # FetcherActor.load_socket)

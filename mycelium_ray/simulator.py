@@ -124,7 +124,8 @@ class ReferenceSimulator:
                  seen_shards: int = 4, follow_links: bool = False,
                  honor_crawl_delay: bool = False,
                  refresh_from: dict | None = None,
-                 transport=None, schemes: tuple = ("http",)):
+                 transport=None, schemes: tuple = ("http",),
+                 robots_matcher: str = "reference"):
         # transport is pluggable (same 2-method interface): the in-process
         # FixtureTransport by default, or SocketTransport for real-TCP
         # fetching — the planner is transport-agnostic by construction
@@ -143,6 +144,12 @@ class ReferenceSimulator:
         # reference accepts http only — https is the TLS-transport
         # extension (opt-in, so reference parity holds on defaults)
         self.schemes = tuple(schemes)
+        # robots rule discipline: "reference" (first group, first prefix
+        # rule — Robots.cc parity, the default) or "rfc9309" (wildcards,
+        # anchors, longest-match — the modern-web opt-in)
+        if robots_matcher not in ("reference", "rfc9309"):
+            raise ValueError(f"robots_matcher {robots_matcher!r}")
+        self.robots_matcher = robots_matcher
         if follow_links and dedup != "cuckoo":
             raise ValueError("follow_links requires dedup='cuckoo' "
                              "(the reference has no working dedup)")
@@ -379,10 +386,12 @@ class ReferenceSimulator:
                     h.state = ROBOTS
                     break
                 else:
+                    match = (h.robots.path_allowed_rfc9309
+                             if self.robots_matcher == "rfc9309"
+                             else h.robots.path_allowed)
                     allowed = (h.robots.tried_but_failed()
                                or (h.robots.state == RobotsState.PRESENT
-                                   and h.robots.path_allowed(self.user_agent,
-                                                             upath)))
+                                   and match(self.user_agent, upath)))
                     self.result.robots_decisions.append(
                         (uhost, upath, allowed))
                     if allowed:

@@ -205,3 +205,35 @@ class TestRfc9309:
         # prefix semantics can never match a wildcard rule text
         assert r.path_allowed("b", "/x/file.tmp")
         assert not r.path_allowed_rfc9309("b", "/x/file.tmp")
+
+
+def test_simulator_rfc9309_mode():
+    """Opt-in crawl-level RFC 9309 matching: a wildcard Disallow that the
+    reference prefix matcher cannot see blocks fetches in rfc9309 mode
+    and not in reference mode; everything else crawls identically."""
+    from mycelium_ray.corpus import Response, SiteGraph
+    from mycelium_ray.simulator import ReferenceSimulator
+    site = SiteGraph()
+    site.hosts = ["h.test"]
+    site.robots["h.test"] = "User-agent: *\nDisallow: /*.tmp$\n"
+    site.responses["http://h.test/a.png"] = Response(
+        status=200, content=b"\x89PNGa", content_type="image/png")
+    site.responses["http://h.test/b.tmp"] = Response(
+        status=200, content=b"junk", content_type="image/png")
+    seeds = ["http://h.test/a.png", "http://h.test/b.tmp"]
+
+    def crawl(matcher):
+        sim = ReferenceSimulator(site, parallel=2, robots_matcher=matcher)
+        sim.feed(seeds)
+        res = sim.run()
+        return {d.url for d in res.saved if d.http_code == 200}
+
+    ref = crawl("reference")
+    rfc = crawl("rfc9309")
+    assert "http://h.test/b.tmp" in ref       # prefix matcher: blind
+    assert "http://h.test/b.tmp" not in rfc   # wildcard enforced
+    assert "http://h.test/a.png" in ref and "http://h.test/a.png" in rfc
+
+    import pytest
+    with pytest.raises(ValueError):
+        ReferenceSimulator(site, robots_matcher="nope")
