@@ -150,10 +150,17 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "bmp":
         from .bmp import encode_bmp
         return encode_bmp(pixels)
+    if fmt == "ppm":
+        from .netpbm import encode_ppm
+        return encode_ppm(pixels)
+    if fmt in ("tga", "tga_raw"):
+        from .netpbm import encode_tga
+        return encode_tga(pixels, rle=fmt == "tga")
     raise NotImplementedError(
         f"format {fmt!r}: png/jpeg (baseline + progressive)/webp(VP8L)/gif/"
-        "tiff (none+LZW+PackBits)/bmp are real codecs here; other formats "
-        "need native libraries absent in this container")
+        "tiff (none+LZW+PackBits)/bmp/ppm/tga (raw+RLE) are real codecs "
+        "here; other formats need native libraries absent in this "
+        "container")
 
 
 def decode_image(data: bytes) -> tuple[np.ndarray, str]:
@@ -193,17 +200,34 @@ def decode_image(data: bytes) -> tuple[np.ndarray, str]:
             return decode_bmp(data), "bmp"
         except BmpError as e:
             raise ImageDecodeError(str(e)) from e
+    if data[:2] in (b"P6", b"P5", b"P3", b"P2"):
+        from .netpbm import NetpbmError, decode_ppm
+        try:
+            px = decode_ppm(data)
+        except NetpbmError as e:
+            raise ImageDecodeError(str(e)) from e
+        if px.ndim == 2:
+            px = np.repeat(px[:, :, None], 3, axis=2)
+        return px, "ppm"
     if data.startswith(FAKE_JPEG_MAGIC):  # round-1 stub blobs still decode
         return decode_fake_lossy(data, FAKE_JPEG_MAGIC), "jpeg"
     if data.startswith(FAKE_WEBP_MAGIC):
         return decode_fake_lossy(data, FAKE_WEBP_MAGIC), "webp"
+    # TGA last: it has no magic — a structural header check gates it
+    if len(data) >= 18 and data[1] in (0, 1) \
+            and data[2] in (2, 3, 10, 11) and data[16] in (8, 24, 32):
+        from .netpbm import TgaError, decode_tga
+        try:
+            return decode_tga(data), "tga"
+        except TgaError as e:
+            raise ImageDecodeError(str(e)) from e
     raise ImageDecodeError("unrecognized image format")
 
 
 # webp here is VP8L (lossless mode); gif is exact for ≤256-color content
 # (the only content its encoder accepts — palette formats have no other
 # lossless story); tiff/bmp are uncompressed or losslessly-compressed RGB
-LOSSLESS_FMTS = {"png", "webp", "gif", "tiff", "bmp"}
+LOSSLESS_FMTS = {"png", "webp", "gif", "tiff", "bmp", "ppm", "tga"}
 
 
 # --------------------------------------------------------------------------
@@ -316,6 +340,18 @@ def probe_image_meta(data: bytes) -> tuple[str, int, int]:
         except BmpError as e:
             raise ImageDecodeError(str(e)) from e
         return "bmp", w, h
+    if data[:2] in (b"P6", b"P5", b"P3", b"P2"):
+        from .netpbm import NetpbmError, probe_ppm_meta
+        try:
+            w, h = probe_ppm_meta(data)
+        except NetpbmError as e:
+            raise ImageDecodeError(str(e)) from e
+        return "ppm", w, h
+    if len(data) >= 18 and data[:2] != b"\xff\xd8" and data[1] in (0, 1) \
+            and data[2] in (2, 3, 10, 11) and data[16] in (8, 24, 32):
+        from .netpbm import probe_tga_meta
+        w, h = probe_tga_meta(data)
+        return "tga", w, h
     if data.startswith(FAKE_JPEG_MAGIC) or data.startswith(FAKE_WEBP_MAGIC):
         if len(data) < 16:
             raise ImageDecodeError("truncated fake-codec header")

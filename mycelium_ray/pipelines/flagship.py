@@ -649,7 +649,8 @@ FROM documents
 
 # formats added in round 4 (tiff.py, bmp.py) — all lossless, so the
 # transcode contract below is EXACT pixel equality, not a PSNR bound
-_TRANSCODE_FMTS = ["tiff", "tiff_packbits", "tiff_none", "bmp"]
+_TRANSCODE_FMTS = ["tiff", "tiff_packbits", "tiff_none", "bmp",
+                   "ppm", "tga", "tga_raw"]
 
 
 def image_transcode_matrix(sf_dir: str):

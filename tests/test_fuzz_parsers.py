@@ -113,3 +113,13 @@ def test_zip_fuzz():
     from mycelium_ray.zipfmt import ZipError, pack_zip, read_zip
     base = pack_zip([("a.png", bytes(range(256)) * 3), ("a.txt", b"hello")])
     _assert_typed(read_zip, base, (ZipError,), 21)
+
+
+def test_ppm_fuzz():
+    from mycelium_ray.netpbm import NetpbmError, decode_ppm, encode_ppm
+    _assert_typed(decode_ppm, encode_ppm(PX), (NetpbmError,), 22)
+
+
+def test_tga_fuzz():
+    from mycelium_ray.netpbm import TgaError, decode_tga, encode_tga
+    _assert_typed(decode_tga, encode_tga(PX), (TgaError,), 23)
