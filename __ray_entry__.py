@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canonicalize": urlops.url_canonicalize,
         "url_features": urlops.url_features,
         "robots_rfc9309": urlops.robots_rfc9309,
+        "http_cache_policy": urlops.http_cache_policy,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
         "robots_filter": urlops.robots_filter,
         "anchor_text_agg": urlops.anchor_text_agg,
@@ -384,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "url_canonicalize": urlops.URL_CANONICALIZE_SQL,
         "url_features": urlops.URL_FEATURES_SQL,
         "robots_rfc9309": urlops.ROBOTS_RFC9309_SQL,
+        "http_cache_policy": urlops.HTTP_CACHE_POLICY_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
         "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
         "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,

@@ -203,3 +203,67 @@ def sniff_charset(data: bytes) -> str:
         return "utf-8"
     except UnicodeDecodeError:
         return "latin-1"
+
+
+# --- HTTP caching policy (RFC 9111 subset) --------------------------------
+# The recrawl scheduler's freshness input: Cache-Control directives +
+# Expires/Date fallback, with the spec's precedence (s-maxage > max-age >
+# Expires-Date). The reference crawler recrawls unconditionally; this is
+# the policy layer a production recrawl loop ranks by.
+
+def parse_cache_control(value: str) -> dict:
+    """Cache-Control header value → {directive: value|True}; token
+    directives map to True, =arguments keep their (unquoted) string.
+    Unknown directives are preserved — callers pick what they honor."""
+    out: dict = {}
+    for part in value.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        name, _, arg = part.partition("=")
+        name = name.strip().lower()
+        if not name:
+            continue
+        if arg:
+            out[name] = arg.strip().strip('"')
+        else:
+            out[name] = True
+    return out
+
+
+def freshness_lifetime(cache_control: str, expires_epoch: int | None,
+                       date_epoch: int | None,
+                       shared: bool = True) -> tuple[int, bool, bool]:
+    """(lifetime_s, cacheable, revalidate) per RFC 9111 §4.2.1/§5.2:
+
+    - ``no-store`` → not cacheable at all;
+    - ``private`` → not cacheable by a SHARED cache (a crawler is one);
+    - ``no-cache`` → cacheable but must revalidate every use (lifetime 0);
+    - else lifetime = s-maxage (shared) > max-age > (Expires - Date) > 0.
+    Malformed numeric arguments are ignored per the spec's error
+    handling (treat as absent)."""
+    cc = parse_cache_control(cache_control or "")
+    if "no-store" in cc:
+        return 0, False, False
+    if shared and "private" in cc:
+        return 0, False, False
+    if "no-cache" in cc:
+        return 0, True, True
+    def _num(name):
+        v = cc.get(name)
+        if isinstance(v, str):
+            try:
+                n = int(v)
+                return max(0, n)
+            except ValueError:
+                return None
+        return None
+    life = None
+    if shared:
+        life = _num("s-maxage")
+    if life is None:
+        life = _num("max-age")
+    if life is None and expires_epoch is not None \
+            and date_epoch is not None:
+        life = max(0, int(expires_epoch) - int(date_epoch))
+    return (life if life is not None else 0), True, False

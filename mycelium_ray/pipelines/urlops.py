@@ -1052,3 +1052,65 @@ SELECT doc_id,
        TRUE AS ref_allowed
 FROM documents
 """
+
+
+def http_cache_policy(sf_dir: str):
+    """(doc_id, cacheable, lifetime_s, revalidate) — RFC 9111 freshness
+    policy (http_headers.freshness_lifetime: s-maxage > max-age >
+    Expires-Date precedence, no-store/private/no-cache semantics for a
+    SHARED cache, which a crawler is) over per-doc derived Cache-Control
+    / Expires headers covering every directive class. The oracle
+    recomputes all three outputs arithmetically — a precedence or
+    directive-parsing regression breaks the value hash. This is the
+    freshness input the recrawl scheduler (recrawl_schedule) ranks by."""
+    from ..http_headers import freshness_lifetime
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        cache, life, reval = [], [], []
+        for d in ids:
+            kind = d % 6
+            if kind == 0:
+                cc, exp, date = f"max-age={d % 7200}", None, None
+            elif kind == 1:
+                cc, exp, date = "no-store", None, None
+            elif kind == 2:
+                cc, exp, date = "no-cache", None, None
+            elif kind == 3:
+                cc, exp, date = "", 1000 + d % 900, 1000
+            elif kind == 4:
+                cc = f"private, max-age={d % 100}"
+                exp = date = None
+            else:
+                cc = f"max-age={d % 100}, s-maxage={d % 1000}"
+                exp = date = None
+            ln, ca, rv = freshness_lifetime(cc, exp, date, shared=True)
+            cache.append(ca)
+            life.append(ln)
+            reval.append(rv)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "cacheable": pa.array(cache, pa.bool_()),
+            "lifetime_s": pa.array(life, pa.int64()),
+            "revalidate": pa.array(reval, pa.bool_()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+HTTP_CACHE_POLICY_SQL = """
+SELECT doc_id,
+       doc_id % 6 NOT IN (1, 4) AS cacheable,
+       CAST(CASE doc_id % 6
+            WHEN 0 THEN doc_id % 7200
+            WHEN 1 THEN 0
+            WHEN 2 THEN 0
+            WHEN 3 THEN doc_id % 900
+            WHEN 4 THEN 0
+            ELSE doc_id % 1000 END AS BIGINT) AS lifetime_s,
+       doc_id % 6 = 2 AS revalidate
+FROM documents
+"""

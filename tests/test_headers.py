@@ -105,3 +105,34 @@ def test_sniff_charset_roundtrips_non_ascii():
     for w in wires:
         got = sniff_charset(w)
         assert w.decode(dec[got]) == text
+
+
+class TestCachePolicy:
+    """RFC 9111 freshness subset (http_headers.freshness_lifetime)."""
+
+    def test_directive_parse(self):
+        from mycelium_ray.http_headers import parse_cache_control
+        assert parse_cache_control('private, max-age=60, s-maxage="600"') \
+            == {"private": True, "max-age": "60", "s-maxage": "600"}
+        assert parse_cache_control("") == {}
+        assert parse_cache_control(" , ,no-store ") == {"no-store": True}
+
+    def test_precedence_and_semantics(self):
+        from mycelium_ray.http_headers import freshness_lifetime as fl
+        assert fl("no-store", None, None) == (0, False, False)
+        # private blocks a SHARED cache but not a private one
+        assert fl("private, max-age=60", None, None) == (0, False, False)
+        assert fl("private, max-age=60", None, None, shared=False) \
+            == (60, True, False)
+        assert fl("no-cache", None, None) == (0, True, True)
+        assert fl("max-age=3600", None, None) == (3600, True, False)
+        # s-maxage beats max-age for a shared cache
+        assert fl("max-age=60, s-maxage=600", None, None) == (600, True,
+                                                              False)
+        assert fl("max-age=60, s-maxage=600", None, None, shared=False) \
+            == (60, True, False)
+        # Expires - Date fallback; malformed numerics ignored per spec
+        assert fl("", 1000, 400) == (600, True, False)
+        assert fl("max-age=oops", 1000, 400) == (600, True, False)
+        assert fl("max-age=-5", None, None) == (0, True, False)
+        assert fl("", None, None) == (0, True, False)
