@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_features": urlops.url_features,
         "robots_rfc9309": urlops.robots_rfc9309,
         "http_cache_policy": urlops.http_cache_policy,
+        "idn_hosts": urlops.idn_hosts,
         "url_shard": urlops.url_shard,                 # rows-only (sha1)
         "robots_filter": urlops.robots_filter,
         "anchor_text_agg": urlops.anchor_text_agg,
@@ -386,6 +387,7 @@ def oracle_sql() -> dict[str, str]:
         "url_features": urlops.URL_FEATURES_SQL,
         "robots_rfc9309": urlops.ROBOTS_RFC9309_SQL,
         "http_cache_policy": urlops.HTTP_CACHE_POLICY_SQL,
+        "idn_hosts": urlops.IDN_HOSTS_SQL,
         "robots_filter": urlops.ROBOTS_FILTER_SQL,
         "anchor_text_agg": urlops.ANCHOR_TEXT_AGG_SQL,
         "warc_roundtrip": warcops.WARC_ROUNDTRIP_SQL,

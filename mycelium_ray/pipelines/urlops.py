@@ -1114,3 +1114,72 @@ SELECT doc_id,
        doc_id % 6 = 2 AS revalidate
 FROM documents
 """
+
+
+# IDN fixtures: (unicode host, ACE form). The ACE literals are pinned
+# independently in tests against BOTH the RFC 3492 sample vectors and
+# stdlib's idna codec, so the SQL lookup below is a golden-vector
+# oracle, not an echo of the implementation.
+_IDN_HOSTS = [
+    ("plain.example.com", "plain.example.com"),
+    ("bücher.example.com", "xn--bcher-kva.example.com"),
+    ("münchen.de", "xn--mnchen-3ya.de"),
+    ("日本.example", "xn--wgv71a.example"),
+    ("россия.рф", "xn--h1alffa9f.xn--p1ai"),
+    ("mixed.bücher.net", "mixed.xn--bcher-kva.net"),
+]
+
+
+def idn_hosts(sf_dir: str):
+    """(doc_id, unicode_host, ace_host, roundtrip_ok) — IDNA host
+    handling with the from-scratch RFC 3492 bootstring codec
+    (punycode.py): each doc picks a fixture host (doc_id % 6, ASCII and
+    IDN classes), the REAL encoder produces the ACE form, the decoder
+    round-trips it, and the oracle pins the expected ACE literal per
+    class — the internationalized-hostname leg the ASCII-only reference
+    canonicalizer (Url.cc) lacks."""
+    from ..punycode import idna_decode_host, idna_encode_host
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def run(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        uni, ace, ok = [], [], []
+        for d in ids:
+            u, _expect = _IDN_HOSTS[d % len(_IDN_HOSTS)]
+            a = idna_encode_host(u)
+            uni.append(u)
+            ace.append(a)
+            ok.append(idna_decode_host(a) == u.lower())
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "unicode_host": pa.array(uni, pa.string()),
+            "ace_host": pa.array(ace, pa.string()),
+            "roundtrip_ok": pa.array(ok, pa.bool_()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow")
+
+
+def _idn_hosts_sql() -> str:
+    uni_cases = "\n".join(
+        f"            WHEN {i} THEN '{u}'"
+        for i, (u, _a) in enumerate(_IDN_HOSTS))
+    ace_cases = "\n".join(
+        f"            WHEN {i} THEN '{a}'"
+        for i, (_u, a) in enumerate(_IDN_HOSTS))
+    return f"""
+SELECT doc_id,
+       CASE doc_id % {len(_IDN_HOSTS)}
+{uni_cases}
+       END AS unicode_host,
+       CASE doc_id % {len(_IDN_HOSTS)}
+{ace_cases}
+       END AS ace_host,
+       TRUE AS roundtrip_ok
+FROM documents
+"""
+
+
+IDN_HOSTS_SQL = _idn_hosts_sql()
