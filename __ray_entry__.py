@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": analytics.heavy_hitters,
         "events_funnel": analytics.events_funnel,
         "events_retention": analytics.events_retention,
+        "events_windowed_topk": analytics.events_windowed_topk,
+        "events_decayed_counts": analytics.events_decayed_counts,
         "group_value_quantiles": analytics.group_value_quantiles,
         "local_supplier_revenue": analytics.local_supplier_revenue,
         "orders_rollup": analytics.orders_rollup,
@@ -296,6 +298,8 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitters": analytics.HEAVY_HITTERS_SQL,
         "events_funnel": analytics.EVENTS_FUNNEL_SQL,
         "events_retention": analytics.EVENTS_RETENTION_SQL,
+        "events_windowed_topk": analytics.EVENTS_WINDOWED_TOPK_SQL,
+        "events_decayed_counts": analytics.EVENTS_DECAYED_SQL,
         "group_value_quantiles": analytics.GROUP_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,

@@ -5226,3 +5226,104 @@ FROM w
 GROUP BY 1
 ORDER BY 1
 """
+
+
+def events_windowed_topk(sf_dir: str, k: int = 3,
+                         window_s: int = 3600):
+    """(window_start, rank, event_type, n) — per-hour top-k event types
+    by count: Arrow-native per-batch partial counts (the combiner), one
+    (window, type) groupby to total them, then a per-window cut — the
+    streaming leaderboard. Deterministic ties on event_type asc; exact
+    dual is a window-function query."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t):
+        import pyarrow.compute as pc
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, window_s * 10 ** 6), window_s)
+        g = pa.table({"event_type": t["event_type"],
+                      "window_start": win}) \
+            .group_by(["event_type", "window_start"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_start": g["window_start"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["window_start", "event_type"],
+                          as_index=False).agg(n=("n", "sum"))
+
+    def cut(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "event_type"],
+                          ascending=[False, True]).head(k).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype="int64")
+        return g[["window_start", "rank", "event_type", "n"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["window_start", "event_type"]) \
+        .map_groups(total, batch_format="pandas") \
+        .groupby("window_start").map_groups(cut, batch_format="pandas")
+
+
+EVENTS_WINDOWED_TOPK_SQL = """
+WITH c AS (
+  SELECT (epoch_us(ts) // CAST(3600000000 AS BIGINT)) * 3600
+           AS window_start,
+         event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT window_start, event_type, n,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n DESC, event_type ASC) AS rank
+  FROM c
+)
+SELECT window_start, rank, event_type, n FROM r WHERE rank <= 3
+"""
+
+
+def events_decayed_counts(sf_dir: str, half_life_s: int = 86400):
+    """(event_type, decayed_count) — exponentially-decayed event counts
+    (half-life 1 day) as of the stream's max timestamp: the streaming
+    trend signal where old events fade smoothly instead of falling off
+    a window edge. Per-batch partials sum 2^((ts - ref)/hl) per type
+    (each term ≤ 1, order-independent float math); ref = global max ts
+    is computed by a tiny Arrow scan first. Values rounded to 6
+    decimals on both sides — the compare is on equal doubles, not on
+    float luck."""
+    import pyarrow.parquet as _pq
+    import pyarrow.compute as pc
+    ref_us = int(pc.max(_pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts"])["ts"]).cast(
+        pa.int64()).as_py())
+
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t):
+        us = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        w = np.exp2((us - ref_us) / 1e6 / half_life_s)
+        g = pa.table({"event_type": t["event_type"],
+                      "w": pa.array(w)}) \
+            .group_by(["event_type"]).aggregate([("w", "sum")])
+        return pa.table({"event_type": g["event_type"],
+                         "w": g["w_sum"]})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.groupby("event_type", as_index=False).agg(w=("w", "sum"))
+        out["decayed_count"] = out["w"].round(6)
+        return out[["event_type", "decayed_count"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("event_type").map_groups(total, batch_format="pandas")
+
+
+EVENTS_DECAYED_SQL = """
+WITH ref AS (SELECT max(ts) AS mx FROM events)
+SELECT event_type,
+       round(sum(power(2.0,
+             (epoch_us(ts) - epoch_us((SELECT mx FROM ref))) / 1e6
+             / 86400.0)), 6) AS decayed_count
+FROM events
+GROUP BY event_type
+"""
