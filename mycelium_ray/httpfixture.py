@@ -35,6 +35,10 @@ from .corpus import CONTENT_SIZE_LIMIT, SiteGraph
 
 _CHUNK = 1024  # chunked-transfer frame size (wire artifact only)
 
+import re as _re
+
+_RANGE_RE = _re.compile(r"bytes=(\d+)-(\d*)$")
+
 
 class _Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
@@ -139,6 +143,29 @@ class _Handler(BaseHTTPRequestHandler):
         if not_modified:
             self._send(304, hdrs, b"", True)
             return
+        # Range requests (RFC 9110 §14): bytes=N- and bytes=N-M on a 200
+        # resource → 206 with Content-Range; malformed/unsatisfiable
+        # ranges fall back to the full 200 / 416 per spec
+        rng = self.headers.get("Range")
+        if rng and resp.status == 200 and not head_only:
+            m = _RANGE_RE.match(rng.strip())
+            if m:
+                lo = int(m.group(1))
+                hi = int(m.group(2)) if m.group(2) else len(resp.content) - 1
+                if lo >= len(resp.content):
+                    self._send(416, [("Content-Range",
+                                      f"bytes */{len(resp.content)}")],
+                               b"", False)
+                    return
+                hi = min(hi, len(resp.content) - 1)
+                part = resp.content[lo:hi + 1]
+                phdrs = [(k, v) for k, v in hdrs
+                         if k.lower() != "content-length"]
+                phdrs.append(("Content-Range",
+                              f"bytes {lo}-{hi}/{len(resp.content)}"))
+                phdrs.append(("Content-Length", str(len(part))))
+                self._send(206, phdrs, part, False)
+                return
         # Wire-encoding exercise (GET 200 with a body only): a
         # deterministic per-URL choice serves ~1/4 of pages chunked and
         # ~1/4 gzip (when the client advertises Accept-Encoding), so the

@@ -326,7 +326,12 @@ class SocketTransport:
         return "\r\n".join(lines) + "\r\n"
 
     def request(self, url: str, method: str = "GET",
-                if_none_match: str = "", if_modified_since: str = "") -> FetchResult:
+                if_none_match: str = "", if_modified_since: str = "",
+                range_from: int | None = None) -> FetchResult:
+        """``range_from``: resume a transfer from this byte offset
+        (curl's CURLOPT_RESUME_FROM): sends ``Range: bytes=N-`` and
+        returns the 206 slice; a server answering 200 (no range
+        support) or 416 (past the end) is reported faithfully."""
         import json
         cur = url.split("#", 1)[0]
         redirects = 0
@@ -335,6 +340,8 @@ class SocketTransport:
             extra["If-None-Match"] = if_none_match
         if if_modified_since:
             extra["If-Modified-Since"] = if_modified_since
+        if range_from is not None:
+            extra["Range"] = f"bytes={int(range_from)}-"
         while True:
             try:
                 status, pairs, hmap, body = self._do(method, cur, extra)

@@ -287,3 +287,32 @@ def test_fetch_pool_threads_parity(ray_session, corpus):
     s1, seen1, m1 = run(1)
     s4, seen4, m4 = run(4)
     assert s1 == s4 and seen1 == seen4 and m1 == m4
+
+
+def test_range_resume_after_content_cap():
+    """RFC 9110 Range/206: resuming a capped transfer from the cutoff
+    offset (curl's CURLOPT_RESUME_FROM) reassembles the full body —
+    plus 416 past the end and full-200 on rangeless servers."""
+    full = b"\x89PNG" + bytes(range(256)) * ((CONTENT_SIZE_LIMIT + 9000)
+                                             // 256)
+    site = SiteGraph()
+    site.hosts = ["r.test"]
+    site.responses["http://r.test/big.bin"] = Response(
+        status=200, content=full, content_type="image/png")
+    with FixtureHTTPServer(site) as srv:
+        t = SocketTransport(srv.addr)
+        first = t.request("http://r.test/big.bin")
+        assert first.curl_code == CURLE_WRITE_ERROR
+        assert len(first.content) == CONTENT_SIZE_LIMIT
+        rest = t.request("http://r.test/big.bin",
+                         range_from=len(first.content))
+        assert rest.http_code == 206
+        assert first.content + rest.content == full
+        # past-the-end resume → 416, empty body
+        past = t.request("http://r.test/big.bin", range_from=len(full))
+        assert past.http_code == 416 and past.content == b""
+        # bounded range via raw header path: first 10 bytes
+        status, _pairs, hmap, body = t._do(
+            "GET", "http://r.test/big.bin", {"Range": "bytes=0-9"})
+        assert status == 206 and body == full[:10]
+        assert hmap["content-range"] == f"bytes 0-9/{len(full)}"
