@@ -5327,3 +5327,62 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+def ship_delay_histogram(sf_dir: str):
+    """(delay_week, n) — order-to-ship latency distribution: lineitem ⋈
+    orders on orderkey (the big-big join, bucketed shuffle ∝ cluster
+    CPUs, orderdate dict built per bucket — never a global broadcast),
+    delay = l_shipdate − o_orderdate bucketed by week. The supply-chain
+    latency histogram every ops dashboard draws; integer-exact oracle."""
+    n_buckets = _n_join_buckets()
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey", "l_shipdate"])
+    od = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_orderdate"])
+
+    def tag_li(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["l_orderkey"].astype("int64"),
+            "days": pd.to_datetime(df["l_shipdate"]).values
+                    .astype("datetime64[D]").astype("int64"),
+            "side": np.int8(0),
+            "bucket": (df["l_orderkey"] % n_buckets).astype("int64"),
+        })
+
+    def tag_od(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["o_orderkey"].astype("int64"),
+            "days": pd.to_datetime(df["o_orderdate"]).values
+                    .astype("datetime64[D]").astype("int64"),
+            "side": np.int8(1),
+            "bucket": (df["o_orderkey"] % n_buckets).astype("int64"),
+        })
+
+    both = li.map_batches(tag_li, batch_format="pandas").union(
+        od.map_batches(tag_od, batch_format="pandas"))
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        omap = dict(zip(g.loc[g["side"] == 1, "key"],
+                        g.loc[g["side"] == 1, "days"]))
+        lines = g[g["side"] == 0]
+        delay = lines["days"].to_numpy() \
+            - lines["key"].map(omap).to_numpy()
+        week = (delay // 7).astype("int64")
+        out = pd.Series(week).value_counts().reset_index()
+        out.columns = ["delay_week", "n"]
+        return out
+
+    return both.groupby("bucket") \
+        .map_groups(join_bucket, batch_format="pandas") \
+        .groupby("delay_week").aggregate(Sum("n", alias_name="n"))
+
+
+SHIP_DELAY_HISTOGRAM_SQL = """
+SELECT CAST(floor(datediff('day', o.o_orderdate, l.l_shipdate) / 7.0)
+         AS BIGINT) AS delay_week,
+       count(*) AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+"""
