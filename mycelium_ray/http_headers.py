@@ -233,13 +233,17 @@ def parse_cache_control(value: str) -> dict:
 
 def freshness_lifetime(cache_control: str, expires_epoch: int | None,
                        date_epoch: int | None,
-                       shared: bool = True) -> tuple[int, bool, bool]:
+                       shared: bool = True,
+                       last_modified_epoch: int | None = None) -> tuple[int, bool, bool]:
     """(lifetime_s, cacheable, revalidate) per RFC 9111 §4.2.1/§5.2:
 
     - ``no-store`` → not cacheable at all;
     - ``private`` → not cacheable by a SHARED cache (a crawler is one);
     - ``no-cache`` → cacheable but must revalidate every use (lifetime 0);
-    - else lifetime = s-maxage (shared) > max-age > (Expires - Date) > 0.
+    - else lifetime = s-maxage (shared) > max-age > (Expires - Date),
+      falling back to the §4.2.2 HEURISTIC when none is present and
+      Last-Modified is: 10% of (Date - Last-Modified) — the rule every
+      cache (and polite recrawler) applies to lifetime-less responses.
     Malformed numeric arguments are ignored per the spec's error
     handling (treat as absent)."""
     cc = parse_cache_control(cache_control or "")
@@ -266,4 +270,7 @@ def freshness_lifetime(cache_control: str, expires_epoch: int | None,
     if life is None and expires_epoch is not None \
             and date_epoch is not None:
         life = max(0, int(expires_epoch) - int(date_epoch))
+    if life is None and last_modified_epoch is not None \
+            and date_epoch is not None:
+        life = max(0, (int(date_epoch) - int(last_modified_epoch)) // 10)
     return (life if life is not None else 0), True, False

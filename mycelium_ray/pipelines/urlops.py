@@ -1072,7 +1072,7 @@ def http_cache_policy(sf_dir: str):
         ids = t["doc_id"].to_pylist()
         cache, life, reval = [], [], []
         for d in ids:
-            kind = d % 6
+            kind = d % 7
             if kind == 0:
                 cc, exp, date = f"max-age={d % 7200}", None, None
             elif kind == 1:
@@ -1084,10 +1084,14 @@ def http_cache_policy(sf_dir: str):
             elif kind == 4:
                 cc = f"private, max-age={d % 100}"
                 exp = date = None
-            else:
+            elif kind == 5:
                 cc = f"max-age={d % 100}, s-maxage={d % 1000}"
                 exp = date = None
-            ln, ca, rv = freshness_lifetime(cc, exp, date, shared=True)
+            else:
+                cc, exp, date = "", None, 100000   # heuristic class
+            lm = 100000 - 10 * (d % 5000) if kind == 6 else None
+            ln, ca, rv = freshness_lifetime(cc, exp, date, shared=True,
+                                            last_modified_epoch=lm)
             cache.append(ca)
             life.append(ln)
             reval.append(rv)
@@ -1103,15 +1107,16 @@ def http_cache_policy(sf_dir: str):
 
 HTTP_CACHE_POLICY_SQL = """
 SELECT doc_id,
-       doc_id % 6 NOT IN (1, 4) AS cacheable,
-       CAST(CASE doc_id % 6
+       doc_id % 7 NOT IN (1, 4) AS cacheable,
+       CAST(CASE doc_id % 7
             WHEN 0 THEN doc_id % 7200
             WHEN 1 THEN 0
             WHEN 2 THEN 0
             WHEN 3 THEN doc_id % 900
             WHEN 4 THEN 0
-            ELSE doc_id % 1000 END AS BIGINT) AS lifetime_s,
-       doc_id % 6 = 2 AS revalidate
+            WHEN 5 THEN doc_id % 1000
+            ELSE (10 * (doc_id % 5000)) // 10 END AS BIGINT) AS lifetime_s,
+       doc_id % 7 = 2 AS revalidate
 FROM documents
 """
 

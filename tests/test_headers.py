@@ -136,3 +136,14 @@ class TestCachePolicy:
         assert fl("max-age=oops", 1000, 400) == (600, True, False)
         assert fl("max-age=-5", None, None) == (0, True, False)
         assert fl("", None, None) == (0, True, False)
+
+    def test_heuristic_freshness(self):
+        from mycelium_ray.http_headers import freshness_lifetime as fl
+        # §4.2.2: no explicit lifetime → 10% of (Date - Last-Modified)
+        assert fl("", None, 100000, last_modified_epoch=90000) \
+            == (1000, True, False)
+        # explicit lifetime wins over the heuristic
+        assert fl("max-age=5", None, 100000, last_modified_epoch=0) \
+            == (5, True, False)
+        # no Last-Modified either → 0
+        assert fl("", None, 100000) == (0, True, False)
