@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_windowed_topk": analytics.events_windowed_topk,
         "events_decayed_counts": analytics.events_decayed_counts,
         "ship_delay_histogram": analytics.ship_delay_histogram,
+        "events_anomaly_windows": analytics.events_anomaly_windows,
         "group_value_quantiles": analytics.group_value_quantiles,
         "local_supplier_revenue": analytics.local_supplier_revenue,
         "orders_rollup": analytics.orders_rollup,
@@ -302,6 +303,7 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed_topk": analytics.EVENTS_WINDOWED_TOPK_SQL,
         "events_decayed_counts": analytics.EVENTS_DECAYED_SQL,
         "ship_delay_histogram": analytics.SHIP_DELAY_HISTOGRAM_SQL,
+        "events_anomaly_windows": analytics.EVENTS_ANOMALY_SQL,
         "group_value_quantiles": analytics.GROUP_VALUE_QUANTILES_SQL,
         "local_supplier_revenue": analytics.LOCAL_SUPPLIER_REVENUE_SQL,
         "orders_rollup": analytics.ORDERS_ROLLUP_SQL,

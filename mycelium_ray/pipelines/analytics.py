@@ -5386,3 +5386,63 @@ SELECT CAST(floor(datediff('day', o.o_orderdate, l.l_shipdate) / 7.0)
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 GROUP BY 1
 """
+
+
+def events_anomaly_windows(sf_dir: str, window_s: int = 3600):
+    """(event_type, window_start, n, is_anomaly) — burst detection by
+    z-score: a window is anomalous when its count exceeds that type's
+    mean by 2 population standard deviations. Two distributed passes:
+    (type, window) counts (Arrow partials), then per-type mean/std over
+    the count vector and the flag — all inside one type-group. Output
+    carries the BOOLEAN verdict only (no float columns), so the oracle
+    compare is exact."""
+    ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["ts", "event_type"])
+
+    def partial(t):
+        import pyarrow.compute as pc
+        us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(pc.divide(us, window_s * 10 ** 6), window_s)
+        g = pa.table({"event_type": t["event_type"],
+                      "window_start": win}) \
+            .group_by(["event_type", "window_start"]) \
+            .aggregate([([], "count_all")])
+        return pa.table({"event_type": g["event_type"],
+                         "window_start": g["window_start"],
+                         "n": pc.cast(g["count_all"], pa.int64())})
+
+    def total(df: pd.DataFrame) -> pd.DataFrame:
+        return df.groupby(["event_type", "window_start"],
+                          as_index=False).agg(n=("n", "sum"))
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        n = g["n"].to_numpy(dtype=np.float64)
+        mu = n.mean()
+        sd = n.std()          # population std, ddof=0 — stddev_pop dual
+        g = g.copy()
+        # threshold rounded to 1e-6 on BOTH sides: numpy and DuckDB
+        # double arithmetic agree far beyond that, so a borderline
+        # window can never flip between engine and oracle
+        g["is_anomaly"] = g["n"] > round(mu + 2.0 * sd, 6)
+        return g[["event_type", "window_start", "n", "is_anomaly"]]
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["event_type", "window_start"]) \
+        .map_groups(total, batch_format="pandas") \
+        .groupby("event_type").map_groups(flag, batch_format="pandas")
+
+
+EVENTS_ANOMALY_SQL = """
+WITH c AS (
+  SELECT event_type,
+         (epoch_us(ts) // CAST(3600000000 AS BIGINT)) * 3600
+           AS window_start,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, window_start, n,
+       n > round(avg(n) OVER (PARTITION BY event_type)
+           + 2.0 * stddev_pop(n) OVER (PARTITION BY event_type), 6)
+         AS is_anomaly
+FROM c
+"""
