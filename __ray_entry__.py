@@ -91,9 +91,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": ann.ann_topk_ivf,              # rows-only (approximate)
         "ann_topk_indexed": ann.ann_topk_indexed,      # rows-only (persisted
                                                        # IVF index, read-pruned)
-        "ann_topk_pq": ann.ann_topk_pq,
-        "ann_topk_hnsw": ann.ann_topk_hnsw,    # rows-only (graph ANN)                # rows-only (PQ/ADC +
+        "ann_topk_pq": ann.ann_topk_pq,                # rows-only (PQ/ADC +
                                                        # exact refine, 32x codes)
+        "ann_topk_hnsw": ann.ann_topk_hnsw,            # rows-only (graph ANN)
         "ann_recall": ann.ann_recall,                 # rows-only (eval of
                                                        # approximate paths)
         "embedding_neardup": ann.embedding_neardup,

@@ -143,7 +143,8 @@ def socket_crawl_leg(site, seeds, host_stride: int = 8,
         from mycelium_ray.tlscert import (make_self_signed_cert,
                                           make_server_context)
         site, seeds = to_https(site, seeds)
-        ca_pem, key_pem = make_self_signed_cert()
+        from mycelium_ray.tlscert import tls_san_hosts
+        ca_pem, key_pem = make_self_signed_cert(hosts=tls_san_hosts(site, seeds))
         server_ctx = make_server_context(ca_pem, key_pem)
         schemes = ("https",)
     hosts = sorted({host_key(u) for u in seeds})

@@ -75,6 +75,8 @@ def decode_bmp(data: bytes) -> np.ndarray:
         (used,) = struct.unpack("<I", data[46:50])
         n_pal = used or 256
         pal_off = 14 + hdr_size
+        if pal_off + 4 * n_pal > len(data):
+            raise BmpError("truncated palette")
         pal = np.frombuffer(data[pal_off:pal_off + 4 * n_pal],
                             np.uint8).reshape(-1, 4)[:, 2::-1]  # BGRX → RGB
         stride = (w + 3) & ~3

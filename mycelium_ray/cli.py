@@ -128,7 +128,9 @@ def cmd_crawl(args) -> int:
                 from .tlscert import (make_self_signed_cert,
                                       make_server_context)
                 site, seeds = to_https(site, seeds)
-                ca_pem, key_pem = make_self_signed_cert()
+                from .tlscert import tls_san_hosts
+                ca_pem, key_pem = make_self_signed_cert(
+                    hosts=tls_san_hosts(site, seeds))
                 server_ctx = make_server_context(ca_pem, key_pem)
                 schemes = ("https",)
             server = FixtureHTTPServer(site,

@@ -151,6 +151,14 @@ class _Handler(BaseHTTPRequestHandler):
             m = _RANGE_RE.match(rng.strip())
             if m:
                 lo = int(m.group(1))
+                if m.group(2) and int(m.group(2)) < lo:
+                    # RFC 9110 §14.1.1: an EXPLICIT last-byte-pos below
+                    # first-byte-pos is an invalid range spec — ignore
+                    # the header entirely (full 200), don't synthesize
+                    # an empty 206. (Open-ended "bytes=N-" past the end
+                    # is unsatisfiable, not invalid → 416 below.)
+                    m = None
+            if m:
                 hi = int(m.group(2)) if m.group(2) else len(resp.content) - 1
                 if lo >= len(resp.content):
                     self._send(416, [("Content-Range",

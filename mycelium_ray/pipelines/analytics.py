@@ -5421,8 +5421,11 @@ def events_anomaly_windows(sf_dir: str, window_s: int = 3600):
         sd = n.std()          # population std, ddof=0 — stddev_pop dual
         g = g.copy()
         # threshold rounded to 1e-6 on BOTH sides: numpy and DuckDB
-        # double arithmetic agree far beyond that, so a borderline
-        # window can never flip between engine and oracle
+        # double arithmetic agree far beyond that, which NARROWS (does
+        # not eliminate) the float-compare risk — a flip needs the two
+        # engines' doubles to straddle a 1e-6 rounding boundary that
+        # also crosses an integer count, which the synthetic data's
+        # count spacing keeps out of reach
         g["is_anomaly"] = g["n"] > round(mu + 2.0 * sd, 6)
         return g[["event_type", "window_start", "n", "is_anomaly"]]
 

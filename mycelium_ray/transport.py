@@ -176,7 +176,10 @@ class SocketTransport:
         self.addr = tuple(addr)
         self.ssl_context = ssl_context
         self.dns_resolver = dns_resolver
-        self._conns: dict[tuple, object] = {}  # (scheme, ip) -> connection
+        # http: (scheme, ip); https: (scheme, ip, sni) — TLS sessions
+        # are per virtual host because the certificate is verified
+        # against the URL host, not the connect address
+        self._conns: dict[tuple, object] = {}
 
     # -- internals --
     def _resolve(self, host: str) -> str:
@@ -203,19 +206,33 @@ class SocketTransport:
         except DnsError as e:
             raise TransportDnsError(f"dns failure: {e}") from e
 
-    def _connection(self, scheme: str, ip: str):
+    @staticmethod
+    def _hostname(host: str) -> str:
+        """URL host → bare hostname for SNI/cert matching: strips the
+        port and IPv6 brackets ("[::1]:8443" → "::1")."""
+        if host.startswith("["):
+            return host[1:host.index("]")] if "]" in host else host[1:]
+        return host.rsplit(":", 1)[0] if host.count(":") == 1 else host
+
+    def _connection(self, key: tuple, scheme: str, ip: str):
         import http.client
         import socket as _socket
-        key = (scheme, ip)
         conn = self._conns.get(key)
         if conn is None:
             if scheme == "https":
                 if self.ssl_context is None:
                     raise TransportTlsError(
                         "https URL on a transport with no ssl_context")
+                # construct with the URL HOST so server_hostname (SNI +
+                # hostname verification) is the virtual host being
+                # fetched, like curl — then pin the actual TCP connect
+                # target to the resolved fixture address
                 conn = http.client.HTTPSConnection(
-                    ip, self.addr[1], timeout=30,
+                    key[2], self.addr[1], timeout=30,
                     context=self.ssl_context)
+                conn._create_connection = (
+                    lambda address, timeout=None, source_address=None:
+                    _socket.create_connection((ip, self.addr[1]), timeout))
             else:
                 conn = http.client.HTTPConnection(ip, self.addr[1],
                                                   timeout=30)
@@ -238,10 +255,12 @@ class SocketTransport:
         host = host_path[2]
         path = "/" + (host_path[3] if len(host_path) > 3 else "")
         ip = self._resolve(host)
+        key = ((scheme, ip, self._hostname(host)) if scheme == "https"
+               else (scheme, ip))
         for attempt in (0, 1):
             conn = None
             try:
-                conn = self._connection(scheme, ip)
+                conn = self._connection(key, scheme, ip)
                 conn.putrequest(method, path, skip_host=True,
                                 skip_accept_encoding=True)
                 conn.putheader("Host", host)
@@ -264,23 +283,23 @@ class SocketTransport:
                     body = r.read(CONTENT_SIZE_LIMIT + 1)
                     if len(body) > CONTENT_SIZE_LIMIT:
                         conn.close()
-                        self._conns.pop((scheme, ip), None)
+                        self._conns.pop(key, None)
                 r.read()  # drain (no-op when fully read/closed)
                 return r.status, pairs, {k.lower(): v for k, v in pairs}, body
             except ssl_mod.SSLCertVerificationError as e:
-                self._conns.pop((scheme, ip), None)
+                self._conns.pop(key, None)
                 if conn is not None:
                     conn.close()
                 raise TransportTlsError(str(e), verify=True) from e
             except ssl_mod.SSLError as e:
                 # handshake/protocol failures are not keep-alive drops —
                 # never retried, surfaced as the curl TLS error family
-                self._conns.pop((scheme, ip), None)
+                self._conns.pop(key, None)
                 if conn is not None:
                     conn.close()
                 raise TransportTlsError(str(e)) from e
             except (http.client.HTTPException, ConnectionError, OSError):
-                self._conns.pop((scheme, ip), None)
+                self._conns.pop(key, None)
                 if conn is not None:
                     conn.close()
                 if attempt:

@@ -169,7 +169,8 @@ def test_dns_plus_tls_full_stack(corpus):
                                       make_server_context)
     site, seeds = corpus
     site, seeds = to_https(site, seeds)
-    cert, key = make_self_signed_cert()
+    from mycelium_ray.tlscert import tls_san_hosts
+    cert, key = make_self_signed_cert(hosts=tls_san_hosts(site, seeds))
 
     def crawl(transport):
         sim = ReferenceSimulator(site, parallel=6, transport=transport,

@@ -65,6 +65,33 @@ def test_bmp_fuzz():
     _assert_typed(decode_bmp, encode_bmp(PX), (BmpError,), 13)
 
 
+def _bmp_8bpp(w=4, h=3, n_pal=8):
+    import struct
+    pal = b"".join(struct.pack("<BBBB", i, i * 2, i * 3, 0)
+                   for i in range(n_pal))
+    stride = (w + 3) & ~3
+    px = bytes((x % n_pal) for _ in range(h) for x in range(stride))
+    off = 14 + 40 + len(pal)
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(px), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 8, 0, len(px),
+                         0, 0, n_pal, 0))
+    return hdr + pal + px
+
+
+def test_bmp_8bpp_truncated_palette_typed():
+    """A palette region shorter than 4*n_pal (or not a multiple of 4)
+    must raise BmpError, not numpy's reshape ValueError."""
+    blob = _bmp_8bpp()
+    assert decode_bmp(blob).shape == (3, 4, 3)
+    for cut in (1, 2, 3, 5, 30):  # both %4 != 0 and whole-entry cuts
+        with pytest.raises(BmpError):
+            decode_bmp(blob[:len(blob) - cut])
+
+
+def test_bmp_8bpp_fuzz():
+    _assert_typed(decode_bmp, _bmp_8bpp(), (BmpError,), 27)
+
+
 def test_exif_block_fuzz():
     base = build_exif(make="M", model="X", orientation=6,
                       datetime="2026:01:01 00:00:00",

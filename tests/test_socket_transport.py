@@ -316,3 +316,12 @@ def test_range_resume_after_content_cap():
             "GET", "http://r.test/big.bin", {"Range": "bytes=0-9"})
         assert status == 206 and body == full[:10]
         assert hmap["content-range"] == f"bytes 0-9/{len(full)}"
+        # RFC 9110 §14.1.1: last-byte-pos < first-byte-pos is an INVALID
+        # range spec — the server must ignore the header (full 200),
+        # never answer an empty 206 with "Content-Range: bytes 5-2/len".
+        # (body read caps at CONTENT_SIZE_LIMIT+1 client-side, enough to
+        # prove the 200-with-full-body path was taken)
+        status, _pairs, hmap, body = t._do(
+            "GET", "http://r.test/big.bin", {"Range": "bytes=5-2"})
+        assert status == 200 and "content-range" not in hmap
+        assert body[:10] == full[:10]

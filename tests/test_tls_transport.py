@@ -22,18 +22,24 @@ from mycelium_ray.transport import (CURLE_OK, CURLE_PEER_FAILED_VERIFICATION,
 
 
 @pytest.fixture(scope="module")
-def tls_material():
-    cert_pem, key_pem = make_self_signed_cert()
-    return (make_server_context(cert_pem, key_pem),
-            make_client_context(cert_pem),
-            cert_pem)
-
-
-@pytest.fixture(scope="module")
 def https_corpus():
     _, site, seeds = generate_corpus(seed=7, n_hosts=10, pages_per_host=5,
                                      hot_host_factor=3)
     return _to_https(site, seeds)
+
+
+@pytest.fixture(scope="module")
+def tls_material(https_corpus):
+    # explicit SANs for every host this module's sites use (corpus hosts
+    # + seed hosts + the hand-built "s.test" graphs) — hostname
+    # verification is against the URL host, so the cert must cover them
+    from mycelium_ray.tlscert import tls_san_hosts
+    site, seeds = https_corpus
+    san = sorted(set(tls_san_hosts(site, seeds)) | {"s.test"})
+    cert_pem, key_pem = make_self_signed_cert(hosts=tuple(san))
+    return (make_server_context(cert_pem, key_pem),
+            make_client_context(cert_pem),
+            cert_pem)
 
 
 def _crawl(site, seeds, transport):
@@ -106,6 +112,30 @@ def test_unverified_client_gets_curl_60(tls_material):
         assert rb.curl_code == CURLE_PEER_FAILED_VERIFICATION
 
 
+def test_hostname_mismatch_gets_curl_60(tls_material):
+    """Certificate chain is TRUSTED but its SANs don't cover the URL
+    host: curl verifies the URL host (CURLOPT_SSL_VERIFYHOST), so this
+    must fail verification (60) even though the chain validates. Guards
+    against verifying the connect IP instead of the virtual host."""
+    site = SiteGraph()
+    site.hosts = ["s.test"]
+    site.responses["https://s.test/x"] = Response(status=200, content=b"ok")
+    # cert for a DIFFERENT name (no *.test wildcard); client trusts it
+    cert, key = make_self_signed_cert(hosts=("other.example",))
+    with FixtureHTTPServer(site,
+                           tls_context=make_server_context(cert, key)) as srv:
+        t = SocketTransport(srv.addr, ssl_context=make_client_context(cert))
+        fr = t.request("https://s.test/x")
+        assert fr.curl_code == CURLE_PEER_FAILED_VERIFICATION
+        assert fr.http_code == 0 and fr.content == b""
+        # same trust root, matching host: succeeds — proving the failure
+        # above was the hostname check, not the chain
+        site.responses["https://other.example/x"] = Response(
+            status=200, content=b"ok2")
+        site.hosts.append("other.example")
+        assert t.request("https://other.example/x").content == b"ok2"
+
+
 def test_plaintext_client_against_tls_listener_gets_curl_35(tls_material):
     server_ctx, client_ctx, _ = tls_material
     site = SiteGraph()
@@ -132,7 +162,10 @@ def test_http_and_https_coexist_on_one_transport(tls_material):
     with FixtureHTTPServer(site, tls_context=server_ctx) as srv:
         t = SocketTransport(srv.addr, ssl_context=client_ctx)
         assert t.request("https://s.test/x").content == b"ok"
-        key = ("https", srv.addr[0])
+        # https pool entries are keyed per virtual host (the cert is
+        # verified against the URL host, so sessions can't be shared
+        # across SNI names)
+        key = ("https", srv.addr[0], "s.test")
         assert key in t._conns
         assert not any(k[0] == "http" for k in t._conns)
         # keep-alive: a second request reuses the TLS session's conn
