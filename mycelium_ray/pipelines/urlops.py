@@ -707,87 +707,136 @@ ORDER BY doc_id
 # B = doc%6 + 1000 (hosts share all 3 iff k ≡ k' mod 2). That yields a
 # three-tier Jaccard: 1.0 (same mod-4 class), 3/11 (same parity only),
 # 0 (cross parity) — the oracle recomputes the same sets in SQL. Plan:
-# per-batch distinct (host, cid)
-# Arrow partials → global distinct via one bucketed groupby → host set
-# sizes as a second bounded groupby (broadcast: hosts are a dimension) →
-# per-cid host pairs (fan bounded by hosts-per-cid; at web scale hot
-# fingerprints would be banded first like minhash buckets) → per-pair
-# intersection counts → Jaccard gate. Both shuffles ∝ CPUs.
+# This is a set-similarity self-join over host → set(cid), so it reuses
+# the blocked all-pairs shape of dedup._jaccard_pairs_ds (1-Bucket-Theta
+# block-replication join): per-batch distinct (host, cid) Arrow partials
+# → one host-bucketed groupby that globally dedups AND attaches each
+# host's set size to its rows (no driver-side size dict, no ray.put
+# broadcast) → each row replicates to the G block tasks covering its
+# host-group's pairings, so every unordered host pair meets in EXACTLY
+# ONE task with both sizes present → per-task vectorized intersection
+# count + Jaccard gate → distributed final sort. No per-cid all-pairs
+# fan-out (a hot fingerprint shared by H hosts costs merge rows split
+# across G(G+1)/2 tasks, not H²/2 rows in one), no repartition(1), and
+# nothing row-shaped touches the driver. All shuffles ∝ CPUs.
 # --------------------------------------------------------------------------
 MIRROR_JACCARD_MIN = 0.1
+
+
+def _mirror_groups() -> int:
+    """Host-group count G for the blocked pair join: G(G+1)/2 tasks keeps
+    a full-width cluster busy (G=8 → 36 tasks ≥ 32 cores); on a real
+    cluster G would additionally scale with the host-count estimate from
+    parquet metadata so a block's rows stay ~1M."""
+    try:
+        return max(8, int(np.ceil(np.sqrt(
+            4 * ray.cluster_resources().get("CPU", 4)))))
+    except Exception:
+        return 8
 
 
 def mirror_hosts(sf_dir: str):
     """(host_a, host_b, n_common, jaccard) for host pairs with content
     Jaccard ≥ 0.1 — same-mirror-group pairs at every sf."""
-    import ray
+    from .dedup import sorted_or_empty
 
     n_buckets = _n_rr_buckets()
+    G = _mirror_groups()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "source"])
 
     def cid_partial(df: pd.DataFrame) -> pd.DataFrame:
-        k = df["source"].str.slice(3).astype(int)
         both = pd.concat([
-            pd.DataFrame({"host": df["source"], "k": k,
+            pd.DataFrame({"host": df["source"],
                           "cid": df["doc_id"] % 16}),
-            pd.DataFrame({"host": df["source"], "k": k,
+            pd.DataFrame({"host": df["source"],
                           "cid": df["doc_id"] % 6 + 1000}),
         ], ignore_index=True)
-        # bucket must be a DETERMINISTIC function of (host, cid): Python's
-        # str hash is per-process salted and would scatter the same row
-        # across buckets, defeating the global dedup
+        # bucket must be a DETERMINISTIC function of host (Python's str
+        # hash is per-process salted and would scatter one host across
+        # buckets, breaking both the global dedup and the size count)
         d = both.drop_duplicates(["host", "cid"])
+        h = url_hash64_many(d["host"].tolist())
         return pd.DataFrame({
             "host": d["host"],
             "cid": d["cid"].astype("int64"),
-            "bucket": ((d["cid"] * 131 + d["k"])
-                       % n_buckets).astype("int64"),
+            "grp": (h % np.uint64(G)).astype("int64"),
+            "hbucket": (h % np.uint64(n_buckets)).astype("int64"),
         })
 
-    pairs_in = ds.map_batches(cid_partial, batch_format="pandas") \
-        .groupby("bucket").map_groups(
-            lambda g: g[["host", "cid"]].drop_duplicates(),
-            batch_format="pandas").materialize()
+    def dedup_and_size(g: pd.DataFrame) -> pd.DataFrame:
+        # all rows of a host land in this group (hbucket is a function
+        # of host): finish the distinct, then n_host = |set(cid)|
+        d = g.drop_duplicates(["host", "cid"]).copy()
+        d["n_host"] = d.groupby("host")["cid"].transform("size") \
+            .astype("int64")
+        return d[["host", "cid", "grp", "n_host"]]
 
-    sizes = {r["host"]: int(r["count()"])
-             for r in pairs_in.groupby("host").count().take_all()}
-    sizes_ref = ray.put(sizes)
+    sized = ds.map_batches(cid_partial, batch_format="pandas") \
+        .groupby("hbucket").map_groups(dedup_and_size,
+                                       batch_format="pandas")
 
-    def host_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        hosts = sorted(g["host"].unique())
-        if len(hosts) < 2:
-            return pd.DataFrame({"host_a": pd.Series([], dtype="object"),
-                                 "host_b": pd.Series([], dtype="object"),
-                                 "n": pd.Series([], dtype="int64")})
-        out = [(a, b) for i, a in enumerate(hosts) for b in hosts[i + 1:]]
+    def explode_replicate(df: pd.DataFrame) -> pd.DataFrame:
+        # row of host-group g → the G tasks {(min(g,o), max(g,o))}
+        grp = df["grp"].to_numpy()
+        idx = np.repeat(np.arange(len(df)), G)
+        other = np.tile(np.arange(G, dtype="int64"), len(df))
+        g_rep = grp[idx]
+        task = (np.minimum(g_rep, other) * G + np.maximum(g_rep, other))
+        out = df.iloc[idx].reset_index(drop=True)
+        out["task"] = task
+        # the G task ids of one row are all distinct ((o,g) for o<g,
+        # (g,g), (g,o) for o>g) and (host, cid) rows are globally unique
+        # after dedup_and_size — no duplicate (host, cid, task) rows
+        return out
+
+    empty = pd.DataFrame({"host_a": pd.Series([], dtype="object"),
+                          "host_b": pd.Series([], dtype="object"),
+                          "n_common": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+
+    def block_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return empty
+        i, j = divmod(int(g["task"].iloc[0]), G)
+        a = g[g["grp"] == i]
+        b = g[g["grp"] == j] if i != j else a
+        m = a.merge(b, on="cid", suffixes=("_x", "_y"))
+        if i == j:
+            # self block: keep each unordered pair once, drop self-pairs
+            m = m[m["host_x"] < m["host_y"]]
+        else:
+            # cross block: every pair appears exactly once (x from group
+            # i, y from group j) — NORMALIZE the order lexicographically
+            # (filtering would drop pairs whose group-j host sorts first)
+            swap = m["host_x"] > m["host_y"]
+            for cx, cy in (("host_x", "host_y"), ("n_host_x", "n_host_y")):
+                vx = m[cx].where(~swap, m[cy])
+                m[cy] = m[cy].where(~swap, m[cx])
+                m[cx] = vx
+            m = m[m["host_x"] != m["host_y"]]
+        if len(m) == 0:
+            return empty
+        out = m.groupby(["host_x", "host_y"], as_index=False).agg(
+            n_common=("cid", "size"), na=("n_host_x", "first"),
+            nb=("n_host_y", "first"))
+        jac = (out["n_common"].astype("float64")
+               / (out["na"] + out["nb"] - out["n_common"]))
+        out["jaccard"] = jac
+        out = out[jac >= MIRROR_JACCARD_MIN]
         return pd.DataFrame({
-            "host_a": [p[0] for p in out],
-            "host_b": [p[1] for p in out],
-            "n": np.ones(len(out), dtype=np.int64),
-        })
+            "host_a": out["host_x"], "host_b": out["host_y"],
+            "n_common": out["n_common"].astype("int64"),
+            "jaccard": out["jaccard"]})
 
-    def pair_partial(df: pd.DataFrame) -> pd.DataFrame:
-        out = df.groupby(["host_a", "host_b"], as_index=False).agg(
-            n=("n", "sum"))
-        return out.astype({"n": "int64"})
-
-    def jaccard(df: pd.DataFrame) -> pd.DataFrame:
-        sz = ray.get(sizes_ref)
-        out = df.groupby(["host_a", "host_b"], as_index=False).agg(
-            n_common=("n", "sum"))
-        na = out["host_a"].map(sz).astype("int64")
-        nb = out["host_b"].map(sz).astype("int64")
-        j = out["n_common"].astype("float64") / (na + nb - out["n_common"])
-        out["jaccard"] = j
-        out = out[j >= MIRROR_JACCARD_MIN]
-        return out.sort_values(["host_a", "host_b"]) \
-            .reset_index(drop=True).astype({"n_common": "int64"})
-
-    return pairs_in.groupby("cid") \
-        .map_groups(host_pairs, batch_format="pandas") \
-        .map_batches(pair_partial, batch_format="pandas") \
-        .repartition(1).map_batches(jaccard, batch_format="pandas")
+    pairs = sized.map_batches(explode_replicate, batch_format="pandas") \
+        .groupby("task").map_groups(block_pairs, batch_format="pandas")
+    return sorted_or_empty(
+        pairs, ["host_a", "host_b"],
+        pa.table({"host_a": pa.array([], pa.string()),
+                  "host_b": pa.array([], pa.string()),
+                  "n_common": pa.array([], pa.int64()),
+                  "jaccard": pa.array([], pa.float64())}))
 
 
 MIRROR_HOSTS_SQL = f"""
@@ -819,9 +868,13 @@ ORDER BY host_a, host_b
 # the 1-in-flight-per-host politeness invariant, how long does the host
 # queue take to drain? This is the scheduler's capacity estimate: hosts
 # with est_drain dominating the horizon get sharded/deprioritized. Plan:
-# per-batch Arrow count partials per source → one bounded groupby (hosts
-# are a dimension) → the real Robots parser decides fetchability and
-# delay on the 20-row result. Deci-second ints keep the oracle exact.
+# per-batch Arrow count partials per source → one bounded groupby → the
+# real Robots parser decides fetchability and delay PER BATCH of the
+# grouped result (the policy is a pure per-host function, so the plan
+# stage needs no global view) → distributed sort. The plan stays
+# host-partitioned end to end — no single-partition stage, because at
+# web scale "hosts" is the row count, not a dimension. Deci-second ints
+# keep the oracle exact.
 # --------------------------------------------------------------------------
 DEFAULT_DELAY_DS = 5  # 0.5 s between same-host fetches when robots is silent
 
@@ -864,9 +917,9 @@ def crawl_budget(sf_dir: str):
         })
         out["est_drain_ds"] = (out["n_fetchable"]
                                * out["crawl_delay_ds"]).astype("int64")
-        return out.sort_values("host").reset_index(drop=True)
+        return out
 
-    return per_host.repartition(1).map_batches(plan, batch_format="pandas")
+    return per_host.map_batches(plan, batch_format="pandas").sort("host")
 
 
 CRAWL_BUDGET_SQL = f"""
@@ -893,17 +946,26 @@ ORDER BY host
 # k%3 policy as robots_filter, plus a Sitemap directive on even-k hosts
 # (and a second one on k%4==0 hosts, so multi-sitemap files are
 # exercised); the REAL parser extracts them; the oracle mirrors the
-# derivation arithmetically. One map task per host (hosts are the
-# partition dimension, same as sitemap_ingest).
+# derivation arithmetically. Plan: per-batch distinct sources → global
+# distinct via a host-hash-bucketed groupby (a host's rows all land in
+# one group, so per-group unique is globally correct) → the parser runs
+# per bucket → distributed sort. Host-bucketed end to end; no
+# single-partition stage.
 # --------------------------------------------------------------------------
 def robots_sitemap_discovery(sf_dir: str):
     """(host, n_sitemaps, first_sitemap) parsed by the real robots
     parser from derived per-host robots.txt bodies."""
+    n_buckets = _n_rr_buckets()
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["source"])
 
     def hosts_partial(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"source": df["source"].unique()})
+        u = df["source"].unique()
+        return pd.DataFrame({
+            "source": u,
+            "hbucket": (url_hash64_many(list(u))
+                        % np.uint64(n_buckets)).astype("int64"),
+        })
 
     def discover(df: pd.DataFrame) -> pd.DataFrame:
         rows = []
@@ -921,11 +983,13 @@ def robots_sitemap_discovery(sf_dir: str):
         return pd.DataFrame({
             "host": [r[0] for r in rows],
             "n_sitemaps": pd.Series([r[1] for r in rows], dtype="int64"),
-            "first_sitemap": [r[2] for r in rows],
+            "first_sitemap": pd.Series([r[2] for r in rows],
+                                       dtype="object"),
         })
 
     return ds.map_batches(hosts_partial, batch_format="pandas") \
-        .repartition(1).map_batches(discover, batch_format="pandas")
+        .groupby("hbucket").map_groups(discover, batch_format="pandas") \
+        .sort("host")
 
 
 ROBOTS_SITEMAP_DISCOVERY_SQL = """
