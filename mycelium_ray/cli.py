@@ -86,6 +86,27 @@ def _listen_seeds(port: int, seconds: float) -> list[str]:
     return [u.normalize().get() for u in src.urls()]
 
 
+def _run_daemon_with_listener(crawler, args):
+    """Reference daemon mode: crawl and ingest live TCP seeds
+    CONCURRENTLY (no wave barrier); the listener closes after
+    --listen-seconds and the crawl drains what remains."""
+    import threading
+
+    from .sources.tcpseed import TcpSeedListener
+    src = TcpSeedListener(port=args.listen_port or 0)
+    print(json.dumps({"daemon_listening": {
+        "host": src.host, "port": src.port,
+        "seconds": args.listen_seconds}}), file=sys.stderr, flush=True)
+    timer = threading.Timer(args.listen_seconds, src.close)
+    timer.daemon = True
+    timer.start()
+    try:
+        return crawler.run_daemon(seed_poll=src.poll_lines)
+    finally:
+        timer.cancel()
+        src.close()
+
+
 def cmd_crawl(args) -> int:
     from .corpus import generate_corpus
 
@@ -99,7 +120,9 @@ def cmd_crawl(args) -> int:
     seeds: list[str] = []
     if args.seeds:
         seeds.extend(_read_seed_file(args.seeds))
-    if args.listen_port is not None:
+    if args.listen_port is not None and not args.daemon:
+        # two-phase mode: listen for a window, then crawl. --daemon
+        # instead keeps the channel open DURING the crawl (below).
         seeds.extend(_listen_seeds(args.listen_port, args.listen_seconds))
     if not seeds:
         seeds = corpus_seeds
@@ -150,7 +173,8 @@ def cmd_crawl(args) -> int:
                 transport_ca=ca_pem, transport_dns=dns_addr,
                 schemes=schemes)
             crawler.feed(seeds)
-            result = crawler.run()
+            result = (_run_daemon_with_listener(crawler, args)
+                      if args.daemon else crawler.run())
             ds = crawler.fetched_dataset()
             from .stages.decode import DecodeValidate
             ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
@@ -159,10 +183,37 @@ def cmd_crawl(args) -> int:
                 ds.write_parquet(args.out)
             else:
                 ds.count()
-            stats = {"mode": "tls" if args.tls else "socket",
+            stats = {"mode": ("tls" if args.tls else "socket")
+                             + ("+daemon" if args.daemon else ""),
                      "addr": list(server.addr),
                      "n_seen": len(result.url_seen),
                      "n_saved": len(result.saved),
+                     "n_live_seeds": crawler.metrics.get("n_live_seeds", 0),
+                     "n_rounds": None}
+        elif args.daemon:
+            # daemon over the in-process fixture transport: same event
+            # loop, no TCP fetch path — the live-INGEST channel is still
+            # real TCP
+            from .pipelines import crawl as crawl_mod
+            crawler = crawl_mod.RayCrawler(
+                site, parallel=args.parallel,
+                n_fetchers=max(2, args.shards), dedup=args.dedup,
+                checkpoint_every=args.checkpoint_every,
+                follow_links=args.follow_links)
+            crawler.feed(seeds)
+            result = _run_daemon_with_listener(crawler, args)
+            ds = crawler.fetched_dataset()
+            from .stages.decode import DecodeValidate
+            ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
+                                batch_size=256)
+            if args.out:
+                ds.write_parquet(args.out)
+            else:
+                ds.count()
+            stats = {"mode": "daemon",
+                     "n_seen": len(result.url_seen),
+                     "n_saved": len(result.saved),
+                     "n_live_seeds": crawler.metrics.get("n_live_seeds", 0),
                      "n_rounds": None}
         else:
             from .pipelines.crawl_sharded import run_crawl_sharded
@@ -358,6 +409,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="ALSO accept seed lines over TCP on this port "
                         "(0 = OS-assigned; reference S1 ingest)")
     c.add_argument("--listen-seconds", type=float, default=5.0)
+    c.add_argument("--daemon", action="store_true",
+                   help="continuous event-loop crawl: live TCP seed "
+                        "ingest DURING fetching, no wave barrier (the "
+                        "reference's long-running mode); keeps the "
+                        "--listen-port channel open for "
+                        "--listen-seconds while crawling, then drains")
     c.add_argument("--dns", action="store_true",
                    help="with --serve: resolve every host over a real "
                         "RFC 1035 UDP exchange against a fixture DNS "

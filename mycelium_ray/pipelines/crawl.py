@@ -431,6 +431,107 @@ class RayCrawler(ReferenceSimulator):
         self._maybe_flush(force=True)
         return self.result
 
+    def run_daemon(self, seed_poll=None, idle_grace: float | None = None,
+                   poll_interval: float = 0.02,
+                   max_events: int = 10_000_000):
+        """Continuous (daemon-mode) crawl: a per-completion event loop
+        with live seed ingest and NO wave barrier — the reference's
+        long-running shape, where ``event_dispatch`` (crawler.cc:1428)
+        drains curl completions and re-arms each handle immediately
+        (crawler.cc:1222-1230 reschedule loop) while the TCP seed
+        channel pushes into the frontier concurrently
+        (crawler.cc:1281 connection_read_cb → Url_classifier::push).
+
+        Each handle's transfer is its own single-request future on the
+        fetcher pool; ``ray.wait(num_returns=1)`` applies completions as
+        they land, so a slow transfer never gates the rest of the fleet
+        and freshly-ingested URLs start fetching while older transfers
+        are still in flight. Per-host FIFO + the one-in-flight-per-host
+        politeness invariant are preserved by construction (a host's
+        queue is bound to one handle), so per-host crawl order matches
+        the wave engine; GLOBAL completion order is event-driven, which
+        is exactly the reference's behavior and why daemon mode is not
+        the bit-parity configuration (``run`` is).
+
+        ``seed_poll``: zero-arg callable → newly arrived seed lines
+        ([] when idle, None once the channel is closed and drained) —
+        e.g. ``TcpSeedListener.poll_lines``. The loop exits when nothing
+        is in flight, the frontier is drained, and the channel is closed
+        (or, with ``idle_grace`` set, after that many idle seconds).
+        """
+        import time as _time
+        self._ensure_fetchers()
+        futures: dict = {}   # ObjectRef -> hid
+        live: set[int] = set()   # hids with an outstanding future
+
+        def pump() -> bool:
+            for h in self.handles:
+                if h.inflight is None and h.hid not in live:
+                    self._reschedule(h)
+            started = False
+            for h in self.handles:
+                if h.inflight is not None and h.hid not in live:
+                    kind, url, etag, ims = h.inflight
+                    f = self._fetchers[h.hid % len(self._fetchers)]
+                    fut = f.fetch_batch.remote(
+                        [(h.hid, kind, url, etag, ims)])
+                    futures[fut] = h.hid
+                    live.add(h.hid)
+                    started = True
+            return started
+
+        events = 0
+        closed = seed_poll is None
+        idle_since = None
+        pump()
+        while True:
+            if not closed:
+                lines = seed_poll()
+                if lines is None:
+                    closed = True
+                elif lines:
+                    self.feed(lines)
+                    self.metrics["n_live_seeds"] = \
+                        self.metrics.get("n_live_seeds", 0) + len(lines)
+                    idle_since = None
+            pump()
+            if not futures:
+                if self._advance_past_delays():
+                    pump()
+                    continue
+                if closed:
+                    break
+                if idle_grace is not None:
+                    if idle_since is None:
+                        idle_since = _time.monotonic()
+                    elif _time.monotonic() - idle_since > idle_grace:
+                        break
+                _time.sleep(poll_interval)
+                continue
+            done, _ = ray.wait(list(futures), num_returns=1,
+                               timeout=poll_interval)
+            for fut in done:
+                hid = futures.pop(fut)
+                live.discard(hid)
+                h = self.handles[hid]
+                kind = h.inflight[0]
+                # 1=ROBOTS, 3=HEAD (FetcherActor._one's kind codes)
+                self.metrics[{1: "n_robots", 3: "n_head"}
+                             .get(kind, "n_get")] += 1
+                (_idx, tup), = ray.get(fut)
+                h.inflight = None
+                self._tick += 1   # logical stamp = completion event count
+                events += 1
+                if events > max_events:
+                    raise RuntimeError("daemon crawl did not converge")
+                cc, http, eff, headers, content, cerr, outlinks = tup
+                self._done(h, kind, FetchResult(
+                    cc, http, eff, headers, content, cerr,
+                    outlinks=tuple(outlinks)))
+            self._maybe_flush()
+        self._maybe_flush(force=True)
+        return self.result
+
     # ---- output dataset ----
     def fetched_dataset(self):
         """ray.data Dataset over all flushed fetch batches."""

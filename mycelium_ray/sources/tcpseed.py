@@ -186,6 +186,24 @@ class TcpSeedListener:
         with self._lock:
             return list(self._urls)
 
+    def drain(self) -> list[Url]:
+        """Pop-and-return seeds accumulated since the last drain — the
+        daemon crawl's live-ingest hook (subsequent ``urls()`` no longer
+        include drained seeds; ``stats`` keep counting)."""
+        with self._lock:
+            out = self._urls
+            self._urls = []
+        return out
+
+    def poll_lines(self) -> list[str] | None:
+        """``RayCrawler.run_daemon`` seed_poll protocol: new URL lines
+        since the last call; [] when idle, None once the listener is
+        closed AND fully drained (the daemon's shutdown signal)."""
+        batch = self.drain()
+        if batch:
+            return [u.get() for u in batch]
+        return None if self._stop.is_set() else []
+
     def to_dataset(self):
         """Seeds as a Ray Data Dataset (url string rows), the head of the
         canonicalize → seen-filter → frontier pipeline."""

@@ -1,0 +1,184 @@
+"""Daemon-mode continuous crawl (reference event-loop parity): URLs
+pushed over the TCP seed listener MID-CRAWL are fetched in the same run
+with no restart and no wave barrier (crawler.cc:1428 event_dispatch +
+crawler.cc:1281 live connection_read_cb ingest happening concurrently
+with the crawler.cc:1222-1230 reschedule loop).
+
+Parity model: daemon completion order is event-driven (like the
+reference), so the assertions pin what IS invariant under the politeness
+budget — the url_seen set, the saved-document set, and each host's FIFO
+fetch order — against the wave-barriered engine fed the same seeds."""
+
+import socket
+import threading
+import time
+
+import pytest
+
+from mycelium_ray.corpus import generate_corpus
+from mycelium_ray.pipelines.crawl import RayCrawler
+from mycelium_ray.simulator import ReferenceSimulator
+from mycelium_ray.sources.tcpseed import TcpSeedListener
+
+
+def _push(port: int, lines: list[str]) -> None:
+    with socket.create_connection(("127.0.0.1", port)) as s:
+        s.sendall(("".join(ln + "\n" for ln in lines)).encode())
+
+
+def _per_host_order(saved):
+    seq: dict[str, list[str]] = {}
+    for d in saved:
+        seq.setdefault(d.url.split("/")[2], []).append(d.url)
+    return seq
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    _, site, seeds = generate_corpus(seed=11, n_hosts=12, pages_per_host=6,
+                                     hot_host_factor=2)
+    # drop case-variant spellings ("HTTP://HOST000.test/..."): the
+    # classifier keys queues on the RAW parsed host (reference parity,
+    # crawler.cc:1311), so a case-variant seed opens a SECOND queue for
+    # the same canonical host — the two queues' interleave is
+    # timing-dependent (allowed by the politeness budget, which is
+    # per-queue), which would make the per-host order assertion flaky in
+    # both the daemon AND the reference event loop
+    seeds = [s for s in seeds
+             if "://" not in s or s.split("/", 3)[2].islower()
+             and s.split(":", 1)[0].islower()]
+    return site, seeds
+
+
+def test_live_seeds_fetched_mid_crawl_same_run(ray_session, corpus):
+    site, seeds = corpus
+    half = len(seeds) // 2
+    first, second = seeds[:half], seeds[half:]
+
+    crawler = RayCrawler(site, parallel=8, n_fetchers=3)
+    crawler.feed(first)
+
+    with TcpSeedListener() as src:
+        # pusher: wait until the crawl has demonstrably started (saved
+        # rows exist), then push the second half over real TCP and close
+        # the channel once the listener has accepted it
+        def pusher():
+            deadline = time.monotonic() + 30
+            while not crawler.result.saved and time.monotonic() < deadline:
+                time.sleep(0.01)
+            _push(src.port, second)
+            while (src.stats.n_accepted + src.stats.n_rejected
+                   < len(second)) and time.monotonic() < deadline:
+                time.sleep(0.01)
+            src.close()
+
+        fed_at_saved: list[int] = []
+
+        def poll():
+            lines = src.poll_lines()
+            if lines:
+                fed_at_saved.append(len(crawler.result.saved))
+            return lines
+
+        t = threading.Thread(target=pusher, daemon=True)
+        t.start()
+        res = crawler.run_daemon(seed_poll=poll)
+        t.join(timeout=10)
+
+    # live seeds were ingested strictly MID-crawl: fetching had already
+    # saved documents when they arrived, and more saves followed
+    assert fed_at_saved, "no live seeds were ingested"
+    assert 0 < fed_at_saved[0] < len(res.saved)
+    assert crawler.metrics["n_live_seeds"] > 0
+
+    # wave-engine reference fed the same seeds in the same per-host
+    # order (first half then second half)
+    ref = ReferenceSimulator(site, parallel=8)
+    ref.feed(first)
+    ref.feed(second)
+    ref_res = ref.run()
+
+    # same-run completeness: everything from BOTH halves crawled without
+    # a restart
+    assert res.url_seen == ref_res.url_seen
+    assert {(d.url, d.http_code, d.content) for d in res.saved} == \
+        {(d.url, d.http_code, d.content) for d in ref_res.saved}
+    # politeness-budget order parity: per-host FIFO sequences identical
+    assert _per_host_order(res.saved) == _per_host_order(ref_res.saved)
+    # request-kind metrics agree for the deterministic kinds (HEADs /
+    # GETs / saves are per queued URL). n_robots is legitimately
+    # schedule-dependent: the robots cache is per HANDLE (reference T3
+    # semantics), and the queue→handle binding follows completion
+    # timing, so an event-driven run may re-probe a host a wave run
+    # served from a warm handle — bound it instead of pinning it.
+    for k in ("n_head", "n_get", "n_saved", "bytes_dl"):
+        assert crawler.metrics[k] == ref.metrics[k], k
+    assert crawler.metrics["n_robots"] >= ref.metrics["n_robots"]
+    assert crawler.metrics["n_robots"] <= ref.metrics["n_robots"] + 8
+
+
+def test_daemon_drains_when_channel_closes_empty(ray_session, corpus):
+    """A daemon crawl whose seed channel closes without ever producing a
+    line behaves exactly like a wave crawl of the initial seeds."""
+    site, seeds = corpus
+    crawler = RayCrawler(site, parallel=6, n_fetchers=2)
+    crawler.feed(seeds)
+    src = TcpSeedListener()
+    src.close()
+    res = crawler.run_daemon(seed_poll=src.poll_lines)
+
+    ref = ReferenceSimulator(site, parallel=6)
+    ref.feed(seeds)
+    ref_res = ref.run()
+    assert res.url_seen == ref_res.url_seen
+    assert _per_host_order(res.saved) == _per_host_order(ref_res.saved)
+
+
+def test_daemon_idle_grace_exit(ray_session, corpus):
+    """With an open-but-silent channel, idle_grace bounds the wait."""
+    site, seeds = corpus
+    crawler = RayCrawler(site, parallel=4, n_fetchers=2)
+    crawler.feed(seeds[:10])
+    with TcpSeedListener() as src:
+        t0 = time.monotonic()
+        res = crawler.run_daemon(seed_poll=src.poll_lines,
+                                 idle_grace=0.3)
+        elapsed = time.monotonic() - t0
+    assert len(res.saved) > 0
+    assert elapsed < 25  # exited via grace, not hung on the open channel
+
+
+def test_daemon_seeds_after_frontier_drained(ray_session, corpus):
+    """Seeds arriving AFTER the initial frontier fully drained (engine
+    idle, channel still open) still get fetched in the same run — the
+    daemon never needs a restart."""
+    site, seeds = corpus
+    first, second = seeds[:6], seeds[6:12]
+    crawler = RayCrawler(site, parallel=4, n_fetchers=2)
+    crawler.feed(first)
+
+    with TcpSeedListener() as src:
+        state = {"pushed": False}
+
+        def poll():
+            # once the engine reports the first batch done (poll gets
+            # called with nothing in flight), push the late seeds
+            if (not state["pushed"] and crawler.result.saved
+                    and all(h.inflight is None for h in crawler.handles)):
+                state["pushed"] = True
+                _push(src.port, second)
+                deadline = time.monotonic() + 30
+                while (src.stats.n_accepted + src.stats.n_rejected
+                       < len(second)) and time.monotonic() < deadline:
+                    time.sleep(0.01)
+                src.close()
+            return src.poll_lines()
+
+        res = crawler.run_daemon(seed_poll=poll)
+
+    ref = ReferenceSimulator(site, parallel=4)
+    ref.feed(first)
+    ref.feed(second)
+    ref_res = ref.run()
+    assert res.url_seen == ref_res.url_seen
+    assert _per_host_order(res.saved) == _per_host_order(ref_res.saved)
