@@ -63,7 +63,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_score": textops.token_freq_score,
         "bigram_lm_score": textops.bigram_lm_score,
         "fingerprint": textops.fingerprint,          # rows-only (rolling hash)
-        "stem_stats": textops.stem_stats,            # rows-only (M26 Porter;
+        "stem_stats": textops.stem_stats,            # rows-only (M26 multi-
+                                                     # lang: Porter + es/de/fr
+                                                     # Snowball per lang_id;
                                                      # no offline DuckDB fts)
         # --- corpus cleaning / safety gates ---
         "pii_redact": cleaning.pii_redact,

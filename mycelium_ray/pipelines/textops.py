@@ -25,6 +25,8 @@ from ..hashing import token_hash64_many, url_hash64_many
 
 STOP_EN = ("the", "a", "of", "and", "to", "in", "is")
 STOP_ES = ("el", "la", "de", "y", "en", "un", "es")
+STOP_DE = ("der", "die", "das", "und", "nicht", "ein", "zu")
+STOP_FR = ("le", "les", "et", "est", "une", "dans", "que")
 
 _WS = re.compile(r"\s+")
 
@@ -130,11 +132,22 @@ FROM t
 # --------------------------------------------------------------------------
 # lang_id: stopword-hit n-gram heuristic
 # --------------------------------------------------------------------------
+_LANGS = np.array(["en", "es", "de", "fr"])
+
+
+def _lang_pred(t: pa.Table) -> np.ndarray:
+    """Per-row language from stopword-hit argmax over en/es/de/fr;
+    'und' on ties (including the all-zero case) — the unique-max rule,
+    mirrored exactly by the SQL CASE chain."""
+    hits = np.stack(_stopword_hits(t, STOP_EN, STOP_ES, STOP_DE, STOP_FR))
+    mx = hits.max(axis=0)
+    unique = (hits == mx).sum(axis=0) == 1
+    return np.where(unique & (mx > 0), _LANGS[hits.argmax(axis=0)], "und")
+
+
 def lang_id_batch(t: pa.Table) -> pa.Table:
-    n_en, n_es = _stopword_hits(t, STOP_EN, STOP_ES)
-    pred = np.where(n_en > n_es, "en", np.where(n_es > n_en, "es", "und"))
     return pa.table({"doc_id": t["doc_id"],
-                     "lang_pred": pa.array(pred, pa.string())})
+                     "lang_pred": pa.array(_lang_pred(t), pa.string())})
 
 
 def lang_id(sf_dir: str):
@@ -148,12 +161,18 @@ WITH t AS (
          len(list_filter(string_split_regex(trim(text), '\\s+'),
                          w -> w IN {STOP_EN!r})) AS n_en,
          len(list_filter(string_split_regex(trim(text), '\\s+'),
-                         w -> w IN {STOP_ES!r})) AS n_es
+                         w -> w IN {STOP_ES!r})) AS n_es,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w IN {STOP_DE!r})) AS n_de,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         w -> w IN {STOP_FR!r})) AS n_fr
   FROM documents
 )
 SELECT doc_id,
-       CASE WHEN n_en > n_es THEN 'en'
-            WHEN n_es > n_en THEN 'es'
+       CASE WHEN n_en > greatest(n_es, n_de, n_fr) THEN 'en'
+            WHEN n_es > greatest(n_en, n_de, n_fr) THEN 'es'
+            WHEN n_de > greatest(n_en, n_es, n_fr) THEN 'de'
+            WHEN n_fr > greatest(n_en, n_es, n_de) THEN 'fr'
             ELSE 'und' END AS lang_pred
 FROM t
 """
@@ -198,18 +217,24 @@ def fingerprint(sf_dir: str):
 # the container's DuckDB cannot load the fts extension offline)
 # --------------------------------------------------------------------------
 def stem_stats_batch(t: pa.Table) -> pa.Table:
-    """(doc_id, n_tokens, n_distinct_stems, top_stem) per document using
-    the from-scratch Porter stemmer (functions/stemmer.py). The distinct-
-    value memo inside porter_stem_many makes the per-token cost ~a dict
-    hit on Zipfian text. Arrow in/out; the per-doc stem loop is the op."""
+    """(doc_id, lang, n_tokens, n_distinct_stems, top_stem) per document.
+
+    The stemmer is selected PER DOCUMENT from the lang_id heuristic —
+    the libstemmer surface the reference exposes (language-parameterized
+    Snowball; doc/sphinx/source/stemmer.rst:1-14): en → Porter
+    (functions/stemmer.py), es/de/fr → the from-scratch Snowball rules
+    (functions/snowball.py), 'und' → Porter (the fallback convention).
+    The distinct-value memo inside stem_many makes the per-token cost ~a
+    dict hit on Zipfian text. Arrow in/out; the per-doc loop is the op."""
     from collections import Counter
 
-    from ..functions.stemmer import porter_stem_many
+    from ..functions.snowball import stem_many
     texts = t["text"].to_pylist()
+    langs = _lang_pred(t)
     n_tok, n_stem, top = [], [], []
-    for text in texts:
+    for text, lang in zip(texts, langs):
         ws = (text or "").split()
-        stems = porter_stem_many([w.lower() for w in ws])
+        stems = stem_many([w.lower() for w in ws], lang)
         n_tok.append(len(ws))
         n_stem.append(len(set(stems)))
         if stems:
@@ -219,6 +244,7 @@ def stem_stats_batch(t: pa.Table) -> pa.Table:
             top.append("")
     return pa.table({
         "doc_id": t["doc_id"],
+        "lang": pa.array(langs, pa.string()),
         "n_tokens": pa.array(n_tok, pa.int64()),
         "n_distinct_stems": pa.array(n_stem, pa.int64()),
         "top_stem": pa.array(top, pa.string()),
