@@ -289,15 +289,22 @@ def word_count_topk(sf_dir: str, k: int = WORDCOUNT_TOPK):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("token").aggregate(Sum("n", alias_name="n"))
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["n", "token"],
-                              ascending=[False, True]).head(k)
+    def partial_topk(t: pa.Table) -> pa.Table:
+        # Arrow-native per-block top-k (the blocks are already Arrow off
+        # the groupby — no pandas conversion tax on the distinct-token set)
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("token", "ascending")])
+        return t.take(idx[:k])
 
-    pdf = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
-    pdf = pdf.sort_values(["n", "token"], ascending=[False, True]).head(k)
-    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype="int64")
-    return pa.Table.from_pandas(pdf.reset_index(drop=True),
-                                preserve_index=False)
+    import ray as _ray
+    parts = _ray.get(agg.map_batches(partial_topk, batch_format="pyarrow")
+                     .to_arrow_refs())
+    tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+    idx = pc.sort_indices(tbl, sort_keys=[("n", "descending"),
+                                          ("token", "ascending")])
+    tbl = tbl.take(idx[:k]).combine_chunks()
+    return tbl.append_column(
+        "rank", pa.array(np.arange(1, tbl.num_rows + 1), pa.int64()))
 
 
 WORD_COUNT_SQL = f"""
@@ -330,14 +337,27 @@ def sample_per_source(sf_dir: str, k: int = SAMPLE_K):
     docs with smallest (doc_id * 2654435761) mod 2^32, ties by doc_id.
     Per-batch partial top-k caps the shuffle at k rows per source per
     batch; the final per-source cut is a small groupby."""
-    def partial(df: pd.DataFrame) -> pd.DataFrame:
-        d = df["doc_id"].to_numpy().astype("uint64")
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        # Arrow-native per-batch top-k per source (the scan batches are
+        # zero-copy Arrow; no pandas round-trip of the full table)
+        d = t["doc_id"].to_numpy().astype("uint64")
         skey = ((d * np.uint64(_KNUTH)) % np.uint64(1 << 32)).astype("int64")
-        out = pd.DataFrame({"source": df["source"],
-                            "doc_id": df["doc_id"].astype("int64"),
-                            "skey": skey})
-        return out.sort_values(["source", "skey", "doc_id"]) \
-            .groupby("source", as_index=False).head(k)
+        tb = pa.table({"source": t["source"],
+                       "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                       "skey": pa.array(skey, pa.int64())})
+        tb = tb.take(pc.sort_indices(tb, sort_keys=[
+            ("source", "ascending"), ("skey", "ascending"),
+            ("doc_id", "ascending")]))
+        src = tb["source"].combine_chunks().to_numpy(zero_copy_only=False)
+        if len(src) == 0:
+            return tb
+        # rank within each sorted source run, vectorized
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        runs = np.diff(np.r_[starts, len(src)])
+        rank = np.arange(len(src)) - np.repeat(starts, runs)
+        return tb.filter(pa.array(rank < k))
 
     def final_cut(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["source", "skey", "doc_id"]) \
@@ -345,7 +365,7 @@ def sample_per_source(sf_dir: str, k: int = SAMPLE_K):
         return g[["source", "doc_id"]]
 
     out = _read(sf_dir, "documents", ["doc_id", "source"]) \
-        .map_batches(partial, batch_format="pandas") \
+        .map_batches(partial, batch_format="pyarrow") \
         .groupby("source").map_groups(final_cut, batch_format="pandas")
     pdf = out.to_pandas().sort_values(["source", "doc_id"]) \
         .reset_index(drop=True)
@@ -1085,15 +1105,20 @@ def bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK):
         .map_batches(partial, batch_format="pyarrow") \
         .groupby("bigram").aggregate(Sum("n", alias_name="n"))
 
-    def partial_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["n", "bigram"],
-                              ascending=[False, True]).head(k)
+    def partial_topk(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[("n", "descending"),
+                                            ("bigram", "ascending")])
+        return t.take(idx[:k])
 
-    pdf = agg.map_batches(partial_topk, batch_format="pandas").to_pandas()
-    pdf = pdf.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
-    pdf["rank"] = np.arange(1, len(pdf) + 1, dtype="int64")
-    return pa.Table.from_pandas(pdf.reset_index(drop=True),
-                                preserve_index=False)
+    import ray as _ray
+    parts = _ray.get(agg.map_batches(partial_topk, batch_format="pyarrow")
+                     .to_arrow_refs())
+    tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+    idx = pc.sort_indices(tbl, sort_keys=[("n", "descending"),
+                                          ("bigram", "ascending")])
+    tbl = tbl.take(idx[:k]).combine_chunks()
+    return tbl.append_column(
+        "rank", pa.array(np.arange(1, tbl.num_rows + 1), pa.int64()))
 
 
 BIGRAM_TOPK_SQL = f"""
