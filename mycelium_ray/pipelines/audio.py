@@ -25,14 +25,15 @@ _KNUTH = 2654435761  # same multiplicative-hash constant as sample_per_source
 
 
 def synth_audio_row(doc_id: int) -> bytes:
-    """Deterministic clip for a doc, doc_id%7 → FLAC / WAV-16 /
-    Ogg FLAC / WAV-24 / WAV-µlaw / WAV-alaw / WAV-IMA-ADPCM (every codec
-    path AudioFeatures REALLY decodes — the r4 wavcodec.py G.711
-    companders and the predictive ADPCM coder included):
-    n_samples and pitch derive from doc_id by integer arithmetic
-    (SQL-expressible); waveform is a pure sine, so the encoder sees
-    realistic smooth data (fixed predictors + Rice actually compress;
-    companding quantization actually bites)."""
+    """Deterministic clip for a doc, doc_id%8 → FLAC / WAV-16 /
+    Ogg FLAC / WAV-24 / WAV-µlaw / WAV-alaw / WAV-IMA-ADPCM / Ogg VORBIS
+    (every codec path AudioFeatures REALLY decodes — the r4 wavcodec.py
+    G.711 companders and predictive ADPCM coder, and the r5 from-scratch
+    Vorbis I transform codec included): n_samples and pitch derive from
+    doc_id by integer arithmetic (SQL-expressible); waveform is a pure
+    sine, so the encoders see realistic smooth data (fixed predictors +
+    Rice actually compress; companding quantization actually bites; the
+    MDCT actually concentrates energy)."""
     k = (doc_id * _KNUTH) % (1 << 32)
     n_samples = SR // 2 + k % (SR // 2)  # 0.5 – 1.0 s (the pure-python
     # Rice bit-writer costs ~5 ms/ksample; this bounds the driver's
@@ -41,13 +42,16 @@ def synth_audio_row(doc_id: int) -> bytes:
     t = np.arange(n_samples, dtype=np.float64)
     x = np.rint(np.sin(2 * np.pi * freq * t / SR) * 0.5 * 32767) \
         .astype(np.int16)
-    kind = doc_id % 7
+    kind = doc_id % 8
     if kind == 1:
         from ..stages.media import encode_wav
         return encode_wav(x, SR)
     if kind == 2:
         from ..audiometa import encode_ogg_flac
         return encode_ogg_flac(x, SR)
+    if kind == 7:
+        from ..vorbis import encode_vorbis
+        return encode_vorbis(x, SR)
     if kind >= 3:
         from ..wavcodec import encode_wav_any
         enc = {3: "pcm24", 4: "ulaw", 5: "alaw", 6: "ima_adpcm"}[kind]

@@ -130,7 +130,7 @@ class AudioProbe:
 
     The triage pass a 100-TB audio corpus runs first: duration / sample
     rate / channels straight from the container layer (WAV fmt chunk,
-    FLAC STREAMINFO, Ogg page granules incl. vorbis+opus, MP3 frame-
+    FLAC STREAMINFO, Ogg page granules incl. vorbis and opus, MP3 frame-
     header walk — mycelium_ray/audiometa.py, all from public specs), so
     filtering by length/rate never pays codec cost. Unparseable bytes
     surface as meta_ok=False rows.
@@ -170,8 +170,9 @@ class AudioFeatures:
     zero-crossing rate). WAV decode is REAL for every sample format
     (from-scratch wavcodec.py: 8/16/24/32-bit PCM, float32/64, G.711
     A-law/µ-law, IMA ADPCM, WAVE_FORMAT_EXTENSIBLE) and so is FLAC
-    (from-scratch RFC 9639 decoder, mycelium_ray/flac.py) and Ogg FLAC;
-    mp3/ogg-vorbis/opus remain the stub boundary and raise
+    (from-scratch RFC 9639 decoder, mycelium_ray/flac.py), Ogg FLAC and
+    Ogg VORBIS (from-scratch Vorbis I transform decoder,
+    mycelium_ray/vorbis.py); mp3/opus remain the stub boundary and raise
     NotImplementedError internally (no libsndfile/ffmpeg in this
     container), surfacing as audio_ok=False rows.
     """
@@ -227,11 +228,17 @@ class AudioFeatures:
                 x = x[:, 0].astype(np.int16)
             return sr, x
         if data[:4] == b"OggS":
-            # Ogg FLAC decodes for real (native-stream reassembly →
-            # RFC 9639 decoder); vorbis/opus raise NotImplementedError
-            # inside decode_ogg_flac — the codec-level boundary
-            from ..audiometa import decode_ogg_flac
-            sr, ch, x = decode_ogg_flac(data)
+            # Ogg FLAC and Ogg VORBIS both decode for real (vorbis.py is
+            # the from-scratch Vorbis I transform decoder); opus remains
+            # the codec-level stub boundary inside decode_ogg_flac
+            nsegs = data[26] if len(data) > 26 else 0
+            bos = data[27 + nsegs: 27 + nsegs + 7]
+            if bos.startswith(b"\x01vorbis"):
+                from ..vorbis import decode_ogg_vorbis_int16
+                sr, ch, x = decode_ogg_vorbis_int16(data)
+            else:
+                from ..audiometa import decode_ogg_flac
+                sr, ch, x = decode_ogg_flac(data)
             if ch > 1:
                 x = x.mean(axis=1).astype(np.int16)
             else:
