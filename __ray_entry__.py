@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_metadata": audio.audio_metadata,
         "audio_tags": audio.audio_tags,
         "audio_silence_trim": audio.audio_silence_trim,
+        "vorbis_roundtrip": audio.vorbis_roundtrip,
         "video_frame_sample": videoops.video_frame_sample,
         "video_dup_groups": videoops.video_dup_groups,
         "video_scene_cuts": videoops.video_scene_cuts,
@@ -389,6 +390,7 @@ def oracle_sql() -> dict[str, str]:
         "audio_metadata": audio.AUDIO_METADATA_SQL,
         "audio_tags": audio.AUDIO_TAGS_SQL,
         "audio_silence_trim": audio.AUDIO_SILENCE_TRIM_SQL,
+        "vorbis_roundtrip": audio.VORBIS_ROUNDTRIP_SQL,
         "video_frame_sample": videoops.VIDEO_FRAME_SAMPLE_SQL,
         "video_dup_groups": videoops.VIDEO_DUP_GROUPS_SQL,
         "video_scene_cuts": videoops.VIDEO_SCENE_CUTS_SQL,

@@ -476,3 +476,68 @@ SELECT 'http://audio.test/d/' || CAST(doc_id AS VARCHAR) AS audio_id,
        TRUE AS strip_ok
 FROM documents
 """
+
+
+# --------------------------------------------------------------------------
+# vorbis_roundtrip: the transform-codec gauntlet — every doc's derived
+# clip goes through the REAL from-scratch Vorbis I encoder AND decoder
+# (mycelium_ray/vorbis.py) inside the map stage; the op emits measured
+# facts (decoded length, duration) plus a PSNR >= 40 dB gate. Geometry
+# derives from doc_id by integer arithmetic so the oracle pins every
+# value; psnr_ok = TRUE in SQL asserts the codec's quality contract —
+# a single lossy regression anywhere in MDCT/floor/residue/Huffman
+# flips a row and fails the hash compare.
+# --------------------------------------------------------------------------
+def vorbis_roundtrip(sf_dir: str):
+    """(doc_id, n_samples, duration_ms, stereo, psnr_ok) via real Vorbis
+    encode→decode per document."""
+    from ..vorbis import decode_vorbis, encode_vorbis
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        cols = {"doc_id": [], "n_samples": [], "duration_ms": [],
+                "stereo": [], "psnr_ok": []}
+        for d in ids:
+            k = (d * _KNUTH) % (1 << 32)
+            n = SR // 4 + k % (SR // 4)          # 0.25 – 0.5 s
+            freq = 100 + (k >> 16) % 400
+            t = np.arange(n, dtype=np.float64)
+            x = 0.6 * np.sin(2 * np.pi * freq * t / SR) \
+                + 0.15 * np.sin(2 * np.pi * 3 * freq * t / SR)
+            stereo = d % 2 == 1
+            sig = np.stack([x, 0.5 * x], axis=1) if stereo else x
+            rate, ch, dec = decode_vorbis(encode_vorbis(sig, SR))
+            ref2 = sig if sig.ndim == 2 else sig[:, None]
+            noise = dec - ref2
+            psnr = 10 * np.log10(
+                np.max(ref2 ** 2) / max(np.mean(noise ** 2), 1e-300))
+            cols["doc_id"].append(d)
+            cols["n_samples"].append(len(dec))
+            cols["duration_ms"].append(len(dec) * 1000 // rate)
+            cols["stereo"].append(ch == 2)
+            cols["psnr_ok"].append(bool(psnr >= 40.0))
+        return pa.table({
+            "doc_id": pa.array(cols["doc_id"], pa.int64()),
+            "n_samples": pa.array(cols["n_samples"], pa.int64()),
+            "duration_ms": pa.array(cols["duration_ms"], pa.int64()),
+            "stereo": pa.array(cols["stereo"], pa.bool_()),
+            "psnr_ok": pa.array(cols["psnr_ok"], pa.bool_()),
+        })
+
+    return ds.map_batches(run, batch_format="pyarrow", batch_size=64,
+                          concurrency=8)
+
+
+VORBIS_ROUNDTRIP_SQL = f"""
+SELECT doc_id,
+       CAST({SR // 4} + (doc_id * {_KNUTH}) % {1 << 32} % {SR // 4}
+            AS BIGINT) AS n_samples,
+       CAST(({SR // 4} + (doc_id * {_KNUTH}) % {1 << 32} % {SR // 4})
+            * 1000 // {SR} AS BIGINT) AS duration_ms,
+       doc_id % 2 = 1 AS stereo,
+       TRUE AS psnr_ok
+FROM documents
+"""

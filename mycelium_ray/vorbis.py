@@ -627,13 +627,23 @@ def _make_books(channels: int, blocksize: int):
         lookup_type=1, minimum=minimum,
         delta=delta, value_bits=8, sequence_p=0,
         multiplicands=list(range(levels)))
+    # refinement book (cascade pass 1): 32 levels spanning one coarse
+    # step, so the two-pass sum quantizes at ~13 bits — this is what
+    # lifts spectrally flat frames (clip edges) past the 40 dB bar
+    fine_levels = 32
+    fdelta = float32_unpack(float32_pack(delta / (fine_levels - 1)))
+    fmin = float32_unpack(float32_pack(-fdelta * (fine_levels // 2)))
+    fine_book = Codebook(
+        dimensions=1, entries=fine_levels, lengths=[5] * fine_levels,
+        lookup_type=1, minimum=fmin, delta=fdelta, value_bits=8,
+        sequence_p=0, multiplicands=list(range(fine_levels)))
     floor = Floor1(multiplier=1, rangebits=ilog(n2 - 1),
                    x_list=[0, 1 << ilog(n2 - 1)])
     residue = Residue2(begin=0, end=n2 * channels, partition_size=16,
                        classifications=2, classbook=0,
                        class_books=[[None] * 8,
-                                    [1] + [None] * 7])
-    return [classbook, value_book], floor, residue
+                                    [1, 2] + [None] * 6])
+    return [classbook, value_book, fine_book], floor, residue
 
 
 def _setup_packet(books, floor: Floor1, residue: Residue2) -> bytes:
@@ -731,14 +741,26 @@ def encode_vorbis(samples: np.ndarray, sample_rate: int,
                         0, levels - 1).astype(np.int64)
             n_part = len(inter) // residue.partition_size
             cls = np.ones(n_part, dtype=np.int64)
-            # class 0 (uncoded partition) only when every value
-            # quantized to the exact-zero level — true silence
+            # class 0 (uncoded partition) only for EXACT silence — the
+            # decoder contributes zeros there, so the round trip stays
+            # lossless for silent regions
             for i in range(n_part):
-                sl = q[i * residue.partition_size:
-                       (i + 1) * residue.partition_size]
-                if np.all(sl == levels // 2):
+                sl = inter[i * residue.partition_size:
+                           (i + 1) * residue.partition_size]
+                if not np.any(sl):
                     cls[i] = 0
+            # cascade pass 1: refine the coarse quantization error with
+            # the fine book (decoder SUMS the two passes)
+            fine_book = books[2]
+            resid = inter - (value_book.minimum
+                             + q * value_book.delta)
+            q2 = np.clip(np.rint((resid - fine_book.minimum)
+                                 / fine_book.delta),
+                         0, fine_book.entries - 1).astype(np.int64)
             cb = books[0]
+            ps = residue.partition_size
+            # pass 0: classwords + coarse values (spec bit order: each
+            # pass is a full sweep over the partitions)
             i = 0
             while i < n_part:
                 cw = 0
@@ -750,13 +772,18 @@ def encode_vorbis(samples: np.ndarray, sample_rate: int,
                     if i >= n_part:
                         break
                     if cls[i] == 1:
-                        sl = q[i * residue.partition_size:
-                               (i + 1) * residue.partition_size]
                         vrev = value_book.codes_rev
                         vlen = value_book.lengths
-                        for e in sl:
+                        for e in q[i * ps:(i + 1) * ps]:
                             bw.write(vrev[e], vlen[e])
                     i += 1
+            # pass 1: fine values for coded partitions (no classwords)
+            frev = fine_book.codes_rev
+            flen = fine_book.lengths
+            for i in range(n_part):
+                if cls[i] == 1:
+                    for e in q2[i * ps:(i + 1) * ps]:
+                        bw.write(frev[e], flen[e])
         # packet j (j ≥ 1) completes j*h output samples; packet 0 only
         # primes the overlap. The EOS page carries the true length.
         granule = min(fidx * h, n_samp)
