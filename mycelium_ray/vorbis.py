@@ -214,6 +214,17 @@ class Codebook:
             None if codes[i] is None else
             int(format(codes[i], f"0{lengths[i]}b")[::-1], 2)
             for i in range(entries)]
+        # uniform complete books (every length L, entries == 2^L) admit
+        # an O(1) decode: L bits read LSB-first ARE the bit-reversed
+        # codeword, a bijection onto entries — table-invert it once
+        self._uniform = 0
+        self._rev_table: list[int] = []
+        if entries and all(l == lengths[0] for l in lengths) \
+                and entries == (1 << lengths[0]):
+            self._uniform = lengths[0]
+            self._rev_table = [0] * entries
+            for e, rv in enumerate(self.codes_rev):
+                self._rev_table[rv] = e
         self.values = None
         if lookup_type in (1, 2):
             self.values = self._build_values()
@@ -259,6 +270,8 @@ class Codebook:
 
     # ---- scalar Huffman decode ----
     def decode_scalar(self, br: BitReader) -> int:
+        if self._uniform:
+            return self._rev_table[br.read(self._uniform)]
         code = 0
         for length in range(1, 33):
             code = (code << 1) | br.read1()
@@ -544,11 +557,25 @@ class Residue2:
                     if book_idx is not None:
                         book = books[book_idx]
                         off = self.begin + i * self.partition_size
-                        k = 0
-                        while k < self.partition_size:
-                            vec = book.decode_vector(br)
-                            v[off + k: off + k + book.dimensions] += vec
-                            k += book.dimensions
+                        if book._uniform and book.dimensions == 1 \
+                                and book.values is not None:
+                            # bulk path: a partition's codes are one
+                            # contiguous fixed-width bit run
+                            L = book._uniform
+                            ps = self.partition_size
+                            raw = br.read(L * ps)
+                            mask = (1 << L) - 1
+                            rt = book._rev_table
+                            ents = [rt[(raw >> (L * t)) & mask]
+                                    for t in range(ps)]
+                            v[off: off + ps] += book.values[ents, 0]
+                        else:
+                            k = 0
+                            while k < self.partition_size:
+                                vec = book.decode_vector(br)
+                                v[off + k: off + k + book.dimensions] \
+                                    += vec
+                                k += book.dimensions
                     i += 1
         return v
 
