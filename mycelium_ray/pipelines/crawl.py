@@ -433,7 +433,8 @@ class RayCrawler(ReferenceSimulator):
 
     def run_daemon(self, seed_poll=None, idle_grace: float | None = None,
                    poll_interval: float = 0.02,
-                   max_events: int = 10_000_000):
+                   max_events: int = 10_000_000,
+                   checkpoint_every_events: int = 0):
         """Continuous (daemon-mode) crawl: a per-completion event loop
         with live seed ingest and NO wave barrier — the reference's
         long-running shape, where ``event_dispatch`` (crawler.cc:1428)
@@ -528,6 +529,13 @@ class RayCrawler(ReferenceSimulator):
                 self._done(h, kind, FetchResult(
                     cc, http, eff, headers, content, cerr,
                     outlinks=tuple(outlinks)))
+                if (checkpoint_every_events and self.store is not None
+                        and events % checkpoint_every_events == 0):
+                    # event-boundary checkpoint: a daemon has no wave
+                    # boundaries, but any completion boundary is a
+                    # consistent snapshot (in-flight transfers are
+                    # recorded and re-issued on restore)
+                    self.checkpoint(self._flush_version * 1000 + events)
             self._maybe_flush()
         self._maybe_flush(force=True)
         return self.result

@@ -182,3 +182,80 @@ def test_daemon_seeds_after_frontier_drained(ray_session, corpus):
     ref_res = ref.run()
     assert res.url_seen == ref_res.url_seen
     assert _per_host_order(res.saved) == _per_host_order(ref_res.saved)
+
+
+def test_daemon_over_real_sockets(ray_session, corpus):
+    """Daemon event loop composed with the real-TCP fetch path: fetcher
+    actors on persistent http.client connections, live TCP seed ingest,
+    same url_seen/per-host order as the wave engine."""
+    from mycelium_ray.httpfixture import FixtureHTTPServer
+
+    site, seeds = corpus
+    first, second = seeds[:8], seeds[8:20]
+    with FixtureHTTPServer(site) as srv, TcpSeedListener() as src:
+        crawler = RayCrawler(site, parallel=6, n_fetchers=2,
+                             transport_addr=srv.addr)
+        crawler.feed(first)
+
+        state = {"pushed": False}
+
+        def poll():
+            if not state["pushed"] and crawler.result.saved:
+                state["pushed"] = True
+                _push(src.port, second)
+                deadline = time.monotonic() + 30
+                while (src.stats.n_accepted + src.stats.n_rejected
+                       < len(second)) and time.monotonic() < deadline:
+                    time.sleep(0.01)
+                src.close()
+            return src.poll_lines()
+
+        res = crawler.run_daemon(seed_poll=poll)
+
+    ref = ReferenceSimulator(site, parallel=6)
+    ref.feed(first)
+    ref.feed(second)
+    ref_res = ref.run()
+    assert res.url_seen == ref_res.url_seen
+    assert {(d.url, d.http_code, d.content) for d in res.saved} == \
+        {(d.url, d.http_code, d.content) for d in ref_res.saved}
+    assert _per_host_order(res.saved) == _per_host_order(ref_res.saved)
+
+
+def test_daemon_checkpoint_restore(ray_session, corpus, tmp_path):
+    """A daemon killed mid-run restores from an event-boundary
+    checkpoint and finishes with the full url_seen set (in-flight
+    transfers at snapshot time are re-issued after restore)."""
+    from mycelium_ray.state.store import TableStore
+
+    site, seeds = corpus
+    store = TableStore(str(tmp_path / "d"))
+    crawler = RayCrawler(site, parallel=6, n_fetchers=2, store=store,
+                         flush_rows=64)
+    crawler.feed(seeds)
+
+    # kill the daemon after ~40 completions by making the seed channel
+    # raise (simulated crash); checkpoints every 10 events persist state
+    class _Kill(Exception):
+        pass
+
+    events = {"n": 0}
+
+    def poll():
+        events["n"] += 1
+        if events["n"] > 120:
+            raise _Kill()
+        return []
+
+    with pytest.raises(_Kill):
+        crawler.run_daemon(seed_poll=poll, checkpoint_every_events=10,
+                           poll_interval=0.001)
+    assert store.blob_versions("crawl_ckpt"), "no checkpoint written"
+
+    restored = RayCrawler.restore(site, store, n_fetchers=2)
+    res = restored.run_daemon(seed_poll=None)
+
+    ref = ReferenceSimulator(site, parallel=6)
+    ref.feed(seeds)
+    ref_res = ref.run()
+    assert res.url_seen == ref_res.url_seen
