@@ -590,18 +590,19 @@ def _corpus_filter_ds(sf_dir: str, min_tokens: int = CORPUS_MIN_TOKENS,
         }), batch_format="pyarrow")
 
     # branch 3: near-dup cluster drops (node that is not its cluster rep)
-    def drop_rows(df: pd.DataFrame) -> pa.Table:
-        d = df[df["node"] != df["label"]]
-        doc_id = d["node"].to_numpy().astype("int64")
+    def drop_rows(t: pa.Table) -> pa.Table:
+        node = t["node"].to_numpy()
+        keep = node != t["label"].to_numpy()
+        doc_id = node[keep].astype("int64")
         return pa.table({
             "doc_id": pa.array(doc_id),
-            "kind": pa.array(np.full(len(d), 2, dtype="int64")),
-            "flag": pa.array(np.ones(len(d), dtype="int64")),
+            "kind": pa.array(np.full(len(doc_id), 2, dtype="int64")),
+            "flag": pa.array(np.ones(len(doc_id), dtype="int64")),
             "bucket": pa.array((doc_id % N_BUCKETS).astype("int64")),
         })
 
     drops = connected_components(_jaccard_pairs_ds(sf_dir, threshold)) \
-        .map_batches(drop_rows, batch_format="pandas")
+        .map_batches(drop_rows, batch_format="pyarrow")
 
     def decide(g: pd.DataFrame) -> pd.DataFrame:
         p = g.pivot_table(index="doc_id", columns="kind", values="flag",
@@ -1216,13 +1217,15 @@ def global_length_rank(sf_dir: str):
 
     n_buckets = h.shape[0] if h.shape[0] > 0 else 1
 
-    def bucket(df: pd.DataFrame) -> pd.DataFrame:
-        ln = df["n_chars"].to_numpy().astype("int64")
-        return pd.DataFrame({
-            "doc_id": df["doc_id"].astype("int64"),
-            "n_chars": ln,
-            "bucket": (ln.astype("uint64")
-                       % np.uint64(n_buckets)).astype("int64"),
+    def bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ln = t["n_chars"].to_numpy().astype("int64")
+        return pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_chars": pa.array(ln, pa.int64()),
+            "bucket": pa.array((ln.astype("uint64")
+                                % np.uint64(n_buckets)).astype("int64"),
+                               pa.int64()),
         })
 
     def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -1238,7 +1241,7 @@ def global_length_rank(sf_dir: str):
             "rank": base + within + 1,
         })
 
-    return lens.map_batches(bucket, batch_format="pandas") \
+    return lens.map_batches(bucket, batch_format="pyarrow") \
         .groupby("bucket").map_groups(rank_bucket, batch_format="pandas")
 
 
