@@ -194,3 +194,19 @@ def test_ray_fetch_pool_over_tls(ray_session, tls_material, https_corpus):
     assert res.url_seen == ref_res.url_seen
     assert [(d.url, d.http_code, d.content) for d in res.saved] == \
         [(d.url, d.http_code, d.content) for d in ref_res.saved]
+
+
+def test_tls_san_hosts_collects_every_handshake_name():
+    from mycelium_ray.tlscert import tls_san_hosts
+    site = SiteGraph()
+    site.hosts = ["a.test", "b.test"]
+    site.robots["c.test"] = "User-agent: *\n"
+    site.responses["https://d.test/x"] = Response(status=200, content=b"")
+    site.responses["https://[::1]/v6"] = Response(status=200, content=b"")
+    seeds = ["https://seed.test/x", "https://e.test:8443/y",
+             "http://bad host.test/z", "not-a-url"]
+    sans = tls_san_hosts(site, seeds)
+    assert set(sans) == {"a.test", "b.test", "c.test", "d.test",
+                         "seed.test", "e.test"}
+    # IP literals ride the IP SANs; invalid names and junk are dropped
+    assert "[::1]" not in sans and "bad host.test" not in sans
