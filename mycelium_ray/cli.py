@@ -86,6 +86,19 @@ def _listen_seeds(port: int, seconds: float) -> list[str]:
     return [u.normalize().get() for u in src.urls()]
 
 
+def _decode_and_write(crawler, args) -> None:
+    """Shared post-run tail for the RayCrawler modes: fetched rows →
+    DecodeValidate → parquet (--out) or count."""
+    from .stages.decode import DecodeValidate
+    ds = crawler.fetched_dataset()
+    ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
+                        batch_size=256)
+    if args.out:
+        ds.write_parquet(args.out)
+    else:
+        ds.count()
+
+
 def _run_daemon_with_listener(crawler, args):
     """Reference daemon mode: crawl and ingest live TCP seeds
     CONCURRENTLY (no wave barrier); the listener closes after
@@ -175,14 +188,7 @@ def cmd_crawl(args) -> int:
             crawler.feed(seeds)
             result = (_run_daemon_with_listener(crawler, args)
                       if args.daemon else crawler.run())
-            ds = crawler.fetched_dataset()
-            from .stages.decode import DecodeValidate
-            ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
-                                batch_size=256)
-            if args.out:
-                ds.write_parquet(args.out)
-            else:
-                ds.count()
+            _decode_and_write(crawler, args)
             stats = {"mode": ("tls" if args.tls else "socket")
                              + ("+daemon" if args.daemon else ""),
                      "addr": list(server.addr),
@@ -202,14 +208,7 @@ def cmd_crawl(args) -> int:
                 follow_links=args.follow_links)
             crawler.feed(seeds)
             result = _run_daemon_with_listener(crawler, args)
-            ds = crawler.fetched_dataset()
-            from .stages.decode import DecodeValidate
-            ds = ds.map_batches(DecodeValidate(), batch_format="pyarrow",
-                                batch_size=256)
-            if args.out:
-                ds.write_parquet(args.out)
-            else:
-                ds.count()
+            _decode_and_write(crawler, args)
             stats = {"mode": "daemon",
                      "n_seen": len(result.url_seen),
                      "n_saved": len(result.saved),

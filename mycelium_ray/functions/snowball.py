@@ -457,8 +457,10 @@ def french_stem(word: str) -> str:
                 best_i = s
         if best_i and _in(rv, w, len(best_i)):
             prev = len(w) - len(best_i) - 1
-            if prev >= rv and prev >= 0 and w[prev] not in _FR_VOWELS \
-                    and w[prev] not in "HUIY":
+            # "preceded by a non-vowel": the prelude's U/I/Y marks are
+            # uppercase and thus non-vowels by construction (that is the
+            # marks' whole purpose — "joUir" → delete "ir" → "jou")
+            if prev >= rv and prev >= 0 and w[prev] not in _FR_VOWELS:
                 w = w[: len(w) - len(best_i)]
                 changed2a = True
 

@@ -462,6 +462,12 @@ class RayCrawler(ReferenceSimulator):
         """
         import time as _time
         self._ensure_fetchers()
+        if not checkpoint_every_events and self.checkpoint_every \
+                and self.store is not None:
+            # honor the constructor's wave-denominated checkpoint_every
+            # (what run() uses): one wave ≈ one completion per handle
+            checkpoint_every_events = \
+                self.checkpoint_every * max(1, len(self.handles))
         futures: dict = {}   # ObjectRef -> hid
         live: set[int] = set()   # hids with an outstanding future
 

@@ -297,9 +297,12 @@ def word_count_topk(sf_dir: str, k: int = WORDCOUNT_TOPK):
         return t.take(idx[:k])
 
     import ray as _ray
-    parts = _ray.get(agg.map_batches(partial_topk, batch_format="pyarrow")
-                     .to_arrow_refs())
-    tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+    parts = [p for p in
+             _ray.get(agg.map_batches(partial_topk, batch_format="pyarrow")
+                      .to_arrow_refs()) if p.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"token": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())})
     idx = pc.sort_indices(tbl, sort_keys=[("n", "descending"),
                                           ("token", "ascending")])
     tbl = tbl.take(idx[:k]).combine_chunks()
@@ -1112,9 +1115,12 @@ def bigram_topk(sf_dir: str, k: int = BIGRAM_TOPK):
         return t.take(idx[:k])
 
     import ray as _ray
-    parts = _ray.get(agg.map_batches(partial_topk, batch_format="pyarrow")
-                     .to_arrow_refs())
-    tbl = pa.concat_tables([p for p in parts if p.num_rows] or parts)
+    parts = [p for p in
+             _ray.get(agg.map_batches(partial_topk, batch_format="pyarrow")
+                      .to_arrow_refs()) if p.num_rows]
+    tbl = pa.concat_tables(parts) if parts else pa.table(
+        {"bigram": pa.array([], pa.string()),
+         "n": pa.array([], pa.int64())})
     idx = pc.sort_indices(tbl, sort_keys=[("n", "descending"),
                                           ("bigram", "ascending")])
     tbl = tbl.take(idx[:k]).combine_chunks()

@@ -198,11 +198,25 @@ class TcpSeedListener:
     def poll_lines(self) -> list[str] | None:
         """``RayCrawler.run_daemon`` seed_poll protocol: new URL lines
         since the last call; [] when idle, None once the listener is
-        closed AND fully drained (the daemon's shutdown signal)."""
+        closed AND fully drained (the daemon's shutdown signal).
+
+        None requires the connection threads to have exited too: close()
+        sets ``_stop`` before joining them, so a thread that passed its
+        stop check may still append a just-received seed for ~0.1 s —
+        returning None on ``_stop`` alone could drop a seed accepted at
+        the listen-window boundary. While threads are winding down this
+        returns [], and the post-join drain picks up the stragglers."""
         batch = self.drain()
         if batch:
             return [u.get() for u in batch]
-        return None if self._stop.is_set() else []
+        if not self._stop.is_set():
+            return []
+        if self._acceptor.is_alive() or any(t.is_alive()
+                                            for t in self._threads):
+            return []
+        # threads are joined: one final race-free drain decides
+        batch = self.drain()
+        return [u.get() for u in batch] if batch else None
 
     def to_dataset(self):
         """Seeds as a Ray Data Dataset (url string rows), the head of the

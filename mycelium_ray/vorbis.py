@@ -131,7 +131,13 @@ def float32_pack(v: float) -> int:
     while v >= (1 << 21) and exponent < 1023:
         v /= 2.0
         exponent += 1
-    return sign | (exponent << 21) | int(round(v)) & 0x1FFFFF
+    m = int(round(v))
+    if m >= (1 << 21):
+        # v in [2^21 - 0.5, 2^21) rounds up past the mantissa width:
+        # renormalize instead of letting the field mask wrap it to 0
+        m >>= 1
+        exponent += 1
+    return sign | (exponent << 21) | m
 
 
 # ==========================================================================

@@ -259,3 +259,36 @@ def test_daemon_checkpoint_restore(ray_session, corpus, tmp_path):
     ref.feed(seeds)
     ref_res = ref.run()
     assert res.url_seen == ref_res.url_seen
+
+
+def test_poll_lines_returns_stragglers_then_none():
+    """Seeds accepted at the listen-window boundary are never dropped:
+    after close() (threads joined), poll_lines first drains anything
+    accepted late, and only a subsequent empty drain returns None."""
+    src = TcpSeedListener()
+    _push(src.port, ["http://late.test/a", "http://late.test/b"])
+    deadline = time.monotonic() + 10
+    while src.stats.n_accepted < 2 and time.monotonic() < deadline:
+        time.sleep(0.01)
+    src.close()
+    got = src.poll_lines()
+    assert got == ["http://late.test/a", "http://late.test/b"]
+    assert src.poll_lines() is None
+
+
+def test_daemon_honors_constructor_checkpoint_every(ray_session, corpus,
+                                                    tmp_path):
+    """checkpoint_every from the constructor (the run() semantics) also
+    drives daemon-mode checkpointing (wave ≈ one event per handle)."""
+    from mycelium_ray.state.store import TableStore
+
+    site, seeds = corpus
+    store = TableStore(str(tmp_path / "c"))
+    crawler = RayCrawler(site, parallel=4, n_fetchers=2, store=store,
+                         checkpoint_every=2, flush_rows=64)
+    crawler.feed(seeds[:30])
+    src = TcpSeedListener()
+    src.close()
+    crawler.run_daemon(seed_poll=src.poll_lines)
+    assert store.blob_versions("crawl_ckpt"), \
+        "constructor checkpoint_every ignored by run_daemon"

@@ -51,6 +51,8 @@ FR_GOLDEN = {
     "possibilité": "possibil",
     "arrivée": "arriv",
     "parlons": "parlon",
+    "jouir": "jou",               # marked U is a non-vowel: step 2a fires
+    "jouissant": "jou",
     "continuité": "continu",
     "le": "le",
 }

@@ -45,6 +45,16 @@ def test_float32_pack_unpack():
         assert got == pytest.approx(v, rel=1e-6), v
 
 
+def test_float32_pack_mantissa_boundary():
+    """Values just below a power of two round UP to 2^21 in mantissa
+    space; pack must renormalize, not wrap the field to 0."""
+    for k in (-3, 0, 5):
+        v = (2.0 ** 21 - 0.4) / 2.0 ** 21 * 2.0 ** k
+        got = float32_unpack(float32_pack(v))
+        assert got == pytest.approx(v, rel=1e-6)
+        assert got != 0.0
+
+
 def test_codeword_assignment_spec_example():
     """The Vorbis I specification's §3.2.1 worked example: entry lengths
     [2,4,4,4,4,2,3,3] must yield codewords 00, 0100, 0101, 0110, 0111,
