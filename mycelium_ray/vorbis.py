@@ -536,6 +536,12 @@ class Residue2:
     def decode(self, br: BitReader, books: list[Codebook],
                n_out: int) -> np.ndarray:
         v = np.zeros(n_out, dtype=np.float64)
+        if self.classbook >= len(books):
+            raise VorbisError("residue classbook index out of range")
+        for bl in self.class_books:
+            for b in bl:
+                if b is not None and b >= len(books):
+                    raise VorbisError("residue book index out of range")
         cb = books[self.classbook]
         end = min(self.end, n_out)
         n_read = end - self.begin
@@ -900,6 +906,8 @@ def decode_vorbis(data: bytes):
         br.read(8)
         floor_n = br.read(8)
         res_n = br.read(8)
+        if floor_n >= n_floors or res_n >= n_res:
+            raise VorbisError("mapping references a missing floor/residue")
         mappings.append((floor_n, res_n))
     n_modes = br.read(6) + 1
     modes = []
@@ -908,6 +916,8 @@ def decode_vorbis(data: bytes):
         if br.read(16) or br.read(16):
             raise VorbisError("nonzero window/transform type")
         mapping = br.read(8)
+        if mapping >= n_maps:
+            raise VorbisError("mode references a missing mapping")
         modes.append((blockflag, mapping))
     if not br.read1():
         raise VorbisError("setup framing bit unset")

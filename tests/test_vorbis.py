@@ -182,3 +182,44 @@ def test_synth_audio_row_vorbis_kind_decodes():
     assert rate == SR
     k = (doc_id * 2654435761) % (1 << 32)
     assert len(x) == SR // 2 + k % (SR // 2)
+
+
+def test_fuzz_decode_typed_only_crc_fixed():
+    """Stronger fuzz: recompute page CRCs after mutation so corrupt
+    bytes actually REACH the header/codebook/floor/residue parsers
+    instead of dying at the Ogg CRC gate — still typed errors only."""
+    import random
+    import struct
+
+    from mycelium_ray.audiometa import ogg_crc
+
+    def refix_crc(data: bytes) -> bytes:
+        out = bytearray(data)
+        pos = 0
+        while pos + 27 <= len(out):
+            if out[pos:pos + 4] != b"OggS":
+                break
+            nsegs = out[pos + 26]
+            body = sum(out[pos + 27:pos + 27 + nsegs])
+            end = pos + 27 + nsegs + body
+            if end > len(out):
+                break
+            page = bytearray(out[pos:end])
+            page[22:26] = b"\0\0\0\0"
+            out[pos + 22:pos + 26] = struct.pack(
+                "<I", ogg_crc(bytes(page)))
+            pos = end
+        return bytes(out)
+
+    sr = 8000
+    base = encode_vorbis(_sig(1500, sr), sr)
+    rng = random.Random(7)
+    for _ in range(300):
+        b = bytearray(base)
+        for _ in range(rng.randint(1, 3)):
+            b[rng.randrange(28, len(b))] = rng.randrange(256)
+        try:
+            decode_vorbis(refix_crc(bytes(b)))
+        except VorbisError:
+            pass
+        # anything else propagates and fails the test
