@@ -154,3 +154,28 @@ def test_stemmers_total_on_junk():
         for fn in (spanish_stem, french_stem, german_stem):
             out = fn(w)
             assert isinstance(out, str)
+
+
+@pytest.mark.parametrize("fn,words", [
+    (spanish_stem, ["canto", "cantas", "canta", "cantamos", "cantan",
+                    "cantaba", "cantaron", "cantado", "cantando"]),
+    (spanish_stem, ["libro", "libros"]),
+    (spanish_stem, ["nación", "naciones"]),
+    (spanish_stem, ["rápido", "rápida", "rápidos", "rápidas"]),
+    # note: French -ons forms do NOT merge with the rest of the verb
+    # paradigm (no bare "ons" suffix in step 2b; step 4 only strips the
+    # s) — that is genuine Snowball behavior, so "chantons" is excluded
+    (french_stem, ["chante", "chantes", "chanter", "chantez",
+                   "chantaient", "chanté", "chantée"]),
+    (french_stem, ["national", "nationale", "nationaux", "nationales"]),
+    (french_stem, ["finir", "finis", "finit", "finissons", "finissez",
+                   "finissent"]),
+    (german_stem, ["kind", "kinder", "kindern", "kindes"]),
+    (german_stem, ["schnell", "schnelle", "schneller", "schnelles",
+                   "schnellen"]),
+    (german_stem, ["haus", "häuser", "häusern"]),
+])
+def test_inflection_families_merge(fn, words):
+    """Conflation invariant: a whole inflection family maps to ONE stem
+    — implementation-independent evidence the rules do their job."""
+    assert len({fn(w) for w in words}) == 1, {w: fn(w) for w in words}
