@@ -292,3 +292,25 @@ def test_daemon_honors_constructor_checkpoint_every(ray_session, corpus,
     crawler.run_daemon(seed_poll=src.poll_lines)
     assert store.blob_versions("crawl_ckpt"), \
         "constructor checkpoint_every ignored by run_daemon"
+
+
+def test_daemon_honors_crawl_delay(ray_session, corpus):
+    """Politeness ticks in event time: a daemon with honor_crawl_delay
+    drains hosts with robots Crawl-delay via _advance_past_delays (no
+    transfers in flight, frontier non-empty) and still matches the wave
+    engine's url_seen and per-host order."""
+    site, seeds = corpus
+    crawler = RayCrawler(site, parallel=4, n_fetchers=2,
+                         honor_crawl_delay=True)
+    crawler.feed(seeds)
+    src = TcpSeedListener()
+    src.close()
+    res = crawler.run_daemon(seed_poll=src.poll_lines)
+
+    ref = ReferenceSimulator(site, parallel=4, honor_crawl_delay=True)
+    ref.feed(seeds)
+    ref_res = ref.run()
+    assert res.url_seen == ref_res.url_seen
+    assert {(d.url, d.http_code) for d in res.saved} == \
+        {(d.url, d.http_code) for d in ref_res.saved}
+    assert _per_host_order(res.saved) == _per_host_order(ref_res.saved)
